@@ -1,0 +1,35 @@
+"""themis_spark — a from-scratch PySpark-native schema + constraint
+validation engine with the capabilities of playlyfe/themis (a JSON Schema
+draft-4 validator), rebuilt Spark-first for web-scale tables.
+
+Layout
+------
+plans/      schema parsing, $ref resolution, compilation to (a) native
+            Spark Column expression trees and (b) vectorized Arrow/pandas
+            batch validators (the two execution regimes from SURVEY.md §2a).
+operators/  table-level dataflow operators: the fused validate+stats pass,
+            cross-row uniqueness, referential integrity, distribution drift,
+            dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+            embedding-cosine), similarity search, text analysis, multimodal
+            plumbing (SURVEY.md §2b + training-data ops).
+functions/  shared column-level helpers: portable hashing, shingling,
+            format predicates.
+sources/    table IO abstraction (partitioned Parquet now, Iceberg-shaped
+            API) + the deterministic synthetic pages-table generator.
+streaming/  Structured Streaming wrapper (foreachBatch validation).
+runner.py   checkpointed, resumable end-to-end validation runs.
+"""
+
+from themis_spark.plans.parser import SchemaRegistry, parse_schema
+from themis_spark.plans.pyvalidator import compile_python_validator
+from themis_spark.plans.compiler import compile_plan, CompiledPlan
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SchemaRegistry",
+    "parse_schema",
+    "compile_python_validator",
+    "compile_plan",
+    "CompiledPlan",
+]

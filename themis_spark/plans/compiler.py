@@ -1,0 +1,323 @@
+"""Compile a draft-4 schema against a typed Spark table into a fused plan.
+
+Split per SURVEY.md §2(a): every keyword that is expressible as a native
+Spark ``Column`` predicate compiles to one (Catalyst whole-stage codegen —
+the Spark analogue of the reference's AOT schema→JS codegen in
+playlyfe/themis src/themis.js); anything dynamic (nested JSON columns,
+cyclic $refs, combinators over unknown shapes) falls back to a vectorized
+Arrow batch validator built on plans/pyvalidator.py.
+
+Typed-table null contract (SURVEY.md §7.3): SQL NULL in a typed column
+means the JSON property is ABSENT. Hence `required` fails on NULL, while
+value keywords (pattern, enum, bounds, …) pass on NULL — draft-4 keywords
+constrain only values of the matching type.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from themis_spark.plans.parser import SchemaRegistry, parse_schema
+from themis_spark.plans.pyvalidator import PyValidator, compile_python_validator
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+#: keywords the native column path can always express on a scalar column
+_NATIVE_SAFE = {
+    "type", "enum", "pattern", "required", "minLength", "maxLength",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf", "format", "minItems", "maxItems", "uniqueItems", "items",
+    "default", "id", "description", "title", "definitions",
+}
+
+
+@dataclass
+class ColumnCheck:
+    """One compiled keyword check over one column — the unit that becomes a
+    violation row (keyword, instance_path, schema_path) on failure."""
+
+    keyword: str
+    instance_path: str
+    schema_path: str
+    predicate: Column  # True/NULL = pass, False = violation
+    detail: Column
+    column: str
+
+
+@dataclass
+class ArrowColumnSpec:
+    """A JSON-string column validated on the vectorized Arrow path."""
+
+    column: str
+    validator: PyValidator
+    instance_prefix: str
+
+
+@dataclass
+class CompiledPlan:
+    """Driver-side compile artifact (reference EP1 analogue): reusable
+    across runs, never shipped as data — only its Column trees and the
+    pickled batch validators travel to executors."""
+
+    checks: list[ColumnCheck] = field(default_factory=list)
+    arrow_specs: list[ArrowColumnSpec] = field(default_factory=list)
+    root_uri: str = ""
+    columns_needed: set[str] = field(default_factory=set)
+
+    # -- violation assembly (SURVEY 2(a).27) --------------------------------
+    def violation_elements(self) -> list[Column]:
+        els = []
+        for c in self.checks:
+            failed = ~F.coalesce(c.predicate, F.lit(False))
+            els.append(
+                F.when(
+                    failed,
+                    F.struct(
+                        F.lit(c.keyword).alias("keyword"),
+                        F.lit(c.instance_path).alias("instance_path"),
+                        F.lit(c.schema_path).alias("schema_path"),
+                        c.detail.alias("detail"),
+                    ),
+                )
+            )
+        return els
+
+    def native_violations_col(self) -> Column:
+        els = self.violation_elements()
+        if not els:
+            return F.lit([]).cast(VIOLATION_ARRAY_TYPE)
+        return F.array_compact(F.array(*els))
+
+    def violations_col(self) -> Column:
+        """Full violations array: native checks ++ Arrow-path checks,
+        composed in ONE select (single fused pass per partition)."""
+        col = self.native_violations_col()
+        for spec in self.arrow_specs:
+            from themis_spark.plans.arrow_validators import violations_pandas_udf
+
+            udf = violations_pandas_udf(spec.validator, spec.instance_prefix)
+            col = F.concat(col, udf(F.col(spec.column)))
+        return col
+
+    def valid_col(self) -> Column:
+        return F.size(self.violations_col()) == 0
+
+
+VIOLATION_STRUCT_TYPE = T.StructType(
+    [
+        T.StructField("keyword", T.StringType()),
+        T.StructField("instance_path", T.StringType()),
+        T.StructField("schema_path", T.StringType()),
+        T.StructField("detail", T.StringType()),
+    ]
+)
+VIOLATION_ARRAY_TYPE = T.ArrayType(VIOLATION_STRUCT_TYPE)
+
+
+def _type_compatible(json_type: str, dt: T.DataType) -> bool:
+    if json_type == "string":
+        return isinstance(dt, (T.StringType, T.TimestampType, T.DateType))
+    if json_type == "integer":
+        return isinstance(dt, _INTEGRAL)
+    if json_type == "number":
+        return isinstance(dt, _NUMERIC)
+    if json_type == "boolean":
+        return isinstance(dt, T.BooleanType)
+    if json_type == "array":
+        return isinstance(dt, T.ArrayType)
+    if json_type == "object":
+        return isinstance(dt, (T.StructType, T.MapType))
+    if json_type == "null":
+        return True  # SQL NULL models it
+    return False
+
+
+def _detail(col: Column) -> Column:
+    return F.substring(col.cast("string"), 1, 64)
+
+
+def _is_native_expressible(sub: Any) -> bool:
+    if not isinstance(sub, dict):
+        return True
+    return all(k in _NATIVE_SAFE for k in sub) and not isinstance(sub.get("items"), list)
+
+
+def _compile_scalar_checks(
+    name: str, sub: dict, dt: T.DataType, spath: str, required: bool
+) -> list[ColumnCheck]:
+    """Native checks for one column against one (simple) subschema."""
+    col = F.col(name)
+    ipath = f"$.{name}"
+    out: list[ColumnCheck] = []
+
+    def add(keyword: str, pred: Column, leaf: str | None = None) -> None:
+        out.append(
+            ColumnCheck(keyword, ipath, f"{spath}/{leaf or keyword}", pred, _detail(col), name)
+        )
+
+    if required:
+        # presence: SQL NULL == absent (typed-table contract)
+        out.append(
+            ColumnCheck(
+                "required", ipath, f"{spath}/required",
+                col.isNotNull(), F.lit("<absent>"), name,
+            )
+        )
+
+    null_pass = col.isNull()  # value keywords pass when absent
+
+    if "type" in sub:
+        types = sub["type"] if isinstance(sub["type"], list) else [sub["type"]]
+        compatible = any(_type_compatible(t, dt) for t in types)
+        if not compatible:
+            # compile-time type mismatch: every present value violates
+            add("type", null_pass)
+        elif isinstance(dt, T.DoubleType) and types == ["integer"]:
+            # draft-4: 1.0 is an integer; fractional doubles are not
+            add("type", null_pass | (col == F.floor(col)))
+        # otherwise: satisfied at schema level — zero runtime cost
+
+    if "enum" in sub:
+        scalars = [
+            m for m in sub["enum"]
+            if isinstance(m, (str, int, float)) and not isinstance(m, bool)
+        ]
+        add("enum", null_pass | col.isin(scalars))
+
+    if "pattern" in sub:
+        # ECMA-262 search ≈ Java regex search for the common subset; the
+        # Arrow path handles incompatible dialects (SURVEY §7.3).
+        add("pattern", null_pass | col.rlike(sub["pattern"]))
+
+    if "minLength" in sub:
+        add("minLength", null_pass | (F.length(col) >= sub["minLength"]))
+    if "maxLength" in sub:
+        add("maxLength", null_pass | (F.length(col) <= sub["maxLength"]))
+
+    if "minimum" in sub:
+        pred = (col > sub["minimum"]) if sub.get("exclusiveMinimum") else (col >= sub["minimum"])
+        add("exclusiveMinimum" if sub.get("exclusiveMinimum") else "minimum",
+            null_pass | pred, leaf="minimum")
+    if "maximum" in sub:
+        pred = (col < sub["maximum"]) if sub.get("exclusiveMaximum") else (col <= sub["maximum"])
+        add("exclusiveMaximum" if sub.get("exclusiveMaximum") else "maximum",
+            null_pass | pred, leaf="maximum")
+
+    if "multipleOf" in sub:
+        n = sub["multipleOf"]
+        if isinstance(n, int) and isinstance(dt, _INTEGRAL):
+            pred = F.pmod(col, F.lit(n)) == 0
+        else:
+            # exact decimal modulus defeats binary-float noise
+            scale = max(len(str(n).split(".")[-1]) if "." in str(n) else 0, 6)
+            dec = T.DecimalType(38, scale + 6)
+            pred = F.pmod(col.cast(dec), F.lit(n).cast(dec)) == 0
+        add("multipleOf", null_pass | pred)
+
+    if "format" in sub and isinstance(dt, T.StringType):
+        fmt = sub["format"]
+        if fmt == "date-time":
+            add("format", null_pass | F.try_to_timestamp(col).isNotNull())
+        elif fmt in _FORMAT_REGEX:
+            add("format", null_pass | col.rlike(_FORMAT_REGEX[fmt]))
+
+    if isinstance(dt, T.ArrayType):
+        if "minItems" in sub:
+            add("minItems", null_pass | (F.size(col) >= sub["minItems"]))
+        if "maxItems" in sub:
+            add("maxItems", null_pass | (F.size(col) <= sub["maxItems"]))
+        if sub.get("uniqueItems") is True:
+            add("uniqueItems", null_pass | (F.size(F.array_distinct(col)) == F.size(col)))
+        items = sub.get("items")
+        if isinstance(items, dict) and "type" in items:
+            el_ok = _element_type_pred(items["type"], dt.elementType)
+            if el_ok is not None:
+                add("items", null_pass | F.forall(col, el_ok), leaf="items/type")
+
+    return out
+
+
+def _element_type_pred(json_type: str, el_dt: T.DataType):
+    if _type_compatible(json_type, el_dt):
+        return lambda x: x.isNotNull()
+    return lambda x: F.lit(False)
+
+
+# Java-regex format table (draft-4 validation §7 built-ins minus date-time,
+# which uses try_to_timestamp natively).
+_FORMAT_REGEX = {
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "hostname": r"^[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
+    "ipv4": r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$",
+    "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:",
+}
+
+
+def compile_plan(
+    schema: dict,
+    table_schema: T.StructType,
+    registry: SchemaRegistry | None = None,
+) -> CompiledPlan:
+    """Compile a root object schema against a typed table's StructType.
+
+    Each top-level property maps to a column. Native-expressible
+    subschemas become Column checks; the rest (nested objects, $refs,
+    combinators) become Arrow batch validators over that column
+    (JSON-string payload).
+    """
+    registry, root_uri = parse_schema(schema, registry)
+    if schema.get("type") not in (None, "object"):
+        raise ValueError("table-level compile expects a root object schema")
+
+    plan = CompiledPlan(root_uri=root_uri)
+    fields = {f.name: f.dataType for f in table_schema.fields}
+    required = set(schema.get("required", []))
+    props: dict[str, Any] = schema.get("properties", {}) or {}
+    base_spath = f"{root_uri}#/properties"
+
+    for name in sorted(required - set(props)):
+        props = {**props, name: {}}
+
+    for name, sub in props.items():
+        spath = f"{base_spath}/{name}"
+        if name not in fields:
+            if name in required:
+                # column missing entirely: constant violation
+                plan.checks.append(
+                    ColumnCheck("required", f"$.{name}", f"{spath}/required",
+                                F.lit(False), F.lit("<missing column>"), name)
+                )
+            continue
+        dt = fields[name]
+        plan.columns_needed.add(name)
+        resolved = sub
+        if isinstance(sub, dict) and "$ref" in sub:
+            resolved_node, _, canon = registry.resolve(sub["$ref"], root_uri)
+            if _is_native_expressible(resolved_node):
+                resolved, spath = resolved_node, canon.replace("#", "#", 1)
+        if isinstance(dt, T.StringType) and not _is_native_expressible(resolved):
+            # dynamic JSON column → vectorized Arrow path (handles cyclic
+            # $refs via compiled-closure recursion, deep equality, ECMA regex)
+            sub_validator = compile_python_validator(
+                sub, registry=registry, base_uri=root_uri
+            )
+            plan.arrow_specs.append(ArrowColumnSpec(name, sub_validator, f"$.{name}"))
+            if name in required:
+                plan.checks.append(
+                    ColumnCheck("required", f"$.{name}", f"{spath}/required",
+                                F.col(name).isNotNull(), F.lit("<absent>"), name)
+                )
+            continue
+        plan.checks.extend(
+            _compile_scalar_checks(name, resolved if isinstance(resolved, dict) else {},
+                                   dt, spath, name in required)
+        )
+
+    return plan

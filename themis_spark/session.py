@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for the 100 TB design point (SURVEY.md §4): AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow batches
+sized for wide html rows, dynamic partition overwrite for idempotent
+per-partition checkpoint commits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # wide rows (html binary): keep Arrow batches modest so the Python
+    # validators hold one batch + agg state, never the partition
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+    # idempotent per-partition overwrite = resume semantics without Iceberg
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "themis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    # rule of thumb: shuffle partitions ≈ 2× cores locally; on a real
+    # cluster this scales with executor count (set explicitly per job)
+    n = shuffle_partitions or max(2 * _parse_cores(master), 32)
+    conf["spark.sql.shuffle.partitions"] = str(n)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _parse_cores(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[6:-1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 8
