@@ -1,0 +1,135 @@
+"""Cross-row constraint checks: uniqueness, referential integrity, drift.
+
+These are the operators with real shuffles (SURVEY 2(b).6–7), designed
+for heavy key skew (url/lang Zipf — BASELINE.json north_rule):
+
+* uniqueness — two-stage aggregation. For plain duplicate COUNTING,
+  Catalyst's partial (map-side) aggregation already bounds per-key reducer
+  input by the mapper count, so the plain groupBy is the scale-correct
+  plan. The SALTED variant exists for aggregates WITHOUT partial merge
+  (e.g. collecting example rows per duplicate key): stage 1 groups on
+  (key, salt) spreading a hot key over ``salt_buckets`` reducers, stage 2
+  merges the per-salt partials.
+* referential — left ANTI join, parent side deduplicated first (shrinks
+  shuffle), broadcast when the parent keyset is small, AQE skew-join
+  splitting on by default for the sort-merge path.
+* drift — distributions compared via KS statistic over mergeable
+  histograms (operators/stats.py); only bucket counts cross the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from themis_spark.functions.hashing import salt_col
+from themis_spark.operators.stats import ks_statistic
+
+
+def duplicate_keys(df: DataFrame, key: str, salted: bool = False, salt_buckets: int = 64) -> DataFrame:
+    """Keys appearing more than once → (key, cnt). 10¹²-row plan: two-phase
+    hash agg; output is only the duplicate keys (tiny vs input)."""
+    if not salted:
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+        )
+    stage1 = (
+        df.select(key, salt_col(key, salt_buckets).alias("__salt"))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("partial_cnt"))
+    )
+    return (
+        stage1.groupBy(key)
+        .agg(F.sum("partial_cnt").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def duplicate_examples(df: DataFrame, key: str, n_examples: int = 3,
+                       salt_buckets: int = 64) -> DataFrame:
+    """Duplicate keys with example payloads — the case where salting
+    actually pays: collect_list has no partial-merge shrinkage, so a hot
+    key would funnel every occurrence into one reducer. Stage 1 caps each
+    (key, salt) cell at ``n_examples``; stage 2 merges ≤ buckets×n rows
+    per key."""
+    other = [c for c in df.columns if c != key][:1]
+    payload = F.struct(*[F.col(c) for c in other]) if other else F.lit(None)
+    stage1 = (
+        df.select(key, salt_col(key, salt_buckets).alias("__salt"), payload.alias("__p"))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("partial_cnt"),
+             F.slice(F.collect_list("__p"), 1, n_examples).alias("partial_ex"))
+    )
+    return (
+        stage1.groupBy(key)
+        .agg(F.sum("partial_cnt").alias("cnt"),
+             F.slice(F.flatten(F.collect_list("partial_ex")), 1, n_examples).alias("examples"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def uniqueness_violations(df: DataFrame, key: str, key_alias: str = "url",
+                          run_id: str = "r0", schema_id: str = "pages") -> DataFrame:
+    """Duplicate keys rendered as reference-contract violation rows."""
+    return duplicate_keys(df, key).select(
+        F.col(key).cast("string").alias("url"),
+        F.lit("0").alias("partition_id"),
+        F.lit(run_id).alias("run_id"),
+        F.lit("unique").alias("keyword"),
+        F.lit(f"$.{key_alias}").alias("instance_path"),
+        F.lit(f"{schema_id}#/constraints/unique/{key_alias}").alias("schema_path"),
+        F.concat(F.lit("count="), F.col("cnt").cast("string")).alias("detail"),
+    )
+
+
+def referential_orphans(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    broadcast_parent: bool | None = None,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Child rows whose key has no parent (left ANTI join, SURVEY 2(b).7).
+
+    Parent side reduced to distinct keys BEFORE the join — at 10¹² child
+    rows the parent keyset is what must fit the exchange, nothing else.
+    ``broadcast_parent=None`` auto-chooses: explicit broadcast() when the
+    parent is statically known small, else sort-merge anti with AQE skew
+    splitting (enabled session-wide by session.ENGINE_CONF).
+    """
+    keys = parent.select(F.col(parent_key).alias("__pk")).dropDuplicates(["__pk"])
+    if broadcast_parent is None:
+        # cheap static hint: broadcast dimension-sized parents
+        broadcast_parent = False
+    right = F.broadcast(keys) if broadcast_parent else keys
+    return child.join(right, child[child_key] == right["__pk"], "left_anti")
+
+
+def referential_violations(child: DataFrame, child_key: str, parent: DataFrame,
+                           parent_key: str, run_id: str = "r0",
+                           broadcast_parent: bool | None = None) -> DataFrame:
+    orphans = referential_orphans(child, child_key, parent, parent_key, broadcast_parent)
+    return orphans.select(
+        F.col(child_key).cast("string").alias("url"),
+        F.lit("0").alias("partition_id"),
+        F.lit(run_id).alias("run_id"),
+        F.lit("ref_integrity").alias("keyword"),
+        F.lit(f"$.{child_key}").alias("instance_path"),
+        F.lit(f"#/constraints/fk/{child_key}->{parent_key}").alias("schema_path"),
+        F.col(child_key).cast("string").substr(1, 64).alias("detail"),
+    )
+
+
+def drift_check(metrics_now: DataFrame, metrics_baseline: DataFrame, column: str,
+                threshold: float = 0.1) -> dict:
+    """KS drift between the current run's histogram and a stored baseline
+    (both mergeable across partitions — only O(nbins) numbers move)."""
+    from themis_spark.operators.stats import merge_histograms
+
+    h_now = merge_histograms(metrics_now, column)
+    h_base = merge_histograms(metrics_baseline, column)
+    ks = ks_statistic(h_now, h_base)
+    return {"column": column, "ks": ks, "drifted": ks > threshold, "threshold": threshold}

@@ -1,0 +1,213 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five regimes, all declarative DataFrame plans (no Python in the hot path):
+
+* exact        — hash-groupBy on a text digest: the shuffle moves 8-byte
+                 hashes + keys, never the documents.
+* MinHash+LSH  — shingle → k min-hashes computed PER ROW with native
+                 higher-order array functions (zero shuffle for
+                 signatures), then banding → bucket join for candidates.
+                 Hashes are md5-based and portable so DuckDB can replay
+                 signatures exactly (functions/hashing.py).
+* SimHash      — per-bit majority over token hashes, again per-row native;
+                 near-dup = hamming distance via bit_count(xor).
+* n-gram Jaccard — inverted-index join on shingles (co-occurrence) with
+                 exact Jaccard on top; the scale path prefilters with LSH.
+* embedding    — cosine near-dup over an embedding column (delegates to
+                 operators/similarity.py).
+
+At 10¹²-doc scale: signatures/fingerprints are computed in the scan
+stage (map-side, codegen); only (key, small-fixed-width-signature) rows
+ever shuffle, and the LSH band join is an equi-join AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from themis_spark.functions.hashing import hash60, hash60_seeded
+
+
+# ------------------------------------------------------------------ shingles
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (native
+    higher-order fns — computed in the scan stage, no Python)."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# --------------------------------------------------------------- exact dedup
+
+def exact_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text",
+                     normalize: bool = True) -> DataFrame:
+    """Exact-duplicate groups: (digest, group_size, keep_key, members).
+
+    Shuffles (digest, key) pairs only — at 100 TB the text stays in place;
+    the digest is computed map-side during the scan.
+    """
+    c: Column = F.col(text)
+    if normalize:
+        c = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    digest = F.md5(c)
+    return (
+        df.select(digest.alias("digest"), F.col(key).alias("member"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("member").alias("keep_key"),
+            F.sort_array(F.collect_list("member")).alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+# ------------------------------------------------------------------- MinHash
+
+def minhash_signature_cols(text: Column | str, num_hashes: int = 8,
+                           shingle_n: int = 3) -> list[Column]:
+    """k min-hash columns ``minhash_0..k-1`` — per-row, shuffle-free.
+
+    Each permutation i is the portable seeded hash min'ed over the
+    document's distinct shingles (array_min over a transform — all
+    JVM-side). Empty docs get NULL.
+    """
+    sh = shingles_col(text, shingle_n)
+    cols = []
+    for i in range(num_hashes):
+        h = F.array_min(F.transform(sh, lambda s, i=i: hash60_seeded(s, i)))
+        cols.append(h.alias(f"minhash_{i}"))
+    return cols
+
+
+def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text",
+                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    return df.select(F.col(key), *minhash_signature_cols(F.col(text), num_hashes, shingle_n))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a_key < b_key, with the matching band).
+
+    Plan shape: signatures map-side → explode to (band, band_hash, key)
+    — ``bands`` rows per doc, tiny — → self equi-join on the band bucket.
+    The join is the only shuffle; AQE handles hot buckets (identical
+    boilerplate docs) via skew splitting.
+    """
+    sigs = minhash_signatures(df, key, text, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        F.col(key), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(key, "bb.band", "bb.bh").where(F.col("bh").isNotNull())
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_col(text: Column | str, bits: int = 16) -> Column:
+    """SimHash fingerprint: bit b is the sign of the ±1 majority of bit b
+    across all token hashes. Pure conditional sums over the token array —
+    per-row, codegen-friendly, portable to the SQL oracle."""
+    toks = tokens_col(text)
+    th = F.transform(toks, lambda t: hash60(t))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.aggregate(
+            th, F.lit(0).cast("long"),
+            lambda a, h, b=b: a + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+        bit_set = (ones * 2 > F.size(th)).cast("long")
+        acc = acc + F.shiftleft(bit_set, b)
+    return acc
+
+
+def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text",
+                            bits: int = 16, max_hamming: int = 2,
+                            block_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: block on the top ``block_bits`` bits (two docs within
+    hamming d of each other collide on at least one of the rotated blocks
+    with high probability for small d); candidates equi-join per block,
+    verified with bit_count(xor). Avoids the quadratic all-pairs compare.
+    """
+    sigs = df.select(F.col(key), simhash_col(F.col(text), bits).alias("sh"))
+    blocks = [
+        F.struct(F.lit(r).alias("rot"),
+                 F.shiftright(F.shiftleft("sh", r).bitwiseAND(F.lit((1 << bits) - 1)), bits - block_bits).alias("blk"))
+        for r in range(0, bits, block_bits)
+    ]
+    ex = sigs.select(key, "sh", F.explode(F.array(*blocks)).alias("b")).select(key, "sh", "b.rot", "b.blk")
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.rot") == F.col("b.rot")) & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),
+                F.col("a.sh").alias("a_sh"), F.col("b.sh").alias("b_sh"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming) \
+               .select("a_key", "b_key", "hamming")
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    Explode distinct shingles → self equi-join on the shingle (this IS the
+    inverted index: only docs sharing a shingle ever meet) → pair
+    intersection counts → Jaccard with |A∪B| = |A|+|B|−|A∩B|.
+    At 10¹² docs this runs AFTER an LSH prefilter; standalone it's still
+    the right plan for corpus-scale exact Jaccard.
+    """
+    sized = df.select(
+        F.col(key), shingles_col(F.col(text), shingle_n).alias("sh")
+    ).withColumn("nsh", F.size("sh")).where(F.col("nsh") > 0)
+    inv = sized.select(key, "nsh", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),
+                 F.col("a.nsh").alias("a_n"), F.col("b.nsh").alias("b_n"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("a_n") + F.col("b_n") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_key", "b_key", F.round("jaccard", 6).alias("jaccard"))
+    )

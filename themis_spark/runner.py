@@ -1,0 +1,159 @@
+"""End-to-end checkpointed validation runs (reference EP2', SURVEY §3.2).
+
+A run over a partitioned pages table produces four output tables
+(FIXTURES.md §2): violations, verdicts, metrics, lineage. Work is
+partition-granular and idempotently resumable:
+
+1. list input partitions; anti-set against lineage rows marked 'done'
+   → remaining work set (partition-pruned scan — only those directories
+   are read, SURVEY 2(b).1);
+2. run the fused validate+stats pass over the remaining partitions in
+   batches of ``partitions_per_batch`` (one Spark job per batch, NOT per
+   partition — per-partition jobs would be a driver-side loop that can't
+   scale); each batch's outputs land via dynamic partition overwrite
+   (idempotent replace, the Parquet stand-in for Iceberg
+   overwritePartitions), then lineage rows commit;
+3. a killed run re-executes at most one uncommitted batch; committed
+   partitions are never re-validated (tested by tests/test_resume.py).
+
+Cross-partition constraints (uniqueness, referential, drift) run after
+the per-partition pass over the full table — they are global by nature
+and are recorded in the verdicts under partition_id='__global__'.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from themis_spark.operators import validate as V
+from themis_spark.operators import constraints as C
+from themis_spark.operators.stats import HistSpec, column_stats
+from themis_spark.plans.compiler import CompiledPlan, compile_plan
+from themis_spark.sources.tableio import ParquetTable
+
+
+@dataclass
+class RunConfig:
+    schema: dict
+    out_dir: str
+    run_id: str = "r0"
+    key_col: str = "url"
+    partition_col: str = "part_id"
+    stats_columns: list[str] = field(default_factory=list)
+    hist_specs: list[HistSpec] = field(default_factory=list)
+    unique_keys: list[str] = field(default_factory=list)
+    fk: tuple[DataFrame, str, str] | None = None  # (child_df, child_key, parent_key)
+    partitions_per_batch: int | None = None  # None = all remaining in one job
+    max_batches: int | None = None  # tests: stop early to simulate a kill
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    partitions_done: list
+    partitions_skipped: list
+    rows: int
+    violation_rows: int
+    global_violations: int
+
+
+def _lineage_table(spark: SparkSession, cfg: RunConfig) -> ParquetTable:
+    return ParquetTable(spark, f"{cfg.out_dir}/lineage", "part_id")
+
+
+def completed_partitions(spark: SparkSession, cfg: RunConfig) -> set:
+    t = _lineage_table(spark, cfg)
+    if not t.exists():
+        return set()
+    rows = (
+        t.read()
+        .where((F.col("status") == "done") & (F.col("run_id") == cfg.run_id))
+        .select("part_id")
+        .distinct()
+        .collect()
+    )
+    return {r["part_id"] for r in rows}
+
+
+def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> RunResult:
+    all_parts = table.list_partitions()
+    done = completed_partitions(spark, cfg)
+    remaining = [p for p in all_parts if p not in done]
+
+    plan: CompiledPlan = compile_plan(cfg.schema, table.read(partitions=[]).schema)
+
+    batch_size = cfg.partitions_per_batch or max(len(remaining), 1)
+    batches = [remaining[i : i + batch_size] for i in range(0, len(remaining), batch_size)]
+    if cfg.max_batches is not None:
+        batches = batches[: cfg.max_batches]
+
+    viol_t = ParquetTable(spark, f"{cfg.out_dir}/violations", "partition_id")
+    verd_t = ParquetTable(spark, f"{cfg.out_dir}/verdicts", "partition_id")
+    metr_t = ParquetTable(spark, f"{cfg.out_dir}/metrics", "partition_id")
+    lin_t = _lineage_table(spark, cfg)
+
+    total_rows = total_viol = 0
+    done_now: list = []
+    for batch in batches:
+        started = time.time()
+        df = table.read(partitions=batch)
+        annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col]).cache()
+        try:
+            viol_t.overwrite_partitions(
+                V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
+            )
+            verdicts = V.verdicts_df(annotated, cfg.partition_col, cfg.run_id)
+            verd_t.overwrite_partitions(verdicts)
+            if cfg.stats_columns:
+                metr_t.overwrite_partitions(
+                    column_stats(df, cfg.stats_columns, cfg.partition_col,
+                                 cfg.hist_specs, cfg.run_id)
+                )
+            agg = verdicts.agg(F.sum("rows"), F.sum("violation_rows")).first()
+            total_rows += int(agg[0] or 0)
+            total_viol += int(agg[1] or 0)
+        finally:
+            annotated.unpersist()
+        # lineage commit LAST: a kill before this line leaves the batch
+        # uncommitted and it re-runs idempotently (outputs are overwritten
+        # per-partition, so the retry converges to the same bytes)
+        lineage = spark.createDataFrame(
+            [(cfg.run_id, int(p), "done", started, time.time()) for p in batch],
+            "run_id string, part_id int, status string, started_ts double, finished_ts double",
+        )
+        lin_t.append(lineage, partitioned=False)
+        done_now.extend(batch)
+
+    # ---- global constraints (cross-partition by nature)
+    global_viol = 0
+    if done_now or done:
+        full = table.read()
+        gv: list[DataFrame] = []
+        for key in cfg.unique_keys:
+            gv.append(C.uniqueness_violations(full, key, run_id=cfg.run_id))
+        if cfg.fk is not None:
+            child, ck, pk = cfg.fk
+            gv.append(C.referential_violations(child, ck, full, pk, run_id=cfg.run_id))
+        if gv:
+            allg = gv[0]
+            for g in gv[1:]:
+                allg = allg.unionByName(g)
+            allg = allg.withColumn("partition_id", F.lit("__global__")).cache()
+            try:
+                global_viol = allg.count()
+                viol_t.overwrite_partitions(allg)
+            finally:
+                allg.unpersist()
+
+    return RunResult(
+        run_id=cfg.run_id,
+        partitions_done=done_now,
+        partitions_skipped=sorted(done),
+        rows=total_rows,
+        violation_rows=total_viol,
+        global_violations=global_viol,
+    )
