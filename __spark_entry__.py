@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: compile the documents schema, run the fused
+validation pass on sf0.001, return the violation rows.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (draft-4 keyword checks, stats, constraints, dedup,
+similarity, text analysis, multimodal plumbing). Every SQL-expressible
+operator has a DuckDB oracle; hashes/fingerprints use the portable
+md5-based 60-bit hash (themis_spark.functions.hashing) so DuckDB can
+replay MinHash/SimHash signatures EXACTLY.
+
+Non-SQL-expressible ops (HLL sketch bytes, KS drift, LSH bucket joins,
+checkpoint/resume) are covered by tests/ and get rows-only checks here.
 """
 
 from __future__ import annotations
@@ -12,27 +19,515 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from themis_spark.functions.hashing import hash60, hash60_seeded
+from themis_spark.operators import constraints as C
+from themis_spark.operators import dedup as D
+from themis_spark.operators import multimodal as M
+from themis_spark.operators import similarity as S
+from themis_spark.operators import text as X
+from themis_spark.operators import validate as V
+from themis_spark.plans.compiler import compile_plan
+
+# Flagship schema over the driver's `documents` table — exercises the
+# pinned keyword set (type, enum, pattern, required + bounds).
+DOCS_SCHEMA = {
+    "id": "documents",
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 50, "maxLength": 20000},
+        "lang": {"enum": ["en", "zh", "es", "de", "fr"]},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+        "n_chars": {"type": "integer", "minimum": 1},
+    },
+}
+
+LANGS5 = ["en", "zh", "es", "de", "fr"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused validation pass over sf0.001 documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    plan = compile_plan(DOCS_SCHEMA, docs.schema)
+    ann = V.annotate(docs, plan, keep=["doc_id"])
+    return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_validate_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    plan = compile_plan(DOCS_SCHEMA, docs.schema)
+    ann = V.annotate(docs, plan, keep=["doc_id"])
+    return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
+
+
+def q_kw_pattern(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_like("text", F.lit("join")).cast("int").alias("ok")
+    )
+
+
+def q_kw_enum(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.col("event_type").isin("error", "signup", "purchase").cast("int").alias("ok"),
+    )
+
+
+def q_kw_required(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("text_nulls"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("lang_nulls"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).alias("source_nulls"),
+    )
+
+
+def q_kw_range(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        ((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)).cast("int").alias("ok"),
+    )
+
+
+def q_kw_length(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", (F.length("text") >= 100).cast("int").alias("ok")
+    )
+
+
+def q_kw_multipleof(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.pmod("l_partkey", F.lit(5)) == 0).cast("int").alias("ok"),
+    )
+
+
+def q_kw_uniqueitems(spark, sf):
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) == F.size(toks)).cast("int").alias("all_unique"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def q_kw_json(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+def q_stat_basic(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_p"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_p"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_p"),
+    )
+
+
+def q_stat_hist(spark, sf):
+    lo, hi, n = 0.0, 600000.0, 20
+    v = F.col("o_totalprice")
+    w = (hi - lo) / n
+    bucket = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n + 1))
+        .otherwise((F.floor((v - lo) / F.lit(w)) + 1).cast("int"))
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_stat_distinct(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_con_unique(spark, sf):
+    return C.duplicate_keys(_t(spark, sf, "events"), "user_id").select(
+        "user_id", F.col("cnt").alias("cnt")
+    )
+
+
+def q_con_unique_salted(spark, sf):
+    return C.duplicate_keys(_t(spark, sf, "events"), "user_id", salted=True).select(
+        "user_id", F.col("cnt").alias("cnt")
+    )
+
+
+def q_con_ref(spark, sf):
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    parents = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return C.referential_orphans(orders, "o_custkey", parents, "c_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_con_dup_window(spark, sf):
+    w = Window.partitionBy("user_id")
+    return _t(spark, sf, "events").select(
+        "event_id", F.count(F.lit(1)).over(w).alias("user_events")
+    )
+
+
+def q_dedup_exact(spark, sf):
+    # the documents corpus has no full-text dups at small sf; dedup on a
+    # 5-token prefix digest exercises the same plan with non-empty groups
+    d = _t(spark, sf, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 5))
+    return (
+        d.select(F.md5(prefix).alias("digest"), F.col("doc_id").alias("member"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("member").alias("keep_key"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+def q_dedup_minhash(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return D.minhash_signatures(d, num_hashes=4, shingle_n=3)
+
+
+def q_dedup_simhash(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return d.select("doc_id", D.simhash_col(F.col("text"), 16).alias("simhash"))
+
+
+def q_dedup_jaccard(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    return D.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.05)
+
+
+def q_text_tokens(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        X.token_count_col("text").alias("n_tokens"),
+        X.bpe_ish_token_count_col("text").alias("n_bpe_ish"),
+    )
+
+
+def q_text_langid(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", X.language_id_col("text").alias("lang_guess")
+    )
+
+
+def q_text_quality(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", X.quality_score_col("text").alias("quality")
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", X.fingerprint_col("text").alias("fp")
+    )
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    q = F.broadcast(queries.select(F.col("vec_id").alias("query_key"), F.col("embedding").alias("q_vec")))
+    c = emb.select(F.col("vec_id").alias("neighbor_key"), F.col("embedding").alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_key") != F.col("query_key"))
+        .select("query_key", "neighbor_key",
+                F.round(S.cosine_col(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_key").orderBy(F.col("cosine").desc(), F.col("neighbor_key").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+def q_mm_meta(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return M.extract_media_meta(media, deterministic_fake=True).select(
+        "doc_id", "n_bytes", F.col("sha256").alias("sha")
+    )
+
+
+# ---- rows-only entries (no SQL oracle; exact semantics covered in tests/)
+
+def q_dedup_lsh_candidates(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return D.lsh_candidate_pairs(d, num_hashes=12, bands=6)
+
+
+def q_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return S.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
+
+
+def q_stat_hll(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": q_validate_documents,
+        "kw_pattern": q_kw_pattern,
+        "kw_enum": q_kw_enum,
+        "kw_required": q_kw_required,
+        "kw_range": q_kw_range,
+        "kw_length": q_kw_length,
+        "kw_multipleof": q_kw_multipleof,
+        "kw_uniqueitems": q_kw_uniqueitems,
+        "kw_json": q_kw_json,
+        "stat_basic": q_stat_basic,
+        "stat_hist": q_stat_hist,
+        "stat_distinct": q_stat_distinct,
+        "con_unique": q_con_unique,
+        "con_unique_salted": q_con_unique_salted,
+        "con_ref": q_con_ref,
+        "con_dup_window": q_con_dup_window,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "mm_meta": q_mm_meta,
+        # rows-only (non-SQL-expressible)
+        "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "ann_lsh": q_ann_lsh,
+        "stat_hll": q_stat_hll,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_H = "('0x'||substr(md5({x}),1,15))::BIGINT"  # portable hash60
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len({t})-2,0)+1),"
+    " i -> {t}[i]||' '||{t}[i+1]||' '||{t}[i+2]))"
+).format(t="toks")
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    mins = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _H.format(x=f"'{i}:'||s")
+        + f")) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100),
+    s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t)
+    SELECT doc_id, {mins} FROM s
     """
-    return {}
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = _H.format(x="t")
+    parts = []
+    for b in range(bits):
+        parts.append(
+            f"(CASE WHEN 2*list_sum(list_transform(th, h -> (h >> {b}) & 1)) > len(th)"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    total = " + ".join(parts)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100),
+    s AS (SELECT doc_id, list_transform(toks, t -> {h}) AS th FROM t)
+    SELECT doc_id, ({total})::BIGINT AS simhash FROM s
+    """
+
+
+def _validate_documents_sql() -> str:
+    base = "CAST(doc_id AS BIGINT) AS url, '0' AS partition_id, 'r0' AS run_id"
+    rows = [
+        f"""SELECT {base}, 'required' AS keyword, '$.text' AS instance_path,
+            'documents#/properties/text/required' AS schema_path
+            FROM documents WHERE text IS NULL""",
+        f"""SELECT {base}, 'required', '$.lang',
+            'documents#/properties/lang/required'
+            FROM documents WHERE lang IS NULL""",
+        f"""SELECT {base}, 'required', '$.doc_id',
+            'documents#/properties/doc_id/required'
+            FROM documents WHERE doc_id IS NULL""",
+        f"""SELECT {base}, 'minimum', '$.doc_id',
+            'documents#/properties/doc_id/minimum'
+            FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0""",
+        f"""SELECT {base}, 'minLength', '$.text',
+            'documents#/properties/text/minLength'
+            FROM documents WHERE text IS NOT NULL AND length(text) < 50""",
+        f"""SELECT {base}, 'maxLength', '$.text',
+            'documents#/properties/text/maxLength'
+            FROM documents WHERE text IS NOT NULL AND length(text) > 20000""",
+        f"""SELECT {base}, 'enum', '$.lang',
+            'documents#/properties/lang/enum'
+            FROM documents WHERE lang IS NOT NULL
+            AND lang NOT IN ('en','zh','es','de','fr')""",
+        f"""SELECT {base}, 'pattern', '$.source',
+            'documents#/properties/source/pattern'
+            FROM documents WHERE source IS NOT NULL
+            AND NOT regexp_matches(source, '^src[0-9]+$')""",
+        f"""SELECT {base}, 'minimum', '$.n_chars',
+            'documents#/properties/n_chars/minimum'
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars < 1""",
+    ]
+    return " UNION ALL ".join(rows)
+
+
+_STOP = {k: v for k, v in X.LANG_STOPWORDS.items()}
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_intersect(list_distinct(toks), {words!r}))".replace("'", "'")
+        for lang, words in _STOP.items()
+    }
+    scores_sql = ", ".join(
+        f"len(list_intersect(list_distinct(toks), [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+        for lang, words in _STOP.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _STOP) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = m AND m > 0 THEN '{lang}'" for lang in _STOP
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {scores_sql} FROM t),
+    m AS (SELECT doc_id, *, {best} AS m FROM s)
+    SELECT doc_id, {case} AS lang_guess FROM m
+    """
+
+
+def _quality_sql() -> str:
+    en = ", ".join(repr(w) for w in _STOP["en"])
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+        length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks,
+        len(list_intersect(list_distinct({_TOKS}), [{en}])) AS stop
+      FROM documents
+    )
+    SELECT doc_id, round(
+      (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1 ELSE 0 END) * 0.25
+      + (CASE WHEN n_chars / greatest(n_toks, 1) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END) * 0.25
+      + least(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars, 1), 1.0) * 0.25
+      + least(stop::DOUBLE / 5.0, 1.0) * 0.25, 6) AS quality
+    FROM t
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
+    return {
+        "validate_documents": _validate_documents_sql(),
+        "kw_pattern": "SELECT doc_id, CASE WHEN regexp_matches(text, 'join') THEN 1 ELSE 0 END AS ok FROM documents",
+        "kw_enum": "SELECT event_id, CASE WHEN event_type IN ('error','signup','purchase') THEN 1 ELSE 0 END AS ok FROM events",
+        "kw_required": """SELECT count(*) - count(text) AS text_nulls,
+                          count(*) - count(lang) AS lang_nulls,
+                          count(*) - count(source) AS source_nulls FROM documents""",
+        "kw_range": """SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END AS ok
+                       FROM lineitem""",
+        "kw_length": "SELECT doc_id, CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS ok FROM documents",
+        "kw_multipleof": """SELECT l_orderkey, l_linenumber,
+                            CASE WHEN l_partkey % 5 = 0 THEN 1 ELSE 0 END AS ok FROM lineitem""",
+        "kw_uniqueitems": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(list_distinct(toks)) = len(toks) THEN 1 ELSE 0 END AS all_unique,
+              len(list_distinct(toks)) AS n_distinct_tokens
+            FROM t""",
+        "kw_json": "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+        "stat_basic": """SELECT count(*) AS cnt, round(min(l_extendedprice), 4) AS min_p,
+                         round(max(l_extendedprice), 4) AS max_p,
+                         round(sum(l_extendedprice), 2) AS sum_p FROM lineitem""",
+        "stat_hist": f"""
+            WITH b AS (SELECT CASE WHEN o_totalprice < {lo} THEN 0
+                              WHEN o_totalprice >= {hi} THEN {n + 1}
+                              ELSE (floor((o_totalprice - {lo}) / {w}) + 1)::INT END AS bucket
+                       FROM orders)
+            SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket""",
+        "stat_distinct": """SELECT count(DISTINCT l_partkey) AS n_parts,
+                            count(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
+        "con_unique": """SELECT user_id, count(*) AS cnt FROM events
+                         GROUP BY user_id HAVING count(*) > 1""",
+        "con_unique_salted": """SELECT user_id, count(*) AS cnt FROM events
+                                GROUP BY user_id HAVING count(*) > 1""",
+        "con_ref": """SELECT o_orderkey, o_custkey FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_mktsegment = 'BUILDING'
+                                        AND c.c_custkey = o.o_custkey)""",
+        "con_dup_window": """SELECT event_id, count(*) OVER (PARTITION BY user_id) AS user_events
+                             FROM events""",
+        "dedup_exact": f"""
+            WITH t AS (SELECT doc_id,
+                md5(array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:5], ' ')) AS digest
+              FROM documents)
+            SELECT digest, count(*) AS group_size, min(doc_id) AS keep_key
+            FROM t GROUP BY digest HAVING count(*) > 1""",
+        "dedup_minhash": _minhash_sql(4),
+        "dedup_simhash": _simhash_sql(16),
+        "dedup_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 60),
+            s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+            sized AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sized),
+            inter AS (
+              SELECT a.doc_id AS a_key, b.doc_id AS b_key, a.nsh AS a_n, b.nsh AS b_n,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT a_key, b_key,
+                   round(inter::DOUBLE / (a_n + b_n - inter), 6) AS jaccard
+            FROM inter WHERE inter::DOUBLE / (a_n + b_n - inter) >= 0.05""",
+        "text_tokens": f"""
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
+            FROM documents""",
+        "text_langid": _langid_sql(),
+        "text_quality": _quality_sql(),
+        "text_fingerprint": """SELECT doc_id,
+            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_key, embedding::DOUBLE[] AS q_vec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_key, c.vec_id AS neighbor_key,
+                     round(list_cosine_similarity(q.q_vec, c.embedding::DOUBLE[]), 4) AS cosine
+              FROM embeddings c, q WHERE c.vec_id <> q.query_key),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_key
+                        ORDER BY cosine DESC, neighbor_key ASC) AS rank
+              FROM scored)
+            SELECT query_key, neighbor_key, cosine, rank FROM ranked WHERE rank <= 10""",
+        "mm_meta": """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                      sha256(text) AS sha FROM documents WHERE doc_id < 200""",
+    }

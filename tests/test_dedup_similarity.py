@@ -1,0 +1,127 @@
+"""Dedup + similarity operators on seeded data with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_spark.operators import dedup as D
+from themis_spark.operators import similarity as S
+
+DOCS = [
+    # (doc_id, text) — 1/2 exact dups; 3/4 near-dups (1 word changed);
+    # 5 shares nothing; 6/7 near via shared boilerplate tail
+    (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (2, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (3, "spark engines shuffle data between executors during wide transformations every day"),
+    (4, "spark engines shuffle data between executors during wide transformations every night"),
+    (5, "completely different text about cooking pasta with garlic and olive oil"),
+    (6, "unique preamble words here followed by common suffix tokens shared across documents"),
+    (7, "another distinct opening phrase followed by common suffix tokens shared across documents"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["members"] == [1, 2] and groups[0]["keep_key"] == 1
+    # normalization catches case/whitespace variants
+    noisy = spark.createDataFrame(
+        [(10, "Hello  World"), (11, "hello world"), (12, "other")], "doc_id long, text string"
+    )
+    g = D.exact_duplicates(noisy).collect()
+    assert len(g) == 1 and g[0]["members"] == [10, 11]
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    a = D.minhash_signatures(docs, num_hashes=8).collect()
+    b = D.minhash_signatures(docs.repartition(5), num_hashes=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_id = {r["doc_id"]: r for r in a}
+    # identical docs → identical signatures
+    assert tuple(by_id[1])[1:] == tuple(by_id[2])[1:]
+
+
+def test_lsh_candidates_catch_planted_pairs(spark, docs):
+    pairs = {(r["a_key"], r["b_key"]) for r in
+             D.lsh_candidate_pairs(docs, num_hashes=12, bands=6).collect()}
+    assert (1, 2) in pairs          # exact dup always collides
+    assert (3, 4) in pairs          # near-dup should collide in ≥1 band
+    assert (1, 5) not in pairs and (2, 5) not in pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {(r["a_key"], r["b_key"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(3, 4)] < 1.0
+    assert all(k[0] != 5 and k[1] != 5 for k in pairs)
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sigs = {r["doc_id"]: r["sh"] for r in
+            docs.select("doc_id", D.simhash_col(F.col("text"), 16).alias("sh")).collect()}
+    assert sigs[1] == sigs[2]
+    ham34 = bin(sigs[3] ^ sigs[4]).count("1")
+    ham15 = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham34 < ham15  # near-dup closer than unrelated
+    pairs = {(r["a_key"], r["b_key"]) for r in
+             D.simhash_near_duplicates(docs, bits=16, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    queries = embeddings.where("vec_id < 3")
+    topk = S.cosine_topk(embeddings, queries, k=5)
+    rows = topk.collect()
+    assert {r["query_key"] for r in rows} == {0, 1, 2}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_key"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_key"] != q for r in rs)
+
+
+def test_lsh_ann_recall_against_exact(spark, embeddings):
+    queries = embeddings.where("vec_id < 10")
+    exact = S.cosine_topk(embeddings, queries, k=5)
+    approx = S.lsh_ann_topk(embeddings, queries, k=5, n_planes=4)
+    e = {(r["query_key"], r["neighbor_key"]) for r in exact.collect()}
+    a = {(r["query_key"], r["neighbor_key"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, f"LSH recall collapsed: {recall}"
+    # bucketed candidates must score identically to exact for shared pairs
+    ec = {(r["query_key"], r["neighbor_key"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        k = (r["query_key"], r["neighbor_key"])
+        if k in ec:
+            assert abs(ec[k] - r["cosine"]) < 1e-9
+
+
+def test_embedding_near_duplicates_planted(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 2.0]),            # same direction → cosine 1
+        (3, [float(x) for x in base + rng.standard_normal(16) * 0.01]),  # tiny noise
+        (4, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a_key"], r["b_key"]) for r in
+             S.embedding_near_duplicates(df, threshold=0.98, n_planes=4).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)

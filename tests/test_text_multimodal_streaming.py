@@ -1,0 +1,135 @@
+"""Text analysis, multimodal plumbing, and streaming validation tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_spark.operators import multimodal as M
+from themis_spark.operators import text as X
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "  spaced   out  tokens "), (3, ""), (4, "one")],
+        "id long, text string",
+    )
+    rows = {r["id"]: (r["n"], r["b"]) for r in df.select(
+        "id", X.token_count_col("text").alias("n"),
+        X.bpe_ish_token_count_col("text").alias("b")).collect()}
+    assert rows[1] == (2, 2)
+    assert rows[2][0] == 3
+    assert rows[3] == (0, 0)
+    assert rows[4] == (1, 1)
+    # punctuation splits in the BPE-ish counter but not whitespace counter
+    df2 = spark.createDataFrame([(1, "don't stop, world!")], "id long, text string")
+    r = df2.select(X.token_count_col("text").alias("n"),
+                   X.bpe_ish_token_count_col("text").alias("b")).first()
+    assert r["n"] == 3 and r["b"] == 7  # don ' t stop , world !
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it was good for all"),
+            (2, "el gato que vive en la casa de los vecinos"),
+            (3, "der hund und die katze sind nicht zu hause"),
+            (4, "le chat et les oiseaux sont dans un jardin"),
+            (5, "zzz qqq xxx www"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", X.language_id_col("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+
+def test_quality_score_ordering(spark):
+    good = "the quality of this document is high and it was written for people " * 10
+    bad = "$$$ ### !!! @@@ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id long, text string")
+    s = {r["id"]: r["q"] for r in df.select("id", X.quality_score_col("text").alias("q")).collect()}
+    assert s[1] > 0.8 and s[2] < 0.4
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Some  Document text"), (2, "some document text"), (3, "other")],
+        "id long, text string",
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", X.fingerprint_col("text").alias("f")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    # winnow sketch: robust to a small suffix edit (shares most mins)
+    df2 = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "abcdefghijklmnopqrstuvwxyz012345____")],
+        "id long, text string",
+    )
+    w = {r["id"]: set(r["w"]) for r in df2.select(
+        "id", X.winnow_fingerprint_col("text", gram=8, keep=4).alias("w")).collect()}
+    assert len(w[1] & w[2]) >= 2
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")).cache()
+
+
+def test_media_meta_plumbing(spark, media):
+    meta = M.extract_media_meta(media, deterministic_fake=True)
+    rows = meta.collect()
+    assert len(rows) == 50
+    r0 = rows[0]
+    assert r0["n_bytes"] > 0 and len(r0["sha256"]) == 64 and r0["format"] == "fake"
+    # deterministic across partitioning
+    again = {r["doc_id"]: r["sha256"] for r in
+             M.extract_media_meta(media.repartition(7), deterministic_fake=True).collect()}
+    assert all(again[r["doc_id"]] == r["sha256"] for r in rows)
+
+
+def test_media_real_decode_raises_without_pil(spark, media):
+    if M._HAS_PIL:
+        pytest.skip("PIL installed")
+    import pandas as pd
+    with pytest.raises(NotImplementedError):
+        M._decode_real(b"xxx")
+
+
+def test_frame_sample_fanout(spark, media):
+    frames = M.frame_sample_stub(media, every_n=2)
+    pdf = frames.toPandas()
+    assert (pdf.groupby("doc_id").size() >= 1).all()
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "frame_sha"}
+
+
+def test_binary_stats_native(spark, media):
+    r = M.binary_stats(media).first()
+    assert r["cnt"] == 50 and r["min_bytes"] > 0 and r["total_bytes"] >= r["max_bytes"]
+
+
+def test_streaming_validation(spark, tmpdir_path):
+    from themis_spark.plans.compiler import compile_plan
+    from themis_spark.sources.pages import PAGES_SCHEMA_JSON, generate_pages
+    from themis_spark.streaming.validate_stream import (
+        start_validation_stream, violation_rate_stream, annotate_stream,
+    )
+
+    pages = generate_pages(spark, 2000, n_partitions=4)
+    pages.write.mode("overwrite").parquet(f"{tmpdir_path}/in")
+    plan = compile_plan(PAGES_SCHEMA_JSON, pages.schema)
+
+    stream = spark.readStream.schema(pages.schema).parquet(f"{tmpdir_path}/in")
+    q = start_validation_stream(
+        stream, plan, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt",
+        key_col="url", partition_col="part_id",
+    )
+    q.awaitTermination(120)
+    viol = spark.read.parquet(f"{tmpdir_path}/out/violations")
+    kws = {r["keyword"] for r in viol.select("keyword").distinct().collect()}
+    assert {"enum", "pattern", "required"} <= kws
+
+    # windowed violation-rate aggregation compiles on a streaming frame
+    ann = annotate_stream(stream, plan, keep=["url", "warc_ts", "part_id"])
+    rates = violation_rate_stream(ann, ts_col="warc_ts", window="30 days", watermark="60 days")
+    q2 = (rates.writeStream.format("memory").queryName("rates")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = spark.sql("select * from rates").collect()
+    assert got and all(0 <= r["violation_rate"] <= 1 for r in got)

@@ -83,9 +83,15 @@ def minhash_signature_cols(text: Column | str, num_hashes: int = 8,
     JVM-side). Empty docs get NULL.
     """
     sh = shingles_col(text, shingle_n)
+
+    def _hasher(seed: int):
+        # single-parameter lambda: a two-param lambda would make pyspark
+        # bind the array-index variable to the second argument
+        return lambda s: hash60_seeded(s, seed)
+
     cols = []
     for i in range(num_hashes):
-        h = F.array_min(F.transform(sh, lambda s, i=i: hash60_seeded(s, i)))
+        h = F.array_min(F.transform(sh, _hasher(i)))
         cols.append(h.alias(f"minhash_{i}"))
     return cols
 
@@ -140,12 +146,14 @@ def simhash_col(text: Column | str, bits: int = 16) -> Column:
     per-row, codegen-friendly, portable to the SQL oracle."""
     toks = tokens_col(text)
     th = F.transform(toks, lambda t: hash60(t))
+
+    def _bit_summer(b: int):
+        # keep the merge lambda strictly two-parameter (acc, element)
+        return lambda a, h: a + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        ones = F.aggregate(
-            th, F.lit(0).cast("long"),
-            lambda a, h, b=b: a + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
+        ones = F.aggregate(th, F.lit(0).cast("long"), _bit_summer(b))
         bit_set = (ones * 2 > F.size(th)).cast("long")
         acc = acc + F.shiftleft(bit_set, b)
     return acc

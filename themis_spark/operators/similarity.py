@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* brute-force cosine top-k — the correctness baseline: broadcast the
+  query set, native ``zip_with``/``aggregate`` dot products (JVM-side,
+  no Python), window rank per query. Exact; cost O(|Q|·|corpus|), fine
+  when |Q| is small or as the final re-rank.
+* LSH-bucketed ANN — the scale path: sign-of-projection onto fixed
+  random hyperplanes (seeded, generated driver-side, shipped as
+  literals) buckets the corpus; queries probe only their bucket. At
+  10¹² rows the bucket join is an equi-join on a 16–32-bit code and the
+  per-bucket re-rank is the brute-force kernel above.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Native dot product of two float-array columns (zip_with + aggregate
+    — whole-stage codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbours per query: (query_key, neighbor_key, cosine,
+    rank). Queries are broadcast — the corpus never shuffles."""
+    q = F.broadcast(
+        queries.select(F.col(key).alias("query_key"), F.col(vec).alias("q_vec"))
+    )
+    c = corpus.select(F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_key") != F.col("query_key"))
+        .select(
+            "query_key",
+            "neighbor_key",
+            F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_key").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_key").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_code_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH code: bit i = sign(vec · plane_i). Planes are
+    compile-time literals — pure codegen, no shuffle, deterministic."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+        code = code + F.shiftleft((proj > 0).cast("long"), i)
+    return code
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    n_probes: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: bucket the corpus by LSH code; each query
+    multi-probes its own bucket plus every hamming-1 neighbour bucket
+    (probing is on the tiny broadcast query side — the corpus is coded
+    once and never duplicated). Exact cosine re-ranks inside buckets."""
+    if dim is None:
+        dim = len(corpus.select(vec).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    if n_probes is None:
+        n_probes = n_planes  # all hamming-1 flips
+    c = corpus.select(
+        F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"),
+        lsh_code_col(F.col(vec), planes).alias("code"),
+    )
+    base = lsh_code_col(F.col(vec), planes)
+    probe_codes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)])
+    q = F.broadcast(
+        queries.select(
+            F.col(key).alias("query_key"), F.col(vec).alias("q_vec"),
+            F.explode(probe_codes).alias("code"),
+        )
+    )
+    scored = (
+        c.join(q, "code")
+        .where(F.col("neighbor_key") != F.col("query_key"))
+        .select("query_key", "neighbor_key",
+                F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_key").orderBy(F.col("cosine").desc(), F.col("neighbor_key").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame, vec: str = "embedding", key: str = "vec_id",
+    threshold: float = 0.95, n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing + exact verify
+    (the all-pairs version of lsh_ann_topk)."""
+    dim = len(df.select(vec).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    coded = df.select(F.col(key), F.col(vec), lsh_code_col(F.col(vec), planes).alias("code"))
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(b, (F.col("a.code") == F.col("b.code")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(
+            F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),
+            F.round(cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,106 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure native Column expressions (scan-stage, codegen, zero shuffle,
+zero Python) and deliberately SQL-portable so the DuckDB oracle can
+replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from themis_spark.functions.hashing import hash60
+
+# Tiny high-frequency stopword lists per language — a deterministic
+# n-gram/stopword heuristic, not a model (the container has no langid
+# libraries; the Spark plumbing is the point, the word lists are
+# swappable).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "que"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
+}
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty/NULL-safe at caller)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation chunks via
+    regex segmentation (the standard pre-tokenizer shape: letter runs,
+    digit runs, single punctuation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    chunks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return F.size(chunks)
+
+
+def stopword_score_col(text: Column | str, lang: str) -> Column:
+    """How many of ``lang``'s stopwords occur in the text's token set."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, words))
+
+
+def language_id_col(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    'und' (undetermined) when nothing matches. Chained comparisons keep
+    it portable to the SQL oracle (greatest + CASE)."""
+    scores = {lang: stopword_score_col(text, lang) for lang in LANG_STOPWORDS}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so that ties resolve to the FIRST language in dict order
+    for lang in reversed(list(scores)):
+        result = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length band, mean word length band,
+    alpha ratio, stopword presence. Mirrors the usual web-text quality
+    filters (length/punct/stopword ratios) with portable arithmetic."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_toks = token_count_col(c)
+    mean_word = n_chars / F.greatest(n_toks, F.lit(1))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")) / F.greatest(n_chars, F.lit(1))
+    stop = stopword_score_col(c, "en")
+    len_ok = (n_chars >= 200) & (n_chars <= 20000)
+    word_ok = (mean_word >= 3.0) & (mean_word <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.25
+        + word_ok.cast("double") * 0.25
+        + F.least(alpha, F.lit(1.0)) * 0.25
+        + F.least(stop.cast("double") / 5.0, F.lit(1.0)) * 0.25
+    )
+    return F.round(score, 6)
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text (exact-dup key; portable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def winnow_fingerprint_col(text: Column | str, gram: int = 8, keep: int = 4) -> Column:
+    """Rolling-hash document sketch: hash every ``gram``-char window of
+    the normalized text, keep the ``keep`` smallest hashes (a winnowing /
+    MinHash-style sketch robust to local edits). Built from native
+    substring/transform/array_sort — per-row, shuffle-free."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    n_windows = F.greatest(F.length(norm) - (gram - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: hash60(F.substr(norm, i, F.lit(gram))),
+    )
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
