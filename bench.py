@@ -1,0 +1,229 @@
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+The headline metric is the north rule's: validated docs/sec for the FULL
+engine pass (compile → fused validate+stats → uniqueness/referential
+constraints → checkpointed writes) over a deterministic synthetic pages
+table (BASELINE.json input_hint shape), plus per-operator timings over
+the driver's TPC-H-ish tables.
+
+Scaling mode (``--scaling``): same engine pass, same input, at local[8]
+and local[32] in fresh subprocesses (fresh JVMs); reports both
+throughputs and eff = (docs/s @32) / (4 × docs/s @8) into
+BENCH/BASELINE.md - the sandbox proxy for the N→4N-executor criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "1000000"))
+PAGES_DIR = os.environ.get("BENCH_PAGES_DIR", os.path.join(REPO, ".bench_data", f"pages_{PAGES_ROWS}"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline per-operator queries (keys into __spark_entry__.queries())
+HEADLINE = [
+    "validate_documents", "kw_range", "stat_basic", "stat_hist",
+    "con_unique", "con_ref", "con_dup_window",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
+    "dedup_lsh_candidates", "text_tokens", "text_langid", "text_quality",
+    "ann_cosine_topk", "ann_lsh", "mm_meta",
+]
+
+
+def ensure_pages(spark, n_rows: int, path: str, n_partitions: int = 32) -> None:
+    if os.path.isdir(os.path.join(path, "pages")):
+        return
+    from pyspark.sql import functions as F
+
+    from themis_spark.sources.pages import generate_links, generate_pages
+
+    # a few large files per partition dir (see write_pages_dataset): small
+    # files would cap Arrow batch sizes for the Python validators
+    files_per_part = max(1, n_rows // (n_partitions * 250_000))
+    (
+        generate_pages(spark, n_rows, n_partitions)
+        .repartition(n_partitions * files_per_part, F.col("part_id"))
+        .write.mode("overwrite").partitionBy("part_id").parquet(f"{path}/pages")
+    )
+    generate_links(spark, n_rows // 2, n_rows).write.mode("overwrite").parquet(f"{path}/links")
+
+
+def run_engine_pass(spark, pages_path: str, out_dir: str) -> dict:
+    from themis_spark.operators.stats import HistSpec
+    from themis_spark.runner import RunConfig, run_validation
+    from themis_spark.sources.pages import PAGES_SCHEMA_JSON
+    from themis_spark.sources.tableio import ParquetTable
+
+    table = ParquetTable(spark, f"{pages_path}/pages", "part_id")
+    links = spark.read.parquet(f"{pages_path}/links")
+    cfg = RunConfig(
+        schema=PAGES_SCHEMA_JSON,
+        out_dir=out_dir,
+        run_id="bench",
+        stats_columns=["url", "text", "lang", "warc_ts"],
+        unique_keys=["url"],
+        fk=(links, "src_url", "url"),
+    )
+    t0 = time.time()
+    res = run_validation(spark, table, cfg)
+    wall = time.time() - t0
+    return {
+        "rows": res.rows,
+        "violation_rows": res.violation_rows,
+        "global_violations": res.global_violations,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(res.rows / wall, 1),
+    }
+
+
+def noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        noop_write(fn(spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def single_run(cores: int, engine_only: bool = False) -> dict:
+    from themis_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(2 * cores, 32),
+    )
+    ensure_pages(spark, PAGES_ROWS, PAGES_DIR)
+    out_dir = tempfile.mkdtemp(prefix=f"bench_out_{cores}_")
+    try:
+        engine = run_engine_pass(spark, PAGES_DIR, out_dir)
+        queries = {} if engine_only else bench_queries(spark, SF_DIR)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+    return {"engine": engine, "queries": queries, "cores": cores}
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling_main()
+        return
+    if "--engine-json" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1]) if "--cores" in sys.argv else CPUS
+        r = single_run(cores, engine_only=True)
+        print("ENGINE_JSON:" + json.dumps(r["engine"]))
+        return
+
+    t0 = time.time()
+    r = single_run(CPUS)
+    total = round(time.time() - t0, 3)
+    engine = r["engine"]
+    result = {
+        "metric": "validated docs/sec (full keyword set + stats pass + constraints)",
+        "value": total,
+        "unit": "sec",
+        "queries": {"engine_pass": engine["wall_sec"], **r["queries"]},
+        "sf": SF_DIR,
+        "docs_per_sec": engine["docs_per_sec"],
+        "pages_rows": engine["rows"],
+        "cores": CPUS,
+    }
+    print(json.dumps(result))
+
+
+def scaling_main() -> None:
+    """Two-parallelism scaling evidence (local[8] vs local[32]), median of
+    N repeats, fresh JVM per run."""
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    results: dict[int, list[float]] = {8: [], 32: []}
+    rows = None
+    for cores in (8, 32):
+        for i in range(repeats):
+            p = subprocess.run(
+                [sys.executable, __file__, "--engine-json", "--cores", str(cores)],
+                capture_output=True, text=True, cwd=REPO,
+                env={**os.environ, "BENCH_PAGES_ROWS": str(PAGES_ROWS)},
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("ENGINE_JSON:")]
+            if not line:
+                print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"engine run failed at local[{cores}]")
+            data = json.loads(line[0][len("ENGINE_JSON:"):])
+            rows = data["rows"]
+            results[cores].append(data["docs_per_sec"])
+            print(f"local[{cores}] run {i+1}/{repeats}: {data['docs_per_sec']} docs/s "
+                  f"({data['wall_sec']} s)", file=sys.stderr)
+
+    med = {c: sorted(v)[len(v) // 2] for c, v in results.items()}
+    eff = med[32] / (4 * med[8])
+    summary = {
+        "rows": rows,
+        "docs_per_sec_local8": med[8],
+        "docs_per_sec_local32": med[32],
+        "runs_local8": results[8],
+        "runs_local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "eff = tput32/(4*tput8) >= 0.8",
+        "passed": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    _write_baseline_md(summary)
+
+
+def _write_baseline_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (per driver instruction): the SAME engine pass
+(compile -> fused validate+stats -> uniqueness + referential constraints ->
+checkpointed writes) on the SAME synthetic pages input
+({s['rows']:,} rows, seed=42, Zipf host/lang skew) at local[8] vs
+local[32], fresh JVM per run, median of {len(s['runs_local8'])}.
+
+| parallelism | docs/sec (median) | runs |
+|---|---|---|
+| local[8]  | {s['docs_per_sec_local8']:,} | {s['runs_local8']} |
+| local[32] | {s['docs_per_sec_local32']:,} | {s['runs_local32']} |
+
+**scaling efficiency = tput32 / (4 x tput8) = {s['scaling_efficiency']}**
+-> criterion (>= 0.8): **{'PASS' if s['passed'] else 'FAIL'}**
+
+Config: spark.sql.shuffle.partitions = 2x cores; AQE on (coalesce +
+skew join); Arrow maxRecordsPerBatch 8192; dynamic partition overwrite.
+Caveat (honest extrapolation): local-mode scaling measures intra-node
+parallelism - no network shuffle. The constraint phase (uniqueness agg +
+referential anti-join) is the only shuffling stage; its exchange volume
+is (key, count) pairs and the deduplicated parent keyset, both O(distinct
+keys), not O(bytes scanned), so network cost at cluster scale stays
+small relative to the shuffle-free validate+stats scan.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the properties that make the engine hold at
+100 TB must be visible in the plan, not just hoped for (SURVEY.md §4).
+
+- column pruning: the fused pass must never read ``html`` (binary ballast
+  dominates bytes) unless a check needs it;
+- partition pruning: a resume run's scan must touch only the remaining
+  partition directories;
+- broadcast: dimension-sized parent keysets must broadcast in the
+  referential anti-join;
+- partial aggregation: stats/uniqueness run as partial+final hash agg.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_spark.operators import constraints as C
+from themis_spark.operators import validate as V
+from themis_spark.operators.stats import column_stats
+from themis_spark.plans.compiler import compile_plan
+from themis_spark.sources.pages import PAGES_SCHEMA_JSON, write_pages_dataset
+from themis_spark.sources.tableio import ParquetTable
+
+
+@pytest.fixture(scope="module")
+def pages_table(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans"))
+    write_pages_dataset(spark, d, 4000, n_partitions=8)
+    return ParquetTable(spark, f"{d}/pages", "part_id")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_fused_pass_prunes_html(spark, pages_table):
+    df = pages_table.read()
+    plan = compile_plan(PAGES_SCHEMA_JSON, df.schema)
+    ann = V.annotate(df, plan, keep=["url", "part_id"])
+    viol = V.violations_df(ann)
+    read_schema = [l for l in _plan(viol).splitlines() if "ReadSchema" in l]
+    assert read_schema and "html" not in read_schema[0], read_schema
+    # warc_ts is not checked by this schema either → pruned too
+    assert "warc_ts" not in read_schema[0]
+
+
+def test_partition_pruned_resume_scan(spark, pages_table):
+    df = pages_table.read(partitions=[1, 3])
+    plan_str = _plan(df.groupBy("part_id").count())
+    # the partition filter must reach the scan as a partition filter,
+    # not a post-scan Filter over all data
+    assert "PartitionFilters" in plan_str
+    seg = plan_str.split("PartitionFilters")[1].split("]")[0]
+    assert "part_id" in seg
+    assert df.select("part_id").distinct().count() == 2
+
+
+def test_referential_broadcast_and_sortmerge(spark, pages_table):
+    pages = pages_table.read()
+    child = pages.select(F.col("url").alias("src_url"))
+    bc = C.referential_orphans(child, "src_url", pages, "url", broadcast_parent=True)
+    assert "BroadcastHashJoin" in _plan(bc) and "LeftAnti" in _plan(bc)
+    sm = C.referential_orphans(child, "src_url", pages, "url", broadcast_parent=False)
+    # non-broadcast path: shuffle-based anti join (AQE may still convert
+    # at runtime; statically it must not REQUIRE a broadcast)
+    assert "LeftAnti" in _plan(sm)
+
+
+def test_stats_single_aggregate_no_extra_exchange(spark, pages_table):
+    df = pages_table.read()
+    m = column_stats(df, ["url", "lang"], hist_specs=[])
+    plan_str = _plan(m)
+    # partial+final hash agg → exactly one exchange in the stats job
+    assert plan_str.count("Exchange") == 1, plan_str
+    assert "HashAggregate" in plan_str or "ObjectHashAggregate" in plan_str
+
+
+def test_uniqueness_partial_agg(spark, pages_table):
+    df = pages_table.read()
+    plan_str = _plan(C.duplicate_keys(df, "url"))
+    # map-side partial aggregation before the exchange (two HashAggregate
+    # levels) is what bounds skew for plain counting
+    assert plan_str.count("HashAggregate") >= 2
+    assert plan_str.count("Exchange") == 1
+
+
+def test_native_checks_are_codegen(spark, pages_table):
+    """Native keyword checks must live inside WholeStageCodegen — no
+    Python in the hot path except the declared Arrow validators."""
+    df = pages_table.read()
+    plan = compile_plan(PAGES_SCHEMA_JSON, df.schema)
+    ann = V.annotate(df, plan, keep=["url", "part_id"])
+    plan_str = _plan(ann)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the compact plan
+    import re
+
+    assert re.search(r"\*\(\d+\)", plan_str), plan_str[:500]
+    # exactly one ArrowEvalPython: the meta-column validator, nothing else
+    assert plan_str.count("ArrowEvalPython") == 1
+    # and no row-at-a-time Python UDF node anywhere
+    assert "BatchEvalPython" not in plan_str

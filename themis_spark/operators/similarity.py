@@ -129,12 +129,19 @@ def embedding_near_duplicates(
     threshold: float = 0.95, n_planes: int = 8, seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing + exact verify
-    (the all-pairs version of lsh_ann_topk)."""
+    (the all-pairs version of lsh_ann_topk). One side multi-probes its
+    hamming-1 neighbour buckets so near-identical vectors that straddle a
+    hyperplane still meet; the other side stays single-coded, so the join
+    fan-out is (n_planes+1)×, not (n_planes+1)²."""
     dim = len(df.select(vec).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    coded = df.select(F.col(key), F.col(vec), lsh_code_col(F.col(vec), planes).alias("code"))
-    a, b = coded.alias("a"), coded.alias("b")
+    base = lsh_code_col(F.col(vec), planes)
+    probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+    a = df.select(F.col(key), F.col(vec), F.explode(probes).alias("code")).alias("a")
+    b = df.select(F.col(key), F.col(vec), base.alias("code")).alias("b")
     return (
+        # no pair dedup needed: a's probe codes are distinct, so at most
+        # one of them can equal b's single code
         a.join(b, (F.col("a.code") == F.col("b.code")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
         .select(
             F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),

@@ -46,9 +46,11 @@ def violations_df(
         cols.append(F.col(partition_col).cast("string").alias("partition_id"))
     else:
         cols.append(F.lit("0").alias("partition_id"))
+    # no pre-filter on n_violations: explode() already drops empty arrays,
+    # and a filter would force a second evaluation of the (expensive)
+    # violations expression — one ArrowEvalPython + one codegen pass total
     return (
-        annotated.where(F.col("n_violations") > 0)
-        .select(*cols, F.explode("violations").alias("v"))
+        annotated.select(*cols, F.explode("violations").alias("v"))
         .select(
             "url",
             "partition_id",

@@ -101,23 +101,58 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
     for batch in batches:
         started = time.time()
         df = table.read(partitions=batch)
-        annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col]).cache()
+        annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col])
+
+        # scan 1 (the only pass that runs the compiled validators):
+        # violations straight to their partitioned sink
+        viol_t.overwrite_partitions(
+            V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
+        )
+
+        # scan 2 (no Python, pure codegen aggregation): per-partition stats
+        # — its cnt+nulls also yields exact per-partition row counts, so
+        # verdicts need NO third scan and NO re-run of the validators
+        stats_cols = cfg.stats_columns or [cfg.key_col]
+        metrics = column_stats(df, stats_cols, cfg.partition_col,
+                               cfg.hist_specs, cfg.run_id)
+        metrics = metrics.cache()
         try:
-            viol_t.overwrite_partitions(
-                V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
-            )
-            verdicts = V.verdicts_df(annotated, cfg.partition_col, cfg.run_id)
-            verd_t.overwrite_partitions(verdicts)
             if cfg.stats_columns:
-                metr_t.overwrite_partitions(
-                    column_stats(df, cfg.stats_columns, cfg.partition_col,
-                                 cfg.hist_specs, cfg.run_id)
+                metr_t.overwrite_partitions(metrics)
+            rows_per_part = (
+                metrics.where(F.col("column") == stats_cols[0])
+                .select("partition_id", (F.col("cnt") + F.col("nulls")).alias("rows"))
+            )
+            # tiny: aggregate the freshly written violations per partition
+            # (an all-clean batch writes no partition dirs at all — guard)
+            if viol_t.exists():
+                viol_counts = (
+                    viol_t.read()
+                    .where(F.col("run_id") == cfg.run_id)
+                    .where(F.col("partition_id").isin([str(p) for p in batch]))
+                    .groupBy("partition_id")
+                    .agg(F.count(F.lit(1)).alias("violation_rows"))
                 )
+            else:
+                viol_counts = spark.createDataFrame(
+                    [], "partition_id string, violation_rows bigint"
+                )
+            verdicts = (
+                rows_per_part.join(viol_counts, "partition_id", "left")
+                .select(
+                    "partition_id",
+                    F.lit(cfg.run_id).alias("run_id"),
+                    "rows",
+                    F.coalesce("violation_rows", F.lit(0)).alias("violation_rows"),
+                    (F.coalesce("violation_rows", F.lit(0)) == 0).alias("passed"),
+                )
+            )
+            verd_t.overwrite_partitions(verdicts)
             agg = verdicts.agg(F.sum("rows"), F.sum("violation_rows")).first()
             total_rows += int(agg[0] or 0)
             total_viol += int(agg[1] or 0)
         finally:
-            annotated.unpersist()
+            metrics.unpersist()
         # lineage commit LAST: a kill before this line leaves the batch
         # uncommitted and it re-runs idempotently (outputs are overwritten
         # per-partition, so the retry converges to the same bytes)
