@@ -250,6 +250,180 @@ def _element_type_pred(json_type: str, el_dt: T.DataType):
     return lambda x: F.lit(False)
 
 
+def _value_lambda(sub: dict):
+    """Build a Column→Column predicate for simple value subschemas (used
+    inside higher-order map/array checks). Returns None if the subschema
+    needs more than scalar bounds/pattern."""
+    simple = {"type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+              "minLength", "maxLength", "pattern", "enum"}
+    if not isinstance(sub, dict) or not set(sub) <= simple:
+        return None
+
+    def pred(v: Column) -> Column:
+        p = F.lit(True)
+        if "minimum" in sub:
+            p = p & ((v > sub["minimum"]) if sub.get("exclusiveMinimum") else (v >= sub["minimum"]))
+        if "maximum" in sub:
+            p = p & ((v < sub["maximum"]) if sub.get("exclusiveMaximum") else (v <= sub["maximum"]))
+        if "minLength" in sub:
+            p = p & (F.length(v) >= sub["minLength"])
+        if "maxLength" in sub:
+            p = p & (F.length(v) <= sub["maxLength"])
+        if "pattern" in sub:
+            p = p & v.rlike(sub["pattern"])
+        if "enum" in sub:
+            p = p & v.isin([m for m in sub["enum"] if not isinstance(m, bool)])
+        return p
+
+    return pred
+
+
+def _compile_struct_checks(name: str, col: Column, sub: dict, dt: T.StructType,
+                           spath: str, ipath: str) -> list[ColumnCheck]:
+    """Recurse `properties` into a typed StructType column (SURVEY
+    2(a).13): checks address nested fields via getField — still pure
+    Column expressions, still one codegen stage. A NULL parent struct
+    means the object is absent, so every nested check passes."""
+    out: list[ColumnCheck] = []
+    fields = {f.name: f.dataType for f in dt.fields}
+    parent_absent = col.isNull()
+    req = set(sub.get("required", []))
+    props = sub.get("properties", {}) or {}
+    for k in sorted(req - set(props)):
+        props = {**props, k: {}}
+    for k, ksub in props.items():
+        if k not in fields:
+            if k in req:
+                out.append(ColumnCheck(
+                    "required", f"{ipath}.{k}", f"{spath}/properties/{k}/required",
+                    parent_absent, F.lit("<missing field>"), name))
+            continue
+        fcol = col.getField(k)
+        fpath = f"{ipath}.{k}"
+        fspath = f"{spath}/properties/{k}"
+        if k in req:
+            out.append(ColumnCheck(
+                "required", fpath, f"{fspath}/required",
+                parent_absent | fcol.isNotNull(), F.lit("<absent>"), name))
+        if isinstance(fields[k], T.StructType) and isinstance(ksub, dict) and "properties" in ksub:
+            out.extend(_compile_struct_checks(name, fcol, ksub, fields[k], fspath, fpath))
+        elif isinstance(ksub, dict):
+            for c in _compile_scalar_checks_on(fcol, ksub, fields[k], fspath, fpath, name):
+                out.append(c)
+    if "maxProperties" in sub or "minProperties" in sub:
+        present = sum(
+            (F.when(col.getField(f.name).isNotNull(), 1).otherwise(0) for f in dt.fields),
+            F.lit(0),
+        )
+        if "maxProperties" in sub:
+            out.append(ColumnCheck("maxProperties", ipath, f"{spath}/maxProperties",
+                                   parent_absent | (present <= sub["maxProperties"]),
+                                   present.cast("string"), name))
+        if "minProperties" in sub:
+            out.append(ColumnCheck("minProperties", ipath, f"{spath}/minProperties",
+                                   parent_absent | (present >= sub["minProperties"]),
+                                   present.cast("string"), name))
+    return out
+
+
+def _compile_map_checks(name: str, col: Column, sub: dict, dt: T.MapType,
+                        spath: str, ipath: str) -> list[ColumnCheck]:
+    """Object keywords over open-key MapType columns (SURVEY 2(a).12/14/15)
+    via higher-order functions — map_contains_key / size / forall."""
+    out: list[ColumnCheck] = []
+    absent = col.isNull()
+
+    for k in sub.get("required", []):
+        out.append(ColumnCheck("required", f"{ipath}.{k}", f"{spath}/required",
+                               absent | F.map_contains_key(col, F.lit(k)),
+                               F.lit("<absent>"), name))
+    if "minProperties" in sub:
+        out.append(ColumnCheck("minProperties", ipath, f"{spath}/minProperties",
+                               absent | (F.size(col) >= sub["minProperties"]),
+                               F.size(col).cast("string"), name))
+    if "maxProperties" in sub:
+        out.append(ColumnCheck("maxProperties", ipath, f"{spath}/maxProperties",
+                               absent | (F.size(col) <= sub["maxProperties"]),
+                               F.size(col).cast("string"), name))
+
+    declared = set(sub.get("properties", {}) or {})
+    pat_specs = sub.get("patternProperties", {}) or {}
+    if sub.get("additionalProperties") is False:
+        allowed_keys = sorted(declared)
+        pat_list = list(pat_specs)
+
+        def _covered(k):  # MUST stay single-parameter (pyspark HOF arity)
+            p = k.isin(allowed_keys) if allowed_keys else F.lit(False)
+            for rx in pat_list:
+                p = p | k.rlike(rx)
+            return p
+
+        out.append(ColumnCheck("additionalProperties", ipath, f"{spath}/additionalProperties",
+                               absent | F.forall(F.map_keys(col), _covered),
+                               F.lit("<extra key>"), name))
+
+    # properties / patternProperties value checks (simple value schemas)
+    for k, vsub in (sub.get("properties", {}) or {}).items():
+        vp = _value_lambda(vsub)
+        if vp is not None and vsub:
+            val = F.element_at(col, F.lit(k))
+            out.append(ColumnCheck("properties", f"{ipath}.{k}", f"{spath}/properties/{k}",
+                                   absent | val.isNull() | vp(val),
+                                   F.substring(val.cast("string"), 1, 64), name))
+    for rx, vsub in pat_specs.items():
+        vp = _value_lambda(vsub)
+        if vp is not None and vsub:
+            def entry_ok(k, v, rx=rx, vp=vp):
+                return F.when(k.rlike(rx), vp(v)).otherwise(F.lit(True))
+
+            out.append(ColumnCheck(
+                "patternProperties", ipath, f"{spath}/patternProperties/{rx}",
+                absent | F.forall(F.map_entries(col),
+                                  lambda e: entry_ok(e.getField("key"), e.getField("value"))),
+                F.lit("<pattern value>"), name))
+    return out
+
+
+def _compile_scalar_checks_on(col: Column, sub: dict, dt: T.DataType,
+                              spath: str, ipath: str, colname: str) -> list[ColumnCheck]:
+    """Scalar keyword checks against an arbitrary Column expression
+    (nested field) — same semantics as _compile_scalar_checks but without
+    the top-level naming/required handling."""
+    out: list[ColumnCheck] = []
+    null_pass = col.isNull()
+
+    def add(keyword: str, pred: Column, leaf: str | None = None) -> None:
+        out.append(ColumnCheck(keyword, ipath, f"{spath}/{leaf or keyword}", pred,
+                               F.substring(col.cast("string"), 1, 64), colname))
+
+    if "type" in sub:
+        types = sub["type"] if isinstance(sub["type"], list) else [sub["type"]]
+        if not any(_type_compatible(t, dt) for t in types):
+            add("type", null_pass)
+    if "enum" in sub:
+        add("enum", null_pass | col.isin([m for m in sub["enum"] if not isinstance(m, bool)]))
+    if "pattern" in sub:
+        add("pattern", null_pass | col.rlike(sub["pattern"]))
+    if "minLength" in sub:
+        add("minLength", null_pass | (F.length(col) >= sub["minLength"]))
+    if "maxLength" in sub:
+        add("maxLength", null_pass | (F.length(col) <= sub["maxLength"]))
+    if "minimum" in sub:
+        pred = (col > sub["minimum"]) if sub.get("exclusiveMinimum") else (col >= sub["minimum"])
+        add("exclusiveMinimum" if sub.get("exclusiveMinimum") else "minimum", null_pass | pred, leaf="minimum")
+    if "maximum" in sub:
+        pred = (col < sub["maximum"]) if sub.get("exclusiveMaximum") else (col <= sub["maximum"])
+        add("exclusiveMaximum" if sub.get("exclusiveMaximum") else "maximum", null_pass | pred, leaf="maximum")
+    if isinstance(dt, T.ArrayType):
+        if "minItems" in sub:
+            add("minItems", null_pass | (F.size(col) >= sub["minItems"]))
+        if "maxItems" in sub:
+            add("maxItems", null_pass | (F.size(col) <= sub["maxItems"]))
+        if sub.get("uniqueItems") is True:
+            add("uniqueItems", null_pass | (F.size(F.array_distinct(col)) == F.size(col)))
+    return out
+
+
 # Java-regex format table (draft-4 validation §7 built-ins minus date-time,
 # which uses try_to_timestamp natively).
 _FORMAT_REGEX = {
@@ -340,6 +514,30 @@ def compile_plan(
             resolved_node, _, canon = registry.resolve(sub["$ref"], root_uri)
             if _is_native_expressible(resolved_node):
                 resolved, spath = resolved_node, canon.replace("#", "#", 1)
+        # typed nested objects: recurse natively into struct fields / map keys
+        if isinstance(dt, T.StructType) and isinstance(resolved, dict) and (
+            "properties" in resolved or "required" in resolved
+            or "maxProperties" in resolved or "minProperties" in resolved
+        ) and "$ref" not in resolved:
+            plan.columns_needed.add(name)
+            if name in required:
+                plan.checks.append(ColumnCheck(
+                    "required", f"$.{name}", f"{spath}/required",
+                    F.col(name).isNotNull(), F.lit("<absent>"), name))
+            plan.checks.extend(
+                _compile_struct_checks(name, F.col(name), resolved, dt, spath, f"$.{name}")
+            )
+            continue
+        if isinstance(dt, T.MapType) and isinstance(resolved, dict) and "$ref" not in resolved:
+            plan.columns_needed.add(name)
+            if name in required:
+                plan.checks.append(ColumnCheck(
+                    "required", f"$.{name}", f"{spath}/required",
+                    F.col(name).isNotNull(), F.lit("<absent>"), name))
+            plan.checks.extend(
+                _compile_map_checks(name, F.col(name), resolved, dt, spath, f"$.{name}")
+            )
+            continue
         if isinstance(dt, T.StringType) and not _is_native_expressible(resolved):
             # dynamic JSON column → vectorized Arrow path (handles cyclic
             # $refs via compiled-closure recursion, deep equality, ECMA regex)

@@ -119,38 +119,42 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         try:
             if cfg.stats_columns:
                 metr_t.overwrite_partitions(metrics)
-            rows_per_part = (
-                metrics.where(F.col("column") == stats_cols[0])
+            # both per-partition frames are tiny (one row per partition /
+            # per (partition, keyword)); collecting them driver-side and
+            # building verdicts locally avoids three extra Spark jobs —
+            # serial job latency, not data volume, bounds small-batch runs
+            rows_per_part = {
+                r["partition_id"]: int(r["rows"])
+                for r in metrics.where(F.col("column") == stats_cols[0])
                 .select("partition_id", (F.col("cnt") + F.col("nulls")).alias("rows"))
-            )
-            # tiny: aggregate the freshly written violations per partition
-            # (an all-clean batch writes no partition dirs at all — guard)
-            if viol_t.exists():
-                viol_counts = (
+                .collect()
+            }
+            viol_per_part: dict[str, int] = {}
+            if viol_t.exists():  # an all-clean batch writes no dirs at all
+                # partition-dir type inference flips int↔string depending
+                # on whether '__global__' exists yet — normalize to string
+                for r in (
                     viol_t.read()
                     .where(F.col("run_id") == cfg.run_id)
-                    .where(F.col("partition_id").isin([str(p) for p in batch]))
-                    .groupBy("partition_id")
-                    .agg(F.count(F.lit(1)).alias("violation_rows"))
-                )
-            else:
-                viol_counts = spark.createDataFrame(
-                    [], "partition_id string, violation_rows bigint"
-                )
-            verdicts = (
-                rows_per_part.join(viol_counts, "partition_id", "left")
-                .select(
-                    "partition_id",
-                    F.lit(cfg.run_id).alias("run_id"),
-                    "rows",
-                    F.coalesce("violation_rows", F.lit(0)).alias("violation_rows"),
-                    (F.coalesce("violation_rows", F.lit(0)) == 0).alias("passed"),
+                    .where(F.col("partition_id").cast("string").isin([str(p) for p in batch]))
+                    .groupBy(F.col("partition_id").cast("string").alias("partition_id"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ):
+                    viol_per_part[str(r["partition_id"])] = int(r["n"])
+            verdict_rows = [
+                (pid, cfg.run_id, n, viol_per_part.get(pid, 0), viol_per_part.get(pid, 0) == 0)
+                for pid, n in sorted(rows_per_part.items())
+            ]
+            verd_t.overwrite_partitions(
+                spark.createDataFrame(
+                    verdict_rows,
+                    "partition_id string, run_id string, rows bigint, "
+                    "violation_rows bigint, passed boolean",
                 )
             )
-            verd_t.overwrite_partitions(verdicts)
-            agg = verdicts.agg(F.sum("rows"), F.sum("violation_rows")).first()
-            total_rows += int(agg[0] or 0)
-            total_viol += int(agg[1] or 0)
+            total_rows += sum(rows_per_part.values())
+            total_viol += sum(viol_per_part.values())
         finally:
             metrics.unpersist()
         # lineage commit LAST: a kill before this line leaves the batch
@@ -168,11 +172,32 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
     if done_now or done:
         full = table.read()
         gv: list[DataFrame] = []
-        for key in cfg.unique_keys:
-            gv.append(C.uniqueness_violations(full, key, run_id=cfg.run_id))
+        key_counts = None
+        if cfg.unique_keys:
+            # one scan + one shuffle produce BOTH the duplicate-key set and
+            # (when the FK parent is this table on the same key) the
+            # deduplicated parent keyset for the anti-join — the agg output
+            # IS the distinct keys, so the referential check rides for free
+            key = cfg.unique_keys[0]
+            key_counts = full.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).cache()
+            dups = key_counts.where(F.col("cnt") > 1)
+            gv.append(
+                dups.select(
+                    F.col(key).cast("string").alias("url"),
+                    F.lit("0").alias("partition_id"),
+                    F.lit(cfg.run_id).alias("run_id"),
+                    F.lit("unique").alias("keyword"),
+                    F.lit(f"$.{key}").alias("instance_path"),
+                    F.lit(f"#/constraints/unique/{key}").alias("schema_path"),
+                    F.concat(F.lit("count="), F.col("cnt").cast("string")).alias("detail"),
+                )
+            )
+            for key2 in cfg.unique_keys[1:]:
+                gv.append(C.uniqueness_violations(full, key2, run_id=cfg.run_id))
         if cfg.fk is not None:
             child, ck, pk = cfg.fk
-            gv.append(C.referential_violations(child, ck, full, pk, run_id=cfg.run_id))
+            parent = key_counts if (key_counts is not None and pk == cfg.unique_keys[0]) else full
+            gv.append(C.referential_violations(child, ck, parent, pk, run_id=cfg.run_id))
         if gv:
             allg = gv[0]
             for g in gv[1:]:
@@ -183,6 +208,8 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                 viol_t.overwrite_partitions(allg)
             finally:
                 allg.unpersist()
+                if key_counts is not None:
+                    key_counts.unpersist()
 
     return RunResult(
         run_id=cfg.run_id,
