@@ -104,10 +104,13 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col])
 
         # scan 1 (the only pass that runs the compiled validators):
-        # violations straight to their partitioned sink
-        viol_t.overwrite_partitions(
-            V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
-        )
+        # violations straight to their partitioned sink. The explode output
+        # is tiny relative to the scan, so clustering it onto its partition
+        # key first costs one small shuffle and cuts the files committed
+        # from (#tasks × #partitions) slivers to one per partition — the
+        # commit protocol renames files serially on the driver.
+        viol = V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
+        viol_t.overwrite_partitions(viol.repartition(F.col("partition_id")))
 
         # scan 2 (no Python, pure codegen aggregation): per-partition stats
         # — its cnt+nulls also yields exact per-partition row counts, so
