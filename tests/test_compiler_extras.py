@@ -23,7 +23,7 @@ def test_defaults_projection_native(spark):
     # defaults applied BEFORE validation → no violations on the filled frame
     filled = df.select(*defaults_projection(schema, df.columns))
     plan = compile_plan(schema, filled.schema)
-    assert filled.select(F.size(plan.violations_col()).alias("n")).agg(F.sum("n")).first()[0] == 0
+    assert plan.prepare(filled).select(F.size(plan.violations_col()).alias("n")).agg(F.sum("n")).first()[0] == 0
 
 
 def test_apply_defaults_python():

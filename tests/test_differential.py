@@ -79,7 +79,7 @@ def test_native_path_matches_python_core(spark, rows, schema):
     plan = compile_plan(schema, df.schema)
     got = [
         r["ok"]
-        for r in df.select((F.size(plan.violations_col()) == 0).alias("ok")).collect()
+        for r in plan.prepare(df).select((F.size(plan.violations_col()) == 0).alias("ok")).collect()
     ]
     want = [_python_verdict(schema, row) for row in rows]
     assert got == want, f"schema={json.dumps(schema)} rows={rows}"

@@ -9,7 +9,7 @@ from themis_spark.plans.compiler import compile_plan
 def _violations(spark, df, schema):
     plan = compile_plan(schema, df.schema)
     assert not plan.arrow_specs, "nested typed checks must stay native"
-    rows = df.select(plan.violations_col().alias("v")).collect()
+    rows = plan.prepare(df).select(plan.violations_col().alias("v")).collect()
     return [
         [(x["keyword"], x["instance_path"]) for x in r["v"]] for r in rows
     ], plan

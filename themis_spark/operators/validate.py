@@ -20,14 +20,26 @@ from pyspark.sql import functions as F
 from themis_spark.plans.compiler import CompiledPlan
 
 
-def annotate(df: DataFrame, plan: CompiledPlan, keep: list[str] | None = None) -> DataFrame:
+def annotate(
+    df: DataFrame,
+    plan: CompiledPlan,
+    keep: list[str] | None = None,
+    defer_residual: bool = False,
+) -> DataFrame:
     """Project the input down to what's needed (column pruning — never
     drag ``html`` binary through the pass unless a check reads it) and
-    attach the fused ``violations`` array + ``n_violations``."""
+    attach the fused ``violations`` array + ``n_violations``.
+
+    ``defer_residual=True`` keeps the deep-recursion Arrow residue OUT of
+    this pass (no Python workers in the main scan); the caller must union
+    :func:`residual_violations_df` into the violation rows."""
     passthrough = [c for c in (keep or df.columns) if c in df.columns]
-    out = df.select(
+    # prepare(): materialize try_parse_json once per dynamic-JSON column —
+    # the variant-native checks then probe the parsed binary instead of
+    # re-parsing the string per keyword
+    out = plan.prepare(df).select(
         *passthrough,
-        plan.violations_col().alias("violations"),
+        plan.violations_col(include_gated_arrow=not defer_residual).alias("violations"),
     )
     return out.withColumn("n_violations", F.size("violations"))
 
@@ -51,6 +63,56 @@ def violations_df(
     # violations expression — one ArrowEvalPython + one codegen pass total
     return (
         annotated.select(*cols, F.explode("violations").alias("v"))
+        .select(
+            "url",
+            "partition_id",
+            F.lit(run_id).alias("run_id"),
+            F.col("v.keyword").alias("keyword"),
+            F.col("v.instance_path").alias("instance_path"),
+            F.col("v.schema_path").alias("schema_path"),
+            F.col("v.detail").alias("detail"),
+        )
+    )
+
+
+def residual_violations_df(
+    df: DataFrame,
+    plan: CompiledPlan,
+    key_col: str = "url",
+    partition_col: str | None = "part_id",
+    run_id: str = "r0",
+) -> DataFrame | None:
+    """Violation rows for the deep-recursion residue: rows whose dynamic
+    JSON exceeds the variant unroll depth, validated WHOLE by the Arrow
+    batch validator (native checks are deep-gated off, so the union with
+    the main pass never double-reports).
+
+    Runs as its own filtered job over a column-pruned scan (gate + JSON
+    column + keys only — never text/html) so the main pass stays
+    Python-free. Returns None when the plan has no gated residue."""
+    gate = plan.residual_gate()
+    if gate is None:
+        return None
+    from themis_spark.plans.arrow_validators import (
+        decode_violations,
+        violations_pandas_udf,
+    )
+
+    deep = plan.prepare(df).filter(gate)
+    arr = None
+    for spec in plan.arrow_specs:
+        if spec.gate is None:
+            continue
+        udf = violations_pandas_udf(spec.validator, spec.instance_prefix)
+        piece = decode_violations(udf(F.when(spec.gate, F.col(spec.column))))
+        arr = piece if arr is None else F.concat(arr, piece)
+    cols = [F.col(key_col).alias("url")]
+    if partition_col and partition_col in df.columns:
+        cols.append(F.col(partition_col).cast("string").alias("partition_id"))
+    else:
+        cols.append(F.lit("0").alias("partition_id"))
+    return (
+        deep.select(*cols, F.explode(arr).alias("v"))
         .select(
             "url",
             "partition_id",

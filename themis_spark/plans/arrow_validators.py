@@ -14,41 +14,73 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from themis_spark.plans.compiler import VIOLATION_ARRAY_TYPE
 from themis_spark.plans.pyvalidator import PyValidator
 
+# Python side emits ONE delimited string per row (unit/record separators);
+# the JVM splits it back into array<struct> natively. Building nested
+# list<struct> Arrow arrays from Python objects is the slowest part of the
+# batch boundary — flat strings cross it at memcpy speed and the decode
+# stays inside whole-stage codegen.
+_US = "\x1f"  # field separator within one violation
+_RS = "\x1e"  # separator between violations
+
 
 def violations_pandas_udf(validator: PyValidator, instance_prefix: str = "$"):
-    """Build an Arrow-batched UDF: JSON-string column → array<violation>.
+    """Build an Arrow-batched UDF: JSON-string column → encoded violations
+    string (NULL = no violations). Decode with :func:`decode_violations`.
 
     The validator closure tree is compiled ONCE on the driver and
     cloudpickled to executors; regexes inside it are pre-compiled
     (reference parity: Themis precompiles RegExp objects at codegen time).
     """
     validate = validator.validate
+    malformed = "type" + _US + instance_prefix + _US + f"{validator.root_uri}#"
 
     def _batch(series: pd.Series) -> pd.Series:
         out = []
         for raw in series:
             if raw is None:
-                out.append([])  # absent — presence is `required`'s job
+                out.append(None)  # absent — presence is `required`'s job
                 continue
             try:
                 doc = json.loads(raw) if isinstance(raw, str) else raw
             except (ValueError, TypeError):
-                out.append([("type", instance_prefix, f"{validator.root_uri}#", "<malformed json>")])
+                out.append(malformed)
                 continue
+            vs = validate(doc, instance_prefix)
             out.append(
-                [
-                    (v.keyword, v.instance_path, v.schema_path, None)
-                    for v in validate(doc, instance_prefix)
-                ]
+                _RS.join(
+                    v.keyword + _US + v.instance_path + _US + v.schema_path
+                    for v in vs
+                )
+                if vs
+                else None
             )
         return pd.Series(out)
 
-    return pandas_udf(_batch, VIOLATION_ARRAY_TYPE)
+    return pandas_udf(_batch, "string")
+
+
+def decode_violations(encoded: Column) -> Column:
+    """JVM-side decode of the UDF's string encoding → array<violation>."""
+    return F.when(
+        encoded.isNull(), F.expr("array()").cast(VIOLATION_ARRAY_TYPE)
+    ).otherwise(
+        F.transform(
+            F.split(encoded, _RS),
+            lambda e: F.struct(
+                F.split_part(e, F.lit(_US), F.lit(1)).alias("keyword"),
+                F.split_part(e, F.lit(_US), F.lit(2)).alias("instance_path"),
+                F.split_part(e, F.lit(_US), F.lit(3)).alias("schema_path"),
+                F.lit(None).cast("string").alias("detail"),
+            ),
+        )
+    )
 
 
 def verdict_pandas_udf(validator: PyValidator):

@@ -53,11 +53,18 @@ class ColumnCheck:
 
 @dataclass
 class ArrowColumnSpec:
-    """A JSON-string column validated on the vectorized Arrow path."""
+    """A JSON-string column validated on the vectorized Arrow path.
+
+    ``gate`` (optional): only rows satisfying it carry real payloads into
+    the Python batch — the UDF input is NULLed otherwise (hybrid
+    native/Arrow execution: the Arrow pass handles just the residue the
+    bounded-unroll native compile couldn't express, see
+    plans/variant_native.py)."""
 
     column: str
     validator: PyValidator
     instance_prefix: str
+    gate: Column | None = None
 
 
 @dataclass
@@ -68,8 +75,26 @@ class CompiledPlan:
 
     checks: list[ColumnCheck] = field(default_factory=list)
     arrow_specs: list[ArrowColumnSpec] = field(default_factory=list)
+    #: pre-assembled array<violation> columns from the bounded-unroll
+    #: native Variant compiler (plans/variant_native.py)
+    variant_arrays: list[Column] = field(default_factory=list)
+    #: parsed-variant projection aliases: alias -> source column. The
+    #: variant checks reference these aliases so the JSON string parses
+    #: ONCE per row (materialized VariantType column) instead of once per
+    #: probe — callers run ``prepare(df)`` before selecting violations.
+    variant_sources: dict = field(default_factory=dict)
     root_uri: str = ""
     columns_needed: set[str] = field(default_factory=set)
+
+    def prepare(self, df):
+        """Attach the parsed-variant columns the compiled checks expect.
+        No-op for plans without native variant checks."""
+        if not self.variant_sources:
+            return df
+        return df.withColumns(
+            {alias: F.try_parse_json(F.col(src))
+             for alias, src in self.variant_sources.items()}
+        )
 
     # -- violation assembly (SURVEY 2(a).27) --------------------------------
     def violation_elements(self) -> list[Column]:
@@ -95,16 +120,44 @@ class CompiledPlan:
             return F.lit([]).cast(VIOLATION_ARRAY_TYPE)
         return F.array_compact(F.array(*els))
 
-    def violations_col(self) -> Column:
+    def violations_col(self, include_gated_arrow: bool = True) -> Column:
         """Full violations array: native checks ++ Arrow-path checks,
-        composed in ONE select (single fused pass per partition)."""
+        composed in ONE select (single fused pass per partition).
+
+        ``include_gated_arrow=False`` omits the gate-guarded Arrow specs
+        (the deep-recursion residue): callers then run those through
+        ``residual_gate()`` + a separate tiny filtered job so the big
+        scan never launches Python workers on clean data."""
         col = self.native_violations_col()
+        for arr in self.variant_arrays:
+            col = F.concat(col, arr)
         for spec in self.arrow_specs:
-            from themis_spark.plans.arrow_validators import violations_pandas_udf
+            if spec.gate is not None and not include_gated_arrow:
+                continue
+            from themis_spark.plans.arrow_validators import (
+                decode_violations,
+                violations_pandas_udf,
+            )
 
             udf = violations_pandas_udf(spec.validator, spec.instance_prefix)
-            col = F.concat(col, udf(F.col(spec.column)))
+            payload = (
+                F.when(spec.gate, F.col(spec.column))
+                if spec.gate is not None
+                else F.col(spec.column)
+            )
+            col = F.concat(col, decode_violations(udf(payload)))
         return col
+
+    def residual_gate(self) -> Column | None:
+        """Row predicate selecting the Arrow residue (rows deeper than
+        the variant unroll); None when no gated spec exists."""
+        gates = [s.gate for s in self.arrow_specs if s.gate is not None]
+        if not gates:
+            return None
+        out = F.coalesce(gates[0], F.lit(False))
+        for g in gates[1:]:
+            out = out | F.coalesce(g, F.lit(False))
+        return out
 
     def valid_col(self) -> Column:
         return F.size(self.violations_col()) == 0
@@ -476,6 +529,7 @@ def compile_plan(
     schema: dict,
     table_schema: T.StructType,
     registry: SchemaRegistry | None = None,
+    variant_unroll_depth: int = 3,
 ) -> CompiledPlan:
     """Compile a root object schema against a typed table's StructType.
 
@@ -539,12 +593,39 @@ def compile_plan(
             )
             continue
         if isinstance(dt, T.StringType) and not _is_native_expressible(resolved):
-            # dynamic JSON column → vectorized Arrow path (handles cyclic
-            # $refs via compiled-closure recursion, deep equality, ECMA regex)
-            sub_validator = compile_python_validator(
-                sub, registry=registry, base_uri=root_uri
+            # dynamic JSON column. Fast path: bounded-unroll native Variant
+            # compile (plans/variant_native.py) — zero Python for rows
+            # within the unroll depth; only deeper rows (deep_guard) cross
+            # the Arrow boundary. Fallback: full vectorized Arrow path
+            # (cyclic $refs via compiled-closure recursion, deep equality,
+            # ECMA regex, combinators).
+            from themis_spark.plans.variant_native import try_compile_variant_native
+
+            valias = f"__variant_{name}"
+            vn = (
+                try_compile_variant_native(
+                    name, sub, registry, root_uri, variant_unroll_depth,
+                    parsed=F.col(valias),
+                )
+                if variant_unroll_depth > 0
+                else None
             )
-            plan.arrow_specs.append(ArrowColumnSpec(name, sub_validator, f"$.{name}"))
+            if vn is not None:
+                plan.variant_sources[valias] = name
+                plan.variant_arrays.append(vn.violations_array)
+                if vn.deep_guard is not None:
+                    sub_validator = compile_python_validator(
+                        sub, registry=registry, base_uri=root_uri
+                    )
+                    plan.arrow_specs.append(
+                        ArrowColumnSpec(name, sub_validator, f"$.{name}",
+                                        gate=vn.deep_guard)
+                    )
+            else:
+                sub_validator = compile_python_validator(
+                    sub, registry=registry, base_uri=root_uri
+                )
+                plan.arrow_specs.append(ArrowColumnSpec(name, sub_validator, f"$.{name}"))
             if name in required:
                 plan.checks.append(
                     ColumnCheck("required", f"$.{name}", f"{spath}/required",

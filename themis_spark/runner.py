@@ -101,16 +101,29 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
     for batch in batches:
         started = time.time()
         df = table.read(partitions=batch)
-        annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col])
+        # defer_residual: the big scan runs 100% JVM-side; rows whose
+        # dynamic JSON recurses past the unroll depth are validated by a
+        # separate tiny Arrow job (residual_violations_df below) over a
+        # column-pruned scan — Python workers never spawn on clean data
+        annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col],
+                               defer_residual=True)
 
         # scan 1 (the only pass that runs the compiled validators):
         # violations straight to their partitioned sink. The explode output
         # is tiny relative to the scan, so clustering it onto its partition
         # key first costs one small shuffle and cuts the files committed
         # from (#tasks × #partitions) slivers to one per partition — the
-        # commit protocol renames files serially on the driver.
+        # commit protocol renames files serially on the driver. Persisting
+        # the (small) clustered frame lets the per-partition counts below
+        # come from cache instead of re-running the validators or
+        # re-reading the sink.
         viol = V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
-        viol_t.overwrite_partitions(viol.repartition(F.col("partition_id")))
+        residual = V.residual_violations_df(df, plan, cfg.key_col,
+                                            cfg.partition_col, cfg.run_id)
+        if residual is not None:
+            viol = viol.unionByName(residual)
+        viol = viol.repartition(F.col("partition_id")).persist()
+        viol_t.overwrite_partitions(viol)
 
         # scan 2 (no Python, pure codegen aggregation): per-partition stats
         # — its cnt+nulls also yields exact per-partition row counts, so
@@ -132,19 +145,12 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                 .select("partition_id", (F.col("cnt") + F.col("nulls")).alias("rows"))
                 .collect()
             }
-            viol_per_part: dict[str, int] = {}
-            if viol_t.exists():  # an all-clean batch writes no dirs at all
-                # partition-dir type inference flips int↔string depending
-                # on whether '__global__' exists yet — normalize to string
-                for r in (
-                    viol_t.read()
-                    .where(F.col("run_id") == cfg.run_id)
-                    .where(F.col("partition_id").cast("string").isin([str(p) for p in batch]))
-                    .groupBy(F.col("partition_id").cast("string").alias("partition_id"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                ):
-                    viol_per_part[str(r["partition_id"])] = int(r["n"])
+            viol_per_part: dict[str, int] = {
+                str(r["partition_id"]): int(r["n"])
+                for r in viol.groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
             verdict_rows = [
                 (pid, cfg.run_id, n, viol_per_part.get(pid, 0), viol_per_part.get(pid, 0) == 0)
                 for pid, n in sorted(rows_per_part.items())
@@ -160,6 +166,7 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             total_viol += sum(viol_per_part.values())
         finally:
             metrics.unpersist()
+            viol.unpersist()
         # lineage commit LAST: a kill before this line leaves the batch
         # uncommitted and it re-runs idempotently (outputs are overwritten
         # per-partition, so the retry converges to the same bytes)

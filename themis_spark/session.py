@@ -46,6 +46,14 @@ def get_spark(
     # cluster this scales with executor count (set explicitly per job)
     n = shuffle_partitions or max(2 * _parse_cores(master), 32)
     conf["spark.sql.shuffle.partitions"] = str(n)
+    if master.startswith("local-cluster["):
+        # multi-executor-JVM mode (the sandbox stand-in for a real
+        # cluster): executors are separate processes that spawn their own
+        # python workers — they need SPARK_HOME and our package on path
+        # (prod equivalent: spark-submit --py-files themis_spark.zip)
+        os.environ.setdefault("SPARK_HOME", _pyspark_home())
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        conf.setdefault("spark.executorEnv.PYTHONPATH", repo)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -53,7 +61,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _pyspark_home() -> str:
+    import pyspark
+
+    return pyspark.__path__[0]
+
+
 def _parse_cores(master: str) -> int:
+    if master.startswith("local-cluster["):
+        # local-cluster[execs, cores_per_exec, mem_mb]
+        try:
+            execs, cores, _ = master[len("local-cluster["):-1].split(",")
+            return int(execs) * int(cores)
+        except ValueError:
+            return 8
     if master.startswith("local["):
         inner = master[6:-1]
         if inner == "*":
