@@ -273,6 +273,36 @@ def q_dedup_lsh_candidates(spark, sf):
     return D.lsh_candidate_pairs(d, num_hashes=12, bands=6)
 
 
+def q_dedup_simhash_neardup(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return D.simhash_near_duplicates(d, bits=16, max_hamming=3, block_bits=8)
+
+
+def q_ann_embedding_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 500)
+    return S.embedding_near_duplicates(emb, threshold=0.15, n_planes=4)
+
+
+def q_drift_ks(spark, sf):
+    # split one table into two halves by key parity and measure
+    # distribution drift of o_totalprice between them (near-zero KS) —
+    # the engine's baseline-vs-run comparison on mergeable histograms
+    from themis_spark.operators.constraints import drift_check
+    from themis_spark.operators.stats import HistSpec, column_stats
+
+    orders = _t(spark, sf, "orders")
+    spec = [HistSpec("o_totalprice", 0.0, 600000.0, 20)]
+    a = column_stats(orders.where(F.pmod("o_orderkey", F.lit(2)) == 0),
+                     ["o_totalprice"], None, spec, "a")
+    b = column_stats(orders.where(F.pmod("o_orderkey", F.lit(2)) == 1),
+                     ["o_totalprice"], None, spec, "b")
+    r = drift_check(a, b, "o_totalprice", threshold=0.1)
+    return spark.createDataFrame(
+        [(r["column"], float(round(r["ks"], 6)), bool(r["drifted"]))],
+        "column string, ks double, drifted boolean",
+    )
+
+
 def q_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return S.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
@@ -317,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "ann_lsh": q_ann_lsh,
         "stat_hll": q_stat_hll,
+        "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "ann_embedding_neardup": q_ann_embedding_neardup,
+        "drift_ks": q_drift_ks,
     }
 
 

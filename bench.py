@@ -1,8 +1,8 @@
 """Benchmark harness.
 
 Default mode (driver contract): runs the headline queries at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``$SPARK_GRAFT_CPUS`` total cores and prints ONE JSON line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
@@ -13,10 +13,17 @@ constraints → checkpointed writes) over a deterministic synthetic pages
 table (BASELINE.json input_hint shape), plus per-operator timings over
 the driver's TPC-H-ish tables.
 
-Scaling mode (``--scaling``): same engine pass, same input, at local[8]
-and local[32] in fresh subprocesses (fresh JVMs); reports both
-throughputs and eff = (docs/s @32) / (4 × docs/s @8) into
-BENCH/BASELINE.md - the sandbox proxy for the N→4N-executor criterion.
+Cores are spread over multi-executor JVMs (local-cluster) rather than one
+local[N] JVM: this VM schedules threads of a single process onto ~8-16
+effective cores no matter N, while separate executor processes scale —
+and separate executors are what the production deployment has anyway.
+Set BENCH_MASTER to override.
+
+Scaling mode (``--scaling``): same engine pass, same input, at two
+cluster sizes (default 1 vs 4 executors × 4 cores) in fresh subprocesses,
+interleaved repeats, steady-state passes; reports both throughputs and
+eff = tput_4N / (4 × tput_N) into BENCH/BASELINE.md — the sandbox
+protocol for the north rule's N→4N-executor criterion.
 """
 
 from __future__ import annotations
@@ -178,7 +185,66 @@ def single_run(master: str, engine_only: bool = False) -> dict:
     return {"engine": engine, "queries": queries, "master": master}
 
 
+def kernel_run(master: str, passes: int = 3) -> dict:
+    """The BASELINE metric's kernel — fused validate+stats over the pages
+    table (no sinks, no constraint shuffles) — at one cluster size.
+    Reports best-of-``passes`` steady-state docs/sec."""
+    from pyspark.sql import functions as F
+
+    from themis_spark.operators import validate as V
+    from themis_spark.operators.stats import column_stats
+    from themis_spark.plans.compiler import compile_plan
+    from themis_spark.session import get_spark
+    from themis_spark.sources.pages import PAGES_SCHEMA_JSON
+    from themis_spark.sources.tableio import ParquetTable
+
+    spark = get_spark(app_name=f"kernel-{master}", master=master)
+    try:
+        ensure_pages(spark, PAGES_ROWS, PAGES_DIR)
+        df = ParquetTable(spark, f"{PAGES_DIR}/pages", "part_id").read()
+        plan = compile_plan(PAGES_SCHEMA_JSON, df.schema)
+        ann = V.annotate(df, plan, keep=["url", "part_id"], defer_residual=True)
+        res = V.residual_violations_df(df, plan, "url", "part_id", "k")
+
+        def one():
+            ann.select(F.sum("n_violations")).collect()
+            if res is not None:
+                res.count()
+            column_stats(df, ["url", "text", "lang", "warc_ts"], "part_id", [], "k").collect()
+
+        one()  # warm: JIT + codegen outside the measured window
+        times = []
+        for _ in range(passes):
+            t0 = time.time()
+            one()
+            times.append(time.time() - t0)
+        best = min(times)
+        return {"master": master, "rows": PAGES_ROWS,
+                "docs_per_sec": round(PAGES_ROWS / best, 1),
+                "times": [round(t, 2) for t in times]}
+    finally:
+        spark.stop()
+
+
+def _default_master() -> str:
+    """CPUS total cores as executor JVMs of 4 cores each (see module
+    docstring); BENCH_MASTER overrides."""
+    override = os.environ.get("BENCH_MASTER")
+    if override:
+        return override
+    execs = max(CPUS // 4, 1)
+    return f"local-cluster[{execs},4,3072]"
+
+
 def main() -> None:
+    if "--kernel-json" in sys.argv:
+        master = (
+            sys.argv[sys.argv.index("--master") + 1]
+            if "--master" in sys.argv
+            else _default_master()
+        )
+        print("KERNEL_JSON:" + json.dumps(kernel_run(master)))
+        return
     if "--scaling" in sys.argv:
         scaling_main()
         return
@@ -186,14 +252,14 @@ def main() -> None:
         master = (
             sys.argv[sys.argv.index("--master") + 1]
             if "--master" in sys.argv
-            else f"local[{CPUS}]"
+            else _default_master()
         )
         r = single_run(master, engine_only=True)
         print("ENGINE_JSON:" + json.dumps(r["engine"]))
         return
 
     t0 = time.time()
-    r = single_run(f"local[{CPUS}]")
+    r = single_run(_default_master())
     total = round(time.time() - t0, 3)
     engine = r["engine"]
     result = {
@@ -203,8 +269,10 @@ def main() -> None:
         "queries": {"engine_pass": engine["wall_sec"], **r["queries"]},
         "sf": SF_DIR,
         "docs_per_sec": engine["docs_per_sec"],
+        "engine_passes": engine.get("passes"),
         "pages_rows": engine["rows"],
         "cores": CPUS,
+        "master": r["master"],
     }
     print(json.dumps(result))
 
@@ -213,14 +281,15 @@ def scaling_main() -> None:
     """Two-cluster-size scaling evidence (N vs 4N executors), median of
     N repeats, fresh JVMs per run, configurations interleaved.
 
-    Default pair is local-cluster[2,4,3072] vs local-cluster[8,4,3072]:
-    2 vs 8 executor JVM PROCESSES of 4 cores each — the closest sandbox
-    analogue of the north rule's "N and 4N executors" criterion. A raw-CPU
-    probe on this VM shows separate processes scale near-linearly to 32
-    workers (8→32 procs ≈ 0.87 efficiency) while threads inside one
-    process are scheduler-capped, so multi-JVM is both the faithful AND
-    the hardware-supported experiment. Override with
-    BENCH_SCALE_MASTERS="local[8]|local[32]".
+    Default pair is local-cluster[1,4,3072] vs local-cluster[4,4,3072]:
+    1 vs 4 executor JVM PROCESSES of 4 cores each — the north rule's
+    "N and 4N executors" experiment, sized so even the 4N config (16
+    cores) leaves the 32-vCPU host headroom for the driver, GC and
+    shuffle threads, as a real cluster would have per node. A raw-CPU
+    probe shows separate processes scale near-linearly at this range;
+    host throughput still drifts ±35% over minutes (shared VM), hence
+    interleaved repeats + medians + steady-state passes. Override with
+    BENCH_SCALE_MASTERS="local-cluster[2,4,3072]|local-cluster[8,4,3072]".
     """
     from themis_spark.session import _parse_cores
 
@@ -228,10 +297,10 @@ def scaling_main() -> None:
     # scaling runs default to a larger input than the per-operator bench:
     # the serial driver fraction (commits, tiny verdict jobs) must be
     # small relative to compute for the efficiency number to mean anything
-    scale_rows = int(os.environ.get("BENCH_PAGES_ROWS", "16000000"))
+    scale_rows = int(os.environ.get("BENCH_PAGES_ROWS", "4000000"))
     masters = os.environ.get(
         "BENCH_SCALE_MASTERS",
-        "local-cluster[2,4,3072]|local-cluster[8,4,3072]",
+        "local-cluster[1,4,3072]|local-cluster[4,4,3072]",
     ).split("|")
     lo_m, hi_m = masters[0], masters[1]
     lo_c, hi_c = _parse_cores(lo_m), _parse_cores(hi_m)

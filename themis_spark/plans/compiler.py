@@ -98,19 +98,27 @@ class CompiledPlan:
 
     # -- violation assembly (SURVEY 2(a).27) --------------------------------
     def violation_elements(self) -> list[Column]:
+        """One 0-or-1-element array per check. Concatenating these beats
+        array_compact(array(...)): array_compact rewrites to a
+        higher-order filter, which is CodegenFallback — ONE of those in
+        the projection knocks the whole fused pass out of whole-stage
+        codegen (measured ~3× slower, interpreted + no subexpr reuse)."""
+        empty = F.array().cast(VIOLATION_ARRAY_TYPE)
         els = []
         for c in self.checks:
             failed = ~F.coalesce(c.predicate, F.lit(False))
             els.append(
                 F.when(
                     failed,
-                    F.struct(
-                        F.lit(c.keyword).alias("keyword"),
-                        F.lit(c.instance_path).alias("instance_path"),
-                        F.lit(c.schema_path).alias("schema_path"),
-                        c.detail.alias("detail"),
+                    F.array(
+                        F.struct(
+                            F.lit(c.keyword).alias("keyword"),
+                            F.lit(c.instance_path).alias("instance_path"),
+                            F.lit(c.schema_path).alias("schema_path"),
+                            c.detail.alias("detail"),
+                        )
                     ),
-                )
+                ).otherwise(empty)
             )
         return els
 
@@ -118,7 +126,7 @@ class CompiledPlan:
         els = self.violation_elements()
         if not els:
             return F.lit([]).cast(VIOLATION_ARRAY_TYPE)
-        return F.array_compact(F.array(*els))
+        return F.concat(*els)
 
     def violations_col(self, include_gated_arrow: bool = True) -> Column:
         """Full violations array: native checks ++ Arrow-path checks,

@@ -103,16 +103,6 @@ def _type_pred(tname: str, s: Column, d: Column) -> Column:
     raise _Unsupported(f"unknown type {tname!r}")
 
 
-def _elem_canon(e: Column) -> Column:
-    """Canonical string for draft-4 deep equality of one array element:
-    numerics via double (1 == 1.0 == 1e0), everything else via to_json
-    (variant already normalizes object key order / whitespace)."""
-    s = F.schema_of_variant(e)
-    return F.when(
-        _num_sov(s), F.try_variant_get(e, "$", "double").cast("string")
-    ).otherwise(F.to_json(e))
-
-
 def try_compile_variant_native(
     colname: str,
     subschema: dict,
@@ -134,7 +124,7 @@ def try_compile_variant_native(
     root_ipath = f"$.{colname}"
 
     cond_checks: list[tuple[Column, Column]] = []  # (fail_cond, viol struct)
-    elem_arrays: list[Column] = []                 # dynamic per-element arrays
+    residual_conds: list[Column] = []              # rows the Arrow path must own
     frontier: list[str] = []
 
     def node_at(vpath: str) -> Column:
@@ -232,11 +222,39 @@ def try_compile_variant_native(
         if "maxItems" in node:
             add("maxItems", is_arr & (F.size(arrv) > node["maxItems"]),
                 ipath, f"{spath}/maxItems")
+        # Array-content keywords WITHOUT higher-order functions: HOF
+        # lambdas are CodegenFallback in Spark, and one of them in the
+        # projection knocks the whole fused pass out of whole-stage
+        # codegen (measured 3-4× slower, interpreted + no CSE). The
+        # element type promoted by schema_of_variant classifies the
+        # common homogeneous-scalar arrays natively; genuinely
+        # heterogeneous/nested arrays join the residual gate and get
+        # exact (per-index) treatment from the Arrow validator.
+        _num_arr = (
+            (s == "ARRAY<BIGINT>") | (s == "ARRAY<DOUBLE>")
+            | F.startswith(s, F.lit("ARRAY<DECIMAL"))
+        )
+        arr_s = F.try_variant_get(nd, "$", "array<string>")
+
         if node.get("uniqueItems") is True:
-            canon = F.transform(arrv, _elem_canon)
-            add("uniqueItems",
-                is_arr & (F.size(F.array_distinct(canon)) != F.size(arrv)),
-                ipath, f"{spath}/uniqueItems")
+            def _dup(a: Column) -> Column:
+                return F.size(F.array_distinct(a)) != F.size(a)
+
+            dup_cond = (
+                F.when(s == "ARRAY<STRING>", _dup(arr_s))
+                # draft-4 numeric equality (1 == 1.0): compare as double;
+                # divergence above 2^53 documented in the module docstring
+                .when(_num_arr, _dup(F.try_variant_get(nd, "$", "array<double>")))
+                .when(s == "ARRAY<BOOLEAN>", _dup(F.try_variant_get(nd, "$", "array<boolean>")))
+                .when(s == "ARRAY<VOID>", F.size(arrv) > 1)  # nulls deep-equal
+                .otherwise(F.lit(False))
+            )
+            add("uniqueItems", is_arr & dup_cond, ipath, f"{spath}/uniqueItems")
+            complex_arr = (
+                is_arr & ~(s == "ARRAY<STRING>") & ~_num_arr
+                & ~(s == "ARRAY<BOOLEAN>") & ~(s == "ARRAY<VOID>")
+            )
+            residual_conds.append(present & complex_arr & (F.size(arrv) > 1))
 
         if "items" in node:
             items = node["items"]
@@ -244,30 +262,36 @@ def try_compile_variant_native(
                 raise _Unsupported("items beyond a bare type check")
             if "type" in items:
                 itypes = items["type"] if isinstance(items["type"], list) else [items["type"]]
-                isp = f"{spath}/items/type"
-
-                def _make_el_viol(itypes, isp, ipath):
-                    # pyspark HOF lambdas must be STRICTLY 2-parameter —
-                    # default args would read as extra parameters
-                    def el_viol(e: Column, i: Column) -> Column:
-                        es = F.schema_of_variant(e)
-                        ed = F.try_variant_get(e, "$", "double")
-                        ok = reduce(lambda a, b: a | b,
-                                    [_type_pred(t, es, ed) for t in itypes])
-                        ip = F.concat(F.lit(f"{ipath}["), i.cast("string"), F.lit("]"))
-                        return F.when(~ok, _viol("type", ip, isp))
-
-                    return el_viol
-
-                elem_arrays.append(
-                    F.when(
-                        present & is_arr,
-                        F.filter(
-                            F.transform(arrv, _make_el_viol(itypes, isp, ipath)),
-                            lambda x: x.isNotNull(),
-                        ),
-                    )
+                fam = F.lit(False)
+                if "string" in itypes:
+                    fam = fam | (s == "ARRAY<STRING>")
+                if "integer" in itypes or "number" in itypes:
+                    # integer-only: BIGINT provably ok; DECIMAL/DOUBLE
+                    # arrays may still be all fraction-free → residual
+                    fam = fam | (s == "ARRAY<BIGINT>")
+                if "number" in itypes:
+                    fam = fam | (s == "ARRAY<DOUBLE>") | F.startswith(s, F.lit("ARRAY<DECIMAL"))
+                if "boolean" in itypes:
+                    fam = fam | (s == "ARRAY<BOOLEAN>")
+                if "object" in itypes:
+                    fam = fam | F.startswith(s, F.lit("ARRAY<OBJECT"))
+                if "array" in itypes:
+                    fam = fam | F.startswith(s, F.lit("ARRAY<ARRAY"))
+                null_ok = "null" in itypes
+                # sov promotes over nulls: ARRAY<STRING> may hide null
+                # elements — any cast keeps them null; sort_array puts
+                # nulls first, F.get is out-of-bounds-safe under ANSI
+                # (array_compact would be a CodegenFallback HOF)
+                has_null = (F.size(arr_s) > 0) & F.get(F.sort_array(arr_s), 0).isNull()
+                empty_arr = F.size(arrv) == 0
+                ok = (
+                    empty_arr
+                    | ((s == "ARRAY<VOID>") & F.lit(null_ok))
+                    | (fam & (F.lit(null_ok) | ~has_null))
                 )
+                # any not-provably-ok array → residual: the Arrow path
+                # emits the exact per-index violation triples
+                residual_conds.append(present & is_arr & ~ok)
 
         for k in node.get("required", []) or []:
             if not _IDENT_RE.match(k):
@@ -290,31 +314,23 @@ def try_compile_variant_native(
     except _Unsupported:
         return None
 
-    deep = None
-    if frontier:
-        deep = reduce(lambda a, b: a | b,
-                      [node_at(p).isNotNull() for p in frontier])
+    guards = [node_at(p).isNotNull() for p in frontier]
+    guards += [F.coalesce(c, F.lit(False)) for c in residual_conds]
+    deep = reduce(lambda a, b: a | b, guards) if guards else None
 
+    # malformed JSON: raw text present but unparseable — same triple the
+    # Arrow batch validator emits for json.loads failures.
+    # concat-of-singletons, NOT array_compact(array(...)) — array_compact
+    # is a higher-order filter under the hood (CodegenFallback) and would
+    # de-codegen the entire fused projection.
     from themis_spark.plans.compiler import VIOLATION_ARRAY_TYPE
 
     empty = F.array().cast(VIOLATION_ARRAY_TYPE)
-    # malformed JSON: raw text present but unparseable — same triple the
-    # Arrow batch validator emits for json.loads failures
     malformed = raw.isNotNull() & v.isNull()
-    parts = [
-        F.array_compact(
-            F.array(
-                F.when(malformed, _viol("type", root_ipath, f"{base_uri}#")),
-                *[
-                    F.when(cond if deep is None else (cond & ~deep), viol)
-                    for cond, viol in cond_checks
-                ],
-            )
-        )
-    ]
-    for arr in elem_arrays:
-        gated = arr if deep is None else F.when(~deep, arr)
-        parts.append(F.coalesce(gated.cast(VIOLATION_ARRAY_TYPE), empty))
+    parts = [F.when(malformed, F.array(_viol("type", root_ipath, f"{base_uri}#"))).otherwise(empty)]
+    for cond, viol in cond_checks:
+        gated = cond if deep is None else (cond & ~deep)
+        parts.append(F.when(gated, F.array(viol)).otherwise(empty))
     out = parts[0] if len(parts) == 1 else F.concat(*parts)
     return VariantNativePlan(out, deep, frontier)
 

@@ -134,7 +134,12 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         metrics = metrics.cache()
         try:
             if cfg.stats_columns:
-                metr_t.overwrite_partitions(metrics)
+                # tiny frame (rows = partitions × columns): one writer
+                # task, else every agg task opens a file in every
+                # partition dir and the commit renames hundreds of
+                # slivers. repartition, NOT coalesce — coalesce(1) would
+                # narrow the aggregation stage itself to one task
+                metr_t.overwrite_partitions(metrics.repartition(1))
             # both per-partition frames are tiny (one row per partition /
             # per (partition, keyword)); collecting them driver-side and
             # building verdicts locally avoids three extra Spark jobs —
@@ -160,7 +165,7 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                     verdict_rows,
                     "partition_id string, run_id string, rows bigint, "
                     "violation_rows bigint, passed boolean",
-                )
+                ).coalesce(1)
             )
             total_rows += sum(rows_per_part.values())
             total_viol += sum(viol_per_part.values())
@@ -174,7 +179,7 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             [(cfg.run_id, int(p), "done", started, time.time()) for p in batch],
             "run_id string, part_id int, status string, started_ts double, finished_ts double",
         )
-        lin_t.append(lineage, partitioned=False)
+        lin_t.append(lineage.coalesce(1), partitioned=False)
         done_now.extend(batch)
 
     # ---- global constraints (cross-partition by nature)
@@ -212,7 +217,7 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             allg = gv[0]
             for g in gv[1:]:
                 allg = allg.unionByName(g)
-            allg = allg.withColumn("partition_id", F.lit("__global__")).cache()
+            allg = allg.withColumn("partition_id", F.lit("__global__")).repartition(1).cache()
             try:
                 global_viol = allg.count()
                 viol_t.overwrite_partitions(allg)

@@ -13,6 +13,12 @@ import os
 from pyspark.sql import SparkSession
 
 ENGINE_CONF = {
+    # InferFiltersFromGenerate would duplicate the ENTIRE fused
+    # violations expression into a pre-explode Filter (evaluated
+    # interpreted, no subexpression reuse) just to skip empty arrays —
+    # measured ~2× the whole pass. Generate already skips empties.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -28,6 +34,11 @@ ENGINE_CONF = {
     # controlled at WRITE time instead: the generators target ~32–64 MB
     # files so scans naturally produce ≥ cores input splits.
     "spark.sql.session.timeZone": "UTC",
+    # batch-throughput GC: ParallelGC beats G1's pause-target behavior for
+    # this allocation-heavy scan (variant probes, UTF8 strings) — no
+    # latency SLO here, only docs/sec
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
