@@ -39,7 +39,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "1000000"))
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "4000000"))
 PAGES_DIR = os.environ.get("BENCH_PAGES_DIR", os.path.join(REPO, ".bench_data", f"pages_{PAGES_ROWS}"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -164,7 +164,7 @@ def single_run(master: str, engine_only: bool = False) -> dict:
     exhibits. All passes are recorded under ``passes`` for transparency."""
     from themis_spark.session import get_spark
 
-    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
     spark = get_spark(app_name=f"bench-{master}", master=master)
     ensure_pages(spark, PAGES_ROWS, PAGES_DIR)
     try:
