@@ -73,6 +73,49 @@ def test_simhash_near_duplicates(spark, docs):
     assert (1, 2) in pairs
 
 
+def test_degenerate_bucket_caps_bound_pair_explosion(spark):
+    """10k identical boilerplate docs share one LSH bucket per band; the
+    cap drops those buckets BEFORE the self-join (O(b²) output otherwise
+    — AQE splits join work, not output) and routes the group to exact
+    dedup, which handles it in linear work (round-1 verdict item 5)."""
+    n = 200
+    rows = [(i, "identical boilerplate page text repeated endlessly on every page")
+            for i in range(n)]
+    rows += [(1000, "genuinely unique content about regional railway timetables"),
+             (1001, "genuinely unique content about regional railway schedules")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.lsh_candidate_pairs(df, num_hashes=12, bands=6, max_bucket_size=16)
+    capped_pairs = capped.collect()
+    # boilerplate bucket dropped entirely; the near-dup pair survives
+    assert all(r["a_key"] >= 1000 for r in capped_pairs)
+    assert (1000, 1001) in {(r["a_key"], r["b_key"]) for r in capped_pairs}
+
+    uncapped = D.lsh_candidate_pairs(df, num_hashes=12, bands=6,
+                                     max_bucket_size=None).count()
+    assert uncapped >= n * (n - 1) / 2, "sanity: uncapped explodes quadratically"
+
+    # the dropped group is exact-dup territory — linear-work recovery
+    g = D.exact_duplicates(df).collect()
+    assert len(g) == 1 and g[0]["group_size"] == n
+
+    # same guard on the SimHash block join
+    sim = D.simhash_near_duplicates(df, bits=16, max_hamming=3,
+                                    max_bucket_size=16).collect()
+    assert all(r["a_key"] >= 1000 for r in sim)
+
+
+def test_jaccard_shingle_df_cap(spark, docs):
+    # a shingle shared by >cap docs leaves the inverted index; remaining
+    # (discriminative) shingles still pair near-dups 6/7 via their tail
+    pairs = {(r["a_key"], r["b_key"]) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=2).collect()}
+    assert (6, 7) in pairs
+    # with cap 1 every shared shingle is excluded → no pairs at all
+    none = D.ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=1).count()
+    assert none == 0
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()

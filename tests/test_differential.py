@@ -83,3 +83,44 @@ def test_native_path_matches_python_core(spark, rows, schema):
     ]
     want = [_python_verdict(schema, row) for row in rows]
     assert got == want, f"schema={json.dumps(schema)} rows={rows}"
+
+
+# ---- combinators on typed columns (round-2: native anyOf/oneOf/not/allOf)
+
+_BRANCH = st.one_of(
+    st.fixed_dictionaries({}, optional={
+        "minimum": st.integers(-20, 20),
+        "maximum": st.integers(-20, 20),
+        "multipleOf": st.integers(1, 7),
+        "enum": st.lists(st.integers(-5, 5), min_size=1, max_size=3),
+    }),
+    st.fixed_dictionaries({"type": st.just("string")}),
+)
+
+_COMB_SCHEMAS = st.fixed_dictionaries({
+    "type": st.just("object"),
+    "properties": st.fixed_dictionaries({
+        "n": st.one_of(
+            st.fixed_dictionaries({"anyOf": st.lists(_BRANCH, min_size=1, max_size=3)}),
+            st.fixed_dictionaries({"oneOf": st.lists(_BRANCH, min_size=1, max_size=3)}),
+            st.fixed_dictionaries({"allOf": st.lists(_BRANCH, min_size=1, max_size=3)}),
+            st.fixed_dictionaries({"not": _BRANCH}),
+        ),
+    }),
+})
+
+
+@pytest.mark.spark
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(rows=ROWS, schema=_COMB_SCHEMAS)
+def test_native_combinators_match_python_core(spark, rows, schema):
+    df = spark.createDataFrame(rows, "s string, n long, t string")
+    plan = compile_plan(schema, df.schema)
+    assert not plan.arrow_specs, "combinators over longs must stay native"
+    got = [
+        r["ok"]
+        for r in plan.prepare(df).select((F.size(plan.violations_col()) == 0).alias("ok")).collect()
+    ]
+    want = [_python_verdict(schema, row) for row in rows]
+    assert got == want, f"schema={json.dumps(schema)} rows={rows}"

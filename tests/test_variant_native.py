@@ -127,17 +127,84 @@ def test_variant_native_matches_python(spark):
 
 @pytest.mark.spark
 def test_unsupported_keywords_fall_back(spark):
+    # patternProperties over unknown-shape JSON needs key iteration →
+    # still Arrow-only (combinators are native since round 2)
     schema = {
         "id": "s",
         "type": "object",
         "properties": {
-            "meta": {"type": "object", "properties": {"x": {"allOf": [{"type": "string"}]}}}
+            "meta": {"type": "object", "patternProperties": {"^x": {"type": "string"}}}
         },
     }
-    df = spark.createDataFrame([('{"x": 1}',)], "meta string")
+    df = spark.createDataFrame([('{"x1": 1}',)], "meta string")
     plan = compile_plan(schema, df.schema)
     assert not plan.variant_arrays
     assert len(plan.arrow_specs) == 1 and plan.arrow_specs[0].gate is None
+
+
+COMBINATOR_META = {
+    "id": "comb",
+    "type": "object",
+    "properties": {
+        "meta": {
+            "type": "object",
+            "properties": {
+                # anyOf: short string OR big number
+                "a": {"anyOf": [{"type": "string", "maxLength": 3},
+                                {"type": "number", "minimum": 100}]},
+                # oneOf: exactly one of (multiple of 3, multiple of 5)
+                "b": {"oneOf": [{"multipleOf": 3}, {"multipleOf": 5}]},
+                # not: anything but the literal 'no'
+                "c": {"not": {"enum": ["no"]}},
+                # allOf: conjunction emits INNER triples
+                "d": {"allOf": [{"minimum": 0}, {"maximum": 10}]},
+            },
+            "dependencies": {
+                "a": ["b"],                       # property form
+                "c": {"required": ["d"]},          # schema form
+            },
+        }
+    },
+}
+
+COMBINATOR_DOCS = [
+    '{"a": "ok", "b": 3}',                 # all fine
+    '{"a": "toolong", "b": 5}',            # anyOf fail
+    '{"a": 500, "b": 9}',                  # anyOf ok via number branch
+    '{"b": 15}',                           # oneOf fail (both branches)
+    '{"b": 7}',                            # oneOf fail (neither)
+    '{"c": "no", "d": 5}',                 # not fail
+    '{"c": "yes", "d": 5}',                # ok
+    '{"d": -1}',                           # allOf inner minimum fail
+    '{"d": 11}',                           # allOf inner maximum fail
+    '{"a": "x"}',                          # dependencies property fail (no b)
+    '{"c": "hi"}',                         # dependencies schema fail (no d)
+    '{}',                                  # vacuous
+    '{"a": null}',                         # JSON-null a: fails both anyOf branches
+]
+
+
+@pytest.mark.spark
+def test_variant_native_combinators_match_python(spark):
+    """anyOf/oneOf/not/allOf + dependencies compile NATIVELY on the
+    variant path (no Arrow spec) and agree with the Python ground truth
+    triple for triple (round-1 verdict items 1-2)."""
+    registry, root = parse_schema(COMBINATOR_META)
+    validator = compile_python_validator(
+        COMBINATOR_META["properties"]["meta"], registry=registry, base_uri=root
+    )
+    expected = _expected(validator, COMBINATOR_DOCS)
+
+    rows = [(i, raw) for i, raw in enumerate(COMBINATOR_DOCS)]
+    df = spark.createDataFrame(rows, "row_id int, meta string")
+    plan = compile_plan(COMBINATOR_META, df.schema)
+    assert plan.variant_arrays, "combinators must compile natively"
+    assert not plan.arrow_specs, "no Arrow fallback for combinator schemas"
+    got = set()
+    ann = plan.prepare(df).select("row_id", plan.violations_col().alias("violations"))
+    for r in ann.select("row_id", F.explode("violations").alias("v")).collect():
+        got.add((r["row_id"], r["v"]["keyword"], r["v"]["instance_path"], r["v"]["schema_path"]))
+    assert got == expected
 
 
 @pytest.mark.spark

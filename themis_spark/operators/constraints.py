@@ -47,6 +47,41 @@ def duplicate_keys(df: DataFrame, key: str, salted: bool = False, salt_buckets: 
     )
 
 
+def duplicate_keys_hashed(df: DataFrame, key: str) -> DataFrame:
+    """duplicate_keys with a hash-compressed first shuffle (round-2 perf).
+
+    Plain groupBy(key) shuffles every distinct KEY STRING — for ~unique
+    urls that is O(rows)·~70 bytes of exchange. Stage 1 here aggregates
+    on ``xxhash64(key)`` instead: fixed 8-byte shuffle rows (~4-8× less
+    exchange volume at web scale). Hash collisions only create false
+    CANDIDATES, never false results: stage 2 semi-joins the (tiny,
+    broadcast) candidate-hash set back against the table and re-counts on
+    the exact key, so the output is identical to duplicate_keys.
+
+    Trade-off, explicit: this reads the (column-pruned) key column TWICE
+    but shrinks the big shuffle ~8×. On a cluster where the exchange is
+    the bottleneck — the north rule's url-skew regime — that wins; for
+    dup-HEAVY tables (candidate set too big to broadcast) use plain
+    duplicate_keys, whose one-shuffle plan is optimal there.
+    """
+    kh = F.xxhash64(F.col(key)).alias("__kh")
+    cand = (
+        df.select(kh)
+        .groupBy("__kh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("__kh")
+    )
+    exact = df.join(
+        F.broadcast(cand), F.xxhash64(F.col(key)) == F.col("__kh"), "left_semi"
+    )
+    return (
+        exact.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
 def duplicate_examples(df: DataFrame, key: str, n_examples: int = 3,
                        salt_buckets: int = 64) -> DataFrame:
     """Duplicate keys with example payloads — the case where salting
@@ -120,6 +155,47 @@ def referential_violations(child: DataFrame, child_key: str, parent: DataFrame,
         F.lit(f"$.{child_key}").alias("instance_path"),
         F.lit(f"#/constraints/fk/{child_key}->{parent_key}").alias("schema_path"),
         F.col(child_key).cast("string").substr(1, 64).alias("detail"),
+    )
+
+
+def invariant_mismatches(df: DataFrame, reference: DataFrame, key: str = "url",
+                         text: str = "text") -> DataFrame:
+    """Rows whose extracted ``text`` is not byte-identical to the
+    reference extraction for the same ``key`` (BASELINE.json input_hint:
+    'byte-identical extracted text per url' — SURVEY 2(b).11).
+
+    Plan: sha256 over the UTF-8 bytes computed MAP-SIDE on both sides, so
+    the equi join shuffles (key, 64-char digest) pairs only — never the
+    text. NULL text hashes to a sentinel so null-vs-value counts as a
+    mismatch while null-vs-null matches."""
+    def _h(frame, alias):
+        digest = F.coalesce(
+            F.sha2(F.encode(F.col(text), "UTF-8"), 256), F.lit("<null>"))
+        return frame.select(F.col(key).alias("__k"), digest.alias(alias))
+
+    left = _h(df, "__h_actual")
+    right = _h(reference, "__h_ref")
+    return (
+        left.join(right, "__k")
+        .where(F.col("__h_actual") != F.col("__h_ref"))
+        .select(F.col("__k").alias(key), "__h_actual", "__h_ref")
+    )
+
+
+def invariant_violations(df: DataFrame, reference: DataFrame, key: str = "url",
+                         text: str = "text", run_id: str = "r0",
+                         schema_id: str = "pages") -> DataFrame:
+    """Text-invariant mismatches as reference-contract violation rows
+    (round-1 verdict missing item 4 / SURVEY 2(b).11)."""
+    return invariant_mismatches(df, reference, key, text).select(
+        F.col(key).cast("string").alias("url"),
+        F.lit("0").alias("partition_id"),
+        F.lit(run_id).alias("run_id"),
+        F.lit("text_invariant").alias("keyword"),
+        F.lit(f"$.{text}").alias("instance_path"),
+        F.lit(f"{schema_id}#/constraints/text_invariant/{key}").alias("schema_path"),
+        F.concat(F.lit("sha256="), F.col("__h_actual").substr(1, 16),
+                 F.lit("!="), F.col("__h_ref").substr(1, 16)).alias("detail"),
     )
 
 

@@ -25,8 +25,36 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from themis_spark.functions.hashing import hash60, hash60_seeded
+
+
+def _cap_bucket_size(df: DataFrame, bucket_cols: list[str],
+                     cap: int | None) -> DataFrame:
+    """Drop rows in candidate-generation buckets larger than ``cap``.
+
+    THE skew guard for LSH-style self-joins (round-1 verdict item 5): a
+    degenerate bucket — millions of identical boilerplate pages sharing
+    one (band, hash) cell — generates O(b²) candidate pairs. AQE's
+    skew-join splitting divides the join WORK but not the quadratic
+    OUTPUT, so the cap must happen before the join. Oversized buckets
+    are exact-duplicate territory by construction (their members hash
+    identically on a whole band) — route them to ``exact_duplicates``,
+    which handles any group size in linear work.
+
+    One window count over the join key (same shuffle layout the join
+    needs anyway); the filter is SQL-portable (COUNT(*) OVER) so the
+    DuckDB oracle replays candidate sets exactly.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= cap)
+        .drop("__bucket_n")
+    )
 
 
 # ------------------------------------------------------------------ shingles
@@ -108,26 +136,35 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (a_key < b_key, with the matching band).
+    """MinHash-LSH candidate pairs (a_key < b_key).
 
     Plan shape: signatures map-side → explode to (band, band_hash, key)
-    — ``bands`` rows per doc, tiny — → self equi-join on the band bucket.
-    The join is the only shuffle; AQE handles hot buckets (identical
-    boilerplate docs) via skew splitting.
+    — ``bands`` rows per doc, tiny — → bucket-size cap (degenerate
+    boilerplate buckets would emit O(b²) pairs; see _cap_bucket_size) →
+    self equi-join on the band bucket. The join key count is the only
+    shuffle; AQE skew-splits whatever survives the cap.
+
+    Band hashes are portable (md5-based hash60 over the concatenated
+    row hashes) so the DuckDB oracle replays candidate sets exactly.
     """
     sigs = minhash_signatures(df, key, text, num_hashes, shingle_n)
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+            hash60(F.concat_ws(
+                "|", *[F.col(f"minhash_{b * rows_per_band + r}")
+                       for r in range(rows_per_band)])).alias("bh"),
         )
         for b in range(bands)
     ]
-    exploded = sigs.select(
+    has_sig = F.col("minhash_0").isNotNull()
+    exploded = sigs.where(has_sig).select(
         F.col(key), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(key, "bb.band", "bb.bh").where(F.col("bh").isNotNull())
+    ).select(key, "bb.band", "bb.bh")
+    exploded = _cap_bucket_size(exploded, ["band", "bh"], max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -161,13 +198,16 @@ def simhash_col(text: Column | str, bits: int = 16) -> Column:
 
 def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text",
                             bits: int = 16, max_hamming: int = 2,
-                            block_bits: int = 8) -> DataFrame:
+                            block_bits: int = 8,
+                            max_bucket_size: int | None = 256) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Scale path: block on the top ``block_bits`` bits (two docs within
     hamming d of each other collide on at least one of the rotated blocks
     with high probability for small d); candidates equi-join per block,
-    verified with bit_count(xor). Avoids the quadratic all-pairs compare.
+    verified with bit_count(xor). Avoids the quadratic all-pairs compare;
+    degenerate blocks (boilerplate) are capped before the join
+    (_cap_bucket_size) — their members are exact-dup territory.
     """
     sigs = df.select(F.col(key), simhash_col(F.col(text), bits).alias("sh"))
     blocks = [
@@ -176,6 +216,7 @@ def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "tex
         for r in range(0, bits, block_bits)
     ]
     ex = sigs.select(key, "sh", F.explode(F.array(*blocks)).alias("b")).select(key, "sh", "b.rot", "b.blk")
+    ex = _cap_bucket_size(ex, ["rot", "blk"], max_bucket_size)
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.rot") == F.col("b.rot")) & (F.col("a.blk") == F.col("b.blk"))
@@ -192,19 +233,27 @@ def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "tex
 # ----------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
-                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity via inverted-index join.
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """N-gram Jaccard similarity via inverted-index join.
 
-    Explode distinct shingles → self equi-join on the shingle (this IS the
-    inverted index: only docs sharing a shingle ever meet) → pair
-    intersection counts → Jaccard with |A∪B| = |A|+|B|−|A∩B|.
-    At 10¹² docs this runs AFTER an LSH prefilter; standalone it's still
-    the right plan for corpus-scale exact Jaccard.
+    Explode distinct shingles → document-frequency cap (a shingle in
+    ``max_shingle_df``+ docs — boilerplate n-grams like "all rights
+    reserved" — would alone generate O(df²) index pairs; standard prefix
+    filtering drops it from the INDEX and from both set sizes, so the
+    Jaccard is exact over the surviving discriminative shingles) → self
+    equi-join on the shingle → pair intersection counts → Jaccard with
+    |A∪B| = |A|+|B|−|A∩B|. At 10¹² docs this runs AFTER an LSH
+    prefilter; standalone it's still the right corpus-scale plan.
     """
     sized = df.select(
-        F.col(key), shingles_col(F.col(text), shingle_n).alias("sh")
-    ).withColumn("nsh", F.size("sh")).where(F.col("nsh") > 0)
-    inv = sized.select(key, "nsh", F.explode("sh").alias("shingle"))
+        F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("shingle")
+    )
+    sized = _cap_bucket_size(sized, ["shingle"], max_shingle_df)
+    wdoc = Window.partitionBy(key)
+    inv = (
+        sized.withColumn("nsh", F.count(F.lit(1)).over(wdoc))
+    )
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -37,10 +37,18 @@ def annotate(
     # prepare(): materialize try_parse_json once per dynamic-JSON column —
     # the variant-native checks then probe the parsed binary instead of
     # re-parsing the string per keyword
-    out = plan.prepare(df).select(
+    cols = [
         *passthrough,
         plan.violations_col(include_gated_arrow=not defer_residual).alias("violations"),
-    )
+    ]
+    if defer_residual and plan.residual_gate() is not None:
+        # marker: this frame's n_violations EXCLUDES the deep-recursion
+        # residue — verdicts_df refuses it so callers can't silently
+        # compute passed=true for partitions whose only violations are in
+        # the residual (round-1 ADVICE). The runner counts from the
+        # unioned violation rows instead.
+        cols.append(F.lit(True).alias("_residual_deferred"))
+    out = plan.prepare(df).select(*cols)
     return out.withColumn("n_violations", F.size("violations"))
 
 
@@ -104,7 +112,7 @@ def residual_violations_df(
         if spec.gate is None:
             continue
         udf = violations_pandas_udf(spec.validator, spec.instance_prefix)
-        piece = decode_violations(udf(F.when(spec.gate, F.col(spec.column))))
+        piece = decode_violations(udf(F.when(spec.gate, spec.payload_col())))
         arr = piece if arr is None else F.concat(arr, piece)
     cols = [F.col(key_col).alias("url")]
     if partition_col and partition_col in df.columns:
@@ -131,7 +139,18 @@ def verdicts_df(
     run_id: str = "r0",
 ) -> DataFrame:
     """Per-partition pass/fail verdict (FIXTURES.md §2): partial+final
-    hash agg, one tiny exchange."""
+    hash agg, one tiny exchange.
+
+    Refuses frames produced by ``annotate(defer_residual=True)`` when the
+    plan actually had a residual gate: their n_violations excludes the
+    deep-recursion rows, so a verdict from them could claim passed=true
+    for a partition whose only violations are in the residual."""
+    if "_residual_deferred" in annotated.columns:
+        raise ValueError(
+            "annotate(defer_residual=True) produced this frame and the plan "
+            "has a gated Arrow residue: its violation counts are incomplete. "
+            "Union residual_violations_df() rows and aggregate those instead "
+            "(see runner.run_validation).")
     part: Column = (
         F.col(partition_col).cast("string")
         if partition_col and partition_col in annotated.columns

@@ -4,38 +4,81 @@ Split per SURVEY.md §2(a): every keyword that is expressible as a native
 Spark ``Column`` predicate compiles to one (Catalyst whole-stage codegen —
 the Spark analogue of the reference's AOT schema→JS codegen in
 playlyfe/themis src/themis.js); anything dynamic (nested JSON columns,
-cyclic $refs, combinators over unknown shapes) falls back to a vectorized
-Arrow batch validator built on plans/pyvalidator.py.
+cyclic $refs, unknown shapes) falls back to a vectorized Arrow batch
+validator built on plans/pyvalidator.py.
+
+FAIL-CLOSED CONTRACT (round-1 verdict item 1): ``compile_plan`` never
+silently drops a keyword. The native compiler (``_compile_sub``) either
+expresses EVERY keyword of a subschema or raises ``_NotNative``; the
+caller then routes the whole column through one of two complete paths:
+
+* dynamic JSON string columns → Variant-native bounded unroll
+  (plans/variant_native.py) or the Arrow JSON validator;
+* any other typed column → an Arrow WRAPPER spec: the value is
+  re-serialized per row via ``to_json(struct(col))`` and validated by the
+  compiled Python closure validator against ``{"properties": {col: sub}}``
+  — exact draft-4 semantics, correct (keyword, instance_path,
+  schema_path) triples, no silent under-validation.
+
+Anything the engine cannot express even that way (root-level combinators
+whose branches exceed the native set) raises ``UnsupportedSchemaError``
+at compile time — a validator that silently passes invalid rows is worse
+than one that refuses to compile.
 
 Typed-table null contract (SURVEY.md §7.3): SQL NULL in a typed column
 means the JSON property is ABSENT. Hence `required` fails on NULL, while
 value keywords (pattern, enum, bounds, …) pass on NULL — draft-4 keywords
-constrain only values of the matching type.
+constrain only values of the matching type. INSIDE typed arrays and map
+values, NULL instead models JSON null (``null_is_json`` contexts below):
+`type` checks fail on it (unless "null" is allowed) and value keywords
+still pass.
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Any
+from functools import reduce
+from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from themis_spark.plans.parser import SchemaRegistry, parse_schema
-from themis_spark.plans.pyvalidator import PyValidator, compile_python_validator
+from themis_spark.plans.pyvalidator import (
+    _GLOBAL_FORMATS,
+    BUILTIN_FORMATS,
+    PyValidator,
+    compile_python_validator,
+)
+from themis_spark.plans.regex_triage import java_safe_pattern
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+_STRINGLIKE = (T.StringType, T.TimestampType, T.DateType)
 
-#: keywords the native column path can always express on a scalar column
-_NATIVE_SAFE = {
-    "type", "enum", "pattern", "required", "minLength", "maxLength",
-    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
-    "multipleOf", "format", "minItems", "maxItems", "uniqueItems", "items",
-    "default", "id", "description", "title", "definitions",
+#: inert draft-4 annotations — never produce runtime checks
+_ANNOTATIONS = {"id", "title", "description", "definitions", "default"}
+
+#: keywords that, on a StringType column, flag the column as a DYNAMIC
+#: JSON document (json.loads interpretation) rather than a plain string
+_JSON_CONTAINER_KEYWORDS = {
+    "properties", "patternProperties", "additionalProperties",
+    "required", "minProperties", "maxProperties", "dependencies",
+    "items", "additionalItems", "minItems", "maxItems", "uniqueItems",
 }
+
+
+class UnsupportedSchemaError(Exception):
+    """The schema cannot be compiled against this table at all — raised at
+    compile time instead of silently under-validating (fail-closed)."""
+
+
+class _NotNative(Exception):
+    """Internal: this subschema exceeds the native Column set for the
+    column's type; the caller must fall back to a complete path."""
 
 
 @dataclass
@@ -53,7 +96,12 @@ class ColumnCheck:
 
 @dataclass
 class ArrowColumnSpec:
-    """A JSON-string column validated on the vectorized Arrow path.
+    """A column validated on the vectorized Arrow path.
+
+    ``payload`` (optional): expression producing the JSON payload the
+    Python validator parses. None = the column itself is the JSON string
+    (dynamic-JSON columns); otherwise a ``to_json(struct(col))`` wrapper
+    for typed columns whose subschema exceeds the native set.
 
     ``gate`` (optional): only rows satisfying it carry real payloads into
     the Python batch — the UDF input is NULLed otherwise (hybrid
@@ -65,6 +113,10 @@ class ArrowColumnSpec:
     validator: PyValidator
     instance_prefix: str
     gate: Column | None = None
+    payload: Column | None = None
+
+    def payload_col(self) -> Column:
+        return self.payload if self.payload is not None else F.col(self.column)
 
 
 @dataclass
@@ -85,6 +137,8 @@ class CompiledPlan:
     variant_sources: dict = field(default_factory=dict)
     root_uri: str = ""
     columns_needed: set[str] = field(default_factory=set)
+    #: StringType columns force-treated as serialized JSON documents
+    _json_columns: frozenset = frozenset()
 
     def prepare(self, df):
         """Attach the parsed-variant columns the compiled checks expect.
@@ -149,9 +203,9 @@ class CompiledPlan:
 
             udf = violations_pandas_udf(spec.validator, spec.instance_prefix)
             payload = (
-                F.when(spec.gate, F.col(spec.column))
+                F.when(spec.gate, spec.payload_col())
                 if spec.gate is not None
-                else F.col(spec.column)
+                else spec.payload_col()
             )
             col = F.concat(col, decode_violations(udf(payload)))
         return col
@@ -184,7 +238,7 @@ VIOLATION_ARRAY_TYPE = T.ArrayType(VIOLATION_STRUCT_TYPE)
 
 def _type_compatible(json_type: str, dt: T.DataType) -> bool:
     if json_type == "string":
-        return isinstance(dt, (T.StringType, T.TimestampType, T.DateType))
+        return isinstance(dt, _STRINGLIKE)
     if json_type == "integer":
         return isinstance(dt, _INTEGRAL)
     if json_type == "number":
@@ -204,214 +258,640 @@ def _detail(col: Column) -> Column:
     return F.substring(col.cast("string"), 1, 64)
 
 
-def _is_native_expressible(sub: Any) -> bool:
-    if not isinstance(sub, dict):
-        return True
-    return all(k in _NATIVE_SAFE for k in sub) and not isinstance(sub.get("items"), list)
+def _and_all(preds: list[Column]) -> Column:
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
 
 
-def _compile_scalar_checks(
-    name: str, sub: dict, dt: T.DataType, spath: str, required: bool
-) -> list[ColumnCheck]:
-    """Native checks for one column against one (simple) subschema."""
-    col = F.col(name)
-    ipath = f"$.{name}"
-    out: list[ColumnCheck] = []
+def _or_all(preds: list[Column]) -> Column:
+    if not preds:
+        return F.lit(False)
+    return reduce(lambda a, b: a | b, preds)
 
-    def add(keyword: str, pred: Column, leaf: str | None = None) -> None:
-        out.append(
-            ColumnCheck(keyword, ipath, f"{spath}/{leaf or keyword}", pred, _detail(col), name)
-        )
 
-    if required:
-        # presence: SQL NULL == absent (typed-table contract)
-        out.append(
-            ColumnCheck(
-                "required", ipath, f"{spath}/required",
-                col.isNotNull(), F.lit("<absent>"), name,
+# Java-regex format table (draft-4 validation §7 built-ins minus date-time,
+# which combines a strict ISO regex with try_to_timestamp). These align
+# with the Python table in pyvalidator.py for well-formed inputs; the
+# (documented) native-vs-Python divergence is exotic-but-syntactically-odd
+# strings only (e.g. ipaddress module quirks).
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+_IPV4_RE = rf"^({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$"
+_H16 = "[0-9A-Fa-f]{1,4}"
+_IPV6_RE = (
+    "^("
+    f"({_H16}:){{7}}{_H16}"
+    f"|({_H16}:){{1,7}}:"
+    f"|({_H16}:){{1,6}}(:{_H16}){{1}}"
+    f"|({_H16}:){{1,5}}(:{_H16}){{1,2}}"
+    f"|({_H16}:){{1,4}}(:{_H16}){{1,3}}"
+    f"|({_H16}:){{1,3}}(:{_H16}){{1,4}}"
+    f"|({_H16}:){{1,2}}(:{_H16}){{1,5}}"
+    f"|{_H16}:(:{_H16}){{1,6}}"
+    f"|:((:{_H16}){{1,7}}|:)"
+    f"|({_H16}:){{1,6}}{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}"
+    f"|({_H16}:){{1,5}}:{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}"
+    f"|::(({_H16}:){{0,5}})?{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}"
+    ")(%[^%]+)?$"  # RFC 4007 zone id — python ipaddress accepts it
+)
+_FORMAT_REGEX = {
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "hostname": r"^[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
+    "ipv4": _IPV4_RE,
+    "ipv6": _IPV6_RE,
+    "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:",
+}
+_DATETIME_NATIVE_RE = (
+    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+
+
+# ---------------------------------------------------------------------------
+# scalar predicate BUILDERS — reusable Column→Column keyword predicates used
+# inside higher-order lambdas (array elements, map values) where the target
+# Column is a lambda variable and cannot be captured statically.
+# ---------------------------------------------------------------------------
+
+PredBuilder = Callable[[Column], Column]
+
+
+def _scalar_pred_builders(
+    node: Any, dt: T.DataType, reg: SchemaRegistry, base: str,
+    stack: tuple, spath: str,
+) -> list[tuple[str, str, PredBuilder]]:
+    """(keyword, schema_path, builder) per keyword of a SCALAR subschema.
+
+    Builder predicates use pass-semantics: NULL value (JSON null in these
+    contexts) passes every value keyword; only `type` rejects it (unless
+    "null" is allowed). Raises _NotNative for anything beyond scalar
+    keywords + combinators-of-scalars."""
+    if not isinstance(node, dict):
+        return []
+    if "$ref" in node:
+        sub, nb, canon = reg.resolve(node["$ref"], base)
+        if id(sub) in stack:
+            raise _NotNative("cyclic $ref in element schema")
+        return _scalar_pred_builders(sub, dt, reg, nb, stack + (id(sub),), canon)
+
+    out: list[tuple[str, str, PredBuilder]] = []
+    handled = set(_ANNOTATIONS)
+    is_str = isinstance(dt, _STRINGLIKE)
+    is_num = isinstance(dt, _NUMERIC)
+
+    if "type" in node:
+        handled.add("type")
+        types = node["type"] if isinstance(node["type"], list) else [node["type"]]
+        compatible = any(_type_compatible(t, dt) and t != "null" for t in types)
+        null_ok = "null" in types
+
+        def b_type(v: Column, c=compatible, n=null_ok) -> Column:
+            if c and n:
+                return F.lit(True)
+            if c:
+                return v.isNotNull()
+            if n:
+                return v.isNull()
+            return F.lit(False)
+
+        out.append(("type", f"{spath}/type", b_type))
+
+    if "enum" in node:
+        handled.add("enum")
+        members = node["enum"]
+        if any(isinstance(m, (list, dict)) for m in members):
+            raise _NotNative("non-scalar enum members need deep equality")
+        scalars = [m for m in members
+                   if isinstance(m, (str, int, float)) and not isinstance(m, bool)]
+        bools = [m for m in members if isinstance(m, bool)]
+        has_null = any(m is None for m in members)
+
+        # draft-4: null matches enum only via an explicit null member;
+        # non-null matches the scalar/bool member sets
+        def b_enum(v: Column, s=scalars, bl=bools, hn=has_null) -> Column:
+            nonnull_match = F.lit(False)
+            if s:
+                nonnull_match = nonnull_match | v.isin(s)
+            if bl and isinstance(dt, T.BooleanType):
+                nonnull_match = nonnull_match | v.isin(bl)
+            null_match = F.lit(hn)
+            return F.when(v.isNull(), null_match).otherwise(
+                F.coalesce(nonnull_match, F.lit(False))
             )
-        )
 
-    null_pass = col.isNull()  # value keywords pass when absent
+        out.append(("enum", f"{spath}/enum", b_enum))
 
-    if "type" in sub:
-        types = sub["type"] if isinstance(sub["type"], list) else [sub["type"]]
-        compatible = any(_type_compatible(t, dt) for t in types)
-        if not compatible:
-            # compile-time type mismatch: every present value violates
-            add("type", null_pass)
-        elif isinstance(dt, T.DoubleType) and types == ["integer"]:
-            # draft-4: 1.0 is an integer; fractional doubles are not
-            add("type", null_pass | (col == F.floor(col)))
-        # otherwise: satisfied at schema level — zero runtime cost
+    if "pattern" in node:
+        handled.add("pattern")
+        if is_str:
+            jp = java_safe_pattern(node["pattern"])
+            if jp is None:
+                raise _NotNative(f"pattern dialect: {node['pattern']!r}")
+            out.append(("pattern", f"{spath}/pattern",
+                        lambda v, p=jp: v.isNull() | v.rlike(p)))
+    if "minLength" in node:
+        handled.add("minLength")
+        if is_str:
+            out.append(("minLength", f"{spath}/minLength",
+                        lambda v, n=node["minLength"]: v.isNull() | (F.length(v) >= n)))
+    if "maxLength" in node:
+        handled.add("maxLength")
+        if is_str:
+            out.append(("maxLength", f"{spath}/maxLength",
+                        lambda v, n=node["maxLength"]: v.isNull() | (F.length(v) <= n)))
 
-    if "enum" in sub:
-        scalars = [
-            m for m in sub["enum"]
-            if isinstance(m, (str, int, float)) and not isinstance(m, bool)
+    if "minimum" in node:
+        handled.update({"minimum", "exclusiveMinimum"})
+        if is_num:
+            excl = bool(node.get("exclusiveMinimum", False))
+            kw = "exclusiveMinimum" if excl else "minimum"
+            m = node["minimum"]
+            out.append((kw, f"{spath}/minimum",
+                        lambda v, m=m, e=excl: v.isNull() | ((v > m) if e else (v >= m))))
+    elif "exclusiveMinimum" in node:
+        handled.add("exclusiveMinimum")  # modifier without bound: inert
+    if "maximum" in node:
+        handled.update({"maximum", "exclusiveMaximum"})
+        if is_num:
+            excl = bool(node.get("exclusiveMaximum", False))
+            kw = "exclusiveMaximum" if excl else "maximum"
+            m = node["maximum"]
+            out.append((kw, f"{spath}/maximum",
+                        lambda v, m=m, e=excl: v.isNull() | ((v < m) if e else (v <= m))))
+    elif "exclusiveMaximum" in node:
+        handled.add("exclusiveMaximum")
+
+    if "multipleOf" in node:
+        handled.add("multipleOf")
+        if is_num:
+            n = node["multipleOf"]
+            if isinstance(n, int) and isinstance(dt, _INTEGRAL):
+                out.append(("multipleOf", f"{spath}/multipleOf",
+                            lambda v, n=n: v.isNull() | (F.pmod(v, F.lit(n)) == 0)))
+            else:
+                scale = max(len(str(n).split(".")[-1]) if "." in str(n) else 0, 6)
+                dec = T.DecimalType(38, scale + 6)
+                out.append(("multipleOf", f"{spath}/multipleOf",
+                            lambda v, n=n, d=dec: v.isNull()
+                            | (F.pmod(v.cast(d), F.lit(n).cast(d)) == 0)))
+
+    if "format" in node:
+        handled.add("format")
+        if isinstance(dt, T.StringType):
+            fmt = node["format"]
+            if fmt in _GLOBAL_FORMATS:
+                raise _NotNative(f"custom format {fmt!r} runs on the Arrow path")
+            if fmt == "date-time":
+                out.append(("format", f"{spath}/format",
+                            lambda v: v.isNull() | (
+                                v.rlike(_DATETIME_NATIVE_RE)
+                                & F.try_to_timestamp(v).isNotNull())))
+            elif fmt in _FORMAT_REGEX:
+                out.append(("format", f"{spath}/format",
+                            lambda v, r=_FORMAT_REGEX[fmt]: v.isNull() | v.rlike(r)))
+            elif fmt in BUILTIN_FORMATS:
+                raise _NotNative(f"builtin format {fmt!r} has no native regex")
+            # unknown format: draft-4 SHOULD → ignored (same as pyvalidator)
+
+    # combinators of scalars compose in builder space
+    if "allOf" in node:
+        handled.add("allOf")
+        for i, b in enumerate(node["allOf"]):
+            out.extend(_scalar_pred_builders(b, dt, reg, base, stack, f"{spath}/allOf/{i}"))
+    if "anyOf" in node:
+        handled.add("anyOf")
+        branches = [
+            _scalar_valid_builder(b, dt, reg, base, stack, f"{spath}/anyOf/{i}")
+            for i, b in enumerate(node["anyOf"])
         ]
-        add("enum", null_pass | col.isin(scalars))
+        out.append(("anyOf", f"{spath}/anyOf",
+                    lambda v, bs=branches: _or_all([F.coalesce(f(v), F.lit(True)) for f in bs])))
+    if "oneOf" in node:
+        handled.add("oneOf")
+        branches = [
+            _scalar_valid_builder(b, dt, reg, base, stack, f"{spath}/oneOf/{i}")
+            for i, b in enumerate(node["oneOf"])
+        ]
+        out.append(("oneOf", f"{spath}/oneOf",
+                    lambda v, bs=branches: sum(
+                        (F.coalesce(f(v), F.lit(True)).cast("int") for f in bs),
+                        F.lit(0)) == 1))
+    if "not" in node:
+        handled.add("not")
+        inner = _scalar_valid_builder(node["not"], dt, reg, base, stack, f"{spath}/not")
+        out.append(("not", f"{spath}/not",
+                    lambda v, f=inner: ~F.coalesce(f(v), F.lit(True))))
 
-    if "pattern" in sub:
-        # ECMA-262 search ≈ Java regex search for the common subset; the
-        # Arrow path handles incompatible dialects (SURVEY §7.3).
-        add("pattern", null_pass | col.rlike(sub["pattern"]))
+    # object/array keywords are vacuous on genuinely scalar types (the
+    # value can never be an object/array) but NOT on string columns that
+    # might hold JSON — callers decide that before reaching here.
+    if not isinstance(dt, (T.ArrayType, T.StructType, T.MapType, T.StringType)):
+        handled |= _JSON_CONTAINER_KEYWORDS
 
-    if "minLength" in sub:
-        add("minLength", null_pass | (F.length(col) >= sub["minLength"]))
-    if "maxLength" in sub:
-        add("maxLength", null_pass | (F.length(col) <= sub["maxLength"]))
-
-    if "minimum" in sub:
-        pred = (col > sub["minimum"]) if sub.get("exclusiveMinimum") else (col >= sub["minimum"])
-        add("exclusiveMinimum" if sub.get("exclusiveMinimum") else "minimum",
-            null_pass | pred, leaf="minimum")
-    if "maximum" in sub:
-        pred = (col < sub["maximum"]) if sub.get("exclusiveMaximum") else (col <= sub["maximum"])
-        add("exclusiveMaximum" if sub.get("exclusiveMaximum") else "maximum",
-            null_pass | pred, leaf="maximum")
-
-    if "multipleOf" in sub:
-        n = sub["multipleOf"]
-        if isinstance(n, int) and isinstance(dt, _INTEGRAL):
-            pred = F.pmod(col, F.lit(n)) == 0
-        else:
-            # exact decimal modulus defeats binary-float noise
-            scale = max(len(str(n).split(".")[-1]) if "." in str(n) else 0, 6)
-            dec = T.DecimalType(38, scale + 6)
-            pred = F.pmod(col.cast(dec), F.lit(n).cast(dec)) == 0
-        add("multipleOf", null_pass | pred)
-
-    if "format" in sub and isinstance(dt, T.StringType):
-        fmt = sub["format"]
-        if fmt == "date-time":
-            add("format", null_pass | F.try_to_timestamp(col).isNotNull())
-        elif fmt in _FORMAT_REGEX:
-            add("format", null_pass | col.rlike(_FORMAT_REGEX[fmt]))
-
-    if isinstance(dt, T.ArrayType):
-        if "minItems" in sub:
-            add("minItems", null_pass | (F.size(col) >= sub["minItems"]))
-        if "maxItems" in sub:
-            add("maxItems", null_pass | (F.size(col) <= sub["maxItems"]))
-        if sub.get("uniqueItems") is True:
-            add("uniqueItems", null_pass | (F.size(F.array_distinct(col)) == F.size(col)))
-        items = sub.get("items")
-        if isinstance(items, dict) and "type" in items:
-            el_ok = _element_type_pred(items["type"], dt.elementType)
-            if el_ok is not None:
-                add("items", null_pass | F.forall(col, el_ok), leaf="items/type")
-
+    extra = set(node) - handled
+    if extra:
+        raise _NotNative(f"keywords {sorted(extra)} on {dt.simpleString()}")
     return out
 
 
-def _element_type_pred(json_type: str, el_dt: T.DataType):
-    if _type_compatible(json_type, el_dt):
-        return lambda x: x.isNotNull()
-    return lambda x: F.lit(False)
+def _scalar_valid_builder(node, dt, reg, base, stack, spath) -> PredBuilder:
+    builders = _scalar_pred_builders(node, dt, reg, base, stack, spath)
+
+    def valid(v: Column) -> Column:
+        return _and_all([F.coalesce(fn(v), F.lit(True)) for _, _, fn in builders])
+
+    return valid
 
 
-def _value_lambda(sub: dict):
-    """Build a Column→Column predicate for simple value subschemas (used
-    inside higher-order map/array checks). Returns None if the subschema
-    needs more than scalar bounds/pattern."""
-    simple = {"type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
-              "minLength", "maxLength", "pattern", "enum"}
-    if not isinstance(sub, dict) or not set(sub) <= simple:
-        return None
-
-    def pred(v: Column) -> Column:
-        p = F.lit(True)
-        if "minimum" in sub:
-            p = p & ((v > sub["minimum"]) if sub.get("exclusiveMinimum") else (v >= sub["minimum"]))
-        if "maximum" in sub:
-            p = p & ((v < sub["maximum"]) if sub.get("exclusiveMaximum") else (v <= sub["maximum"]))
-        if "minLength" in sub:
-            p = p & (F.length(v) >= sub["minLength"])
-        if "maxLength" in sub:
-            p = p & (F.length(v) <= sub["maxLength"])
-        if "pattern" in sub:
-            p = p & v.rlike(sub["pattern"])
-        if "enum" in sub:
-            p = p & v.isin([m for m in sub["enum"] if not isinstance(m, bool)])
-        return p
-
-    return pred
+# ---------------------------------------------------------------------------
+# the universal native subschema compiler
+# ---------------------------------------------------------------------------
 
 
-def _compile_struct_checks(name: str, col: Column, sub: dict, dt: T.StructType,
-                           spath: str, ipath: str) -> list[ColumnCheck]:
-    """Recurse `properties` into a typed StructType column (SURVEY
-    2(a).13): checks address nested fields via getField — still pure
-    Column expressions, still one codegen stage. A NULL parent struct
-    means the object is absent, so every nested check passes."""
+def _compile_sub(
+    col: Column,
+    node: Any,
+    dt: T.DataType,
+    spath: str,
+    ipath: str,
+    colname: str,
+    reg: SchemaRegistry,
+    base: str,
+    stack: tuple = (),
+) -> list[ColumnCheck]:
+    """Compile ``node`` applied to the value ``col`` of Spark type ``dt``.
+
+    COMPLETE or raises _NotNative — never drops a keyword (fail-closed).
+    NULL here means ABSENT (top-level columns / struct fields); array
+    elements and map values go through _scalar_pred_builders where NULL
+    means JSON null."""
+    if not isinstance(node, dict) or not node:
+        return []
+    if "$ref" in node:
+        # draft-4: $ref siblings are ignored
+        sub, nb, canon = reg.resolve(node["$ref"], base)
+        if id(sub) in stack:
+            raise _NotNative("cyclic $ref on typed column")
+        return _compile_sub(col, sub, dt, canon, ipath, colname, reg, nb,
+                            stack + (id(sub),))
+
+    out: list[ColumnCheck] = []
+    handled = set(_ANNOTATIONS)
+    null_pass = col.isNull()  # absent value: value keywords pass
+    is_str = isinstance(dt, _STRINGLIKE)
+    is_num = isinstance(dt, _NUMERIC)
+
+    def add(keyword: str, pred: Column, leaf: str | None = None,
+            ip: str | None = None, detail: Column | None = None) -> None:
+        out.append(ColumnCheck(
+            keyword, ip or ipath, f"{spath}/{leaf or keyword}", pred,
+            detail if detail is not None else _detail(col), colname))
+
+    # ---- type ------------------------------------------------------------
+    if "type" in node:
+        handled.add("type")
+        types = node["type"] if isinstance(node["type"], list) else [node["type"]]
+        compatible = any(_type_compatible(t, dt) for t in types)
+        if not compatible:
+            add("type", null_pass)  # every present value violates
+        elif isinstance(dt, _FRACTIONAL) and set(types) <= {"integer", "null"}:
+            # draft-4: 1.0 is an integer; fractional values are not
+            add("type", null_pass | (col == F.floor(col)))
+        # otherwise satisfied at schema level — zero runtime cost
+
+    # ---- enum (scalar members; complex types need deep equality) ----------
+    if "enum" in node:
+        handled.add("enum")
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            raise _NotNative("enum over complex type needs deep equality")
+        members = node["enum"]
+        scalars = [m for m in members
+                   if isinstance(m, (str, int, float)) and not isinstance(m, bool)]
+        if isinstance(dt, T.BooleanType):
+            scalars += [m for m in members if isinstance(m, bool)]
+        add("enum", null_pass | (col.isin(scalars) if scalars else F.lit(False)))
+
+    # ---- string keywords (vacuous on non-string types) ---------------------
+    if "pattern" in node:
+        handled.add("pattern")
+        if is_str:
+            jp = java_safe_pattern(node["pattern"])
+            if jp is None:
+                raise _NotNative(f"pattern dialect: {node['pattern']!r}")
+            add("pattern", null_pass | col.rlike(jp))
+    if "minLength" in node:
+        handled.add("minLength")
+        if is_str:
+            add("minLength", null_pass | (F.length(col) >= node["minLength"]))
+    if "maxLength" in node:
+        handled.add("maxLength")
+        if is_str:
+            add("maxLength", null_pass | (F.length(col) <= node["maxLength"]))
+    if "format" in node:
+        handled.add("format")
+        if isinstance(dt, T.StringType):
+            fmt = node["format"]
+            if fmt in _GLOBAL_FORMATS:
+                raise _NotNative(f"custom format {fmt!r} runs on the Arrow path")
+            if fmt == "date-time":
+                add("format", null_pass | (col.rlike(_DATETIME_NATIVE_RE)
+                                           & F.try_to_timestamp(col).isNotNull()))
+            elif fmt in _FORMAT_REGEX:
+                add("format", null_pass | col.rlike(_FORMAT_REGEX[fmt]))
+            elif fmt in BUILTIN_FORMATS:
+                raise _NotNative(f"builtin format {fmt!r} has no native regex")
+            # unknown format name: ignored, matching pyvalidator
+
+    # ---- numeric keywords (vacuous on non-numeric types) -------------------
+    if "minimum" in node:
+        handled.update({"minimum", "exclusiveMinimum"})
+        if is_num:
+            excl = bool(node.get("exclusiveMinimum", False))
+            pred = (col > node["minimum"]) if excl else (col >= node["minimum"])
+            add("exclusiveMinimum" if excl else "minimum",
+                null_pass | pred, leaf="minimum")
+    elif "exclusiveMinimum" in node:
+        handled.add("exclusiveMinimum")
+    if "maximum" in node:
+        handled.update({"maximum", "exclusiveMaximum"})
+        if is_num:
+            excl = bool(node.get("exclusiveMaximum", False))
+            pred = (col < node["maximum"]) if excl else (col <= node["maximum"])
+            add("exclusiveMaximum" if excl else "maximum",
+                null_pass | pred, leaf="maximum")
+    elif "exclusiveMaximum" in node:
+        handled.add("exclusiveMaximum")
+    if "multipleOf" in node:
+        handled.add("multipleOf")
+        if is_num:
+            n = node["multipleOf"]
+            if isinstance(n, int) and isinstance(dt, _INTEGRAL):
+                pred = F.pmod(col, F.lit(n)) == 0
+            else:
+                # exact decimal modulus defeats binary-float noise
+                scale = max(len(str(n).split(".")[-1]) if "." in str(n) else 0, 6)
+                dec = T.DecimalType(38, scale + 6)
+                pred = F.pmod(col.cast(dec), F.lit(n).cast(dec)) == 0
+            add("multipleOf", null_pass | pred)
+
+    # ---- array keywords ----------------------------------------------------
+    if isinstance(dt, T.ArrayType):
+        el_dt = dt.elementType
+        if "minItems" in node:
+            handled.add("minItems")
+            add("minItems", null_pass | (F.size(col) >= node["minItems"]))
+        if "maxItems" in node:
+            handled.add("maxItems")
+            add("maxItems", null_pass | (F.size(col) <= node["maxItems"]))
+        if "uniqueItems" in node:
+            handled.add("uniqueItems")
+            if node["uniqueItems"] is True:
+                add("uniqueItems",
+                    null_pass | (F.size(F.array_distinct(col)) == F.size(col)))
+        items = node.get("items")
+        if isinstance(items, dict):
+            handled.update({"items", "additionalItems"})  # additionalItems inert
+            builders = _scalar_pred_builders(items, el_dt, reg, base, stack,
+                                             f"{spath}/items")
+            for kw, sp, fn in builders:
+                # one violation per array when ANY element fails this
+                # keyword; per-index paths are static only on the tuple
+                # form — the array form reports at the array path.
+                pred = null_pass | _forall_ok(col, fn)
+                out.append(ColumnCheck(kw, ipath, sp, pred, _detail(col), colname))
+        elif isinstance(items, list):
+            handled.update({"items", "additionalItems"})
+            n_pos = len(items)
+            for i, isub in enumerate(items):
+                el = F.get(col, i)
+                within = F.size(col) > i
+                builders = _scalar_pred_builders(isub, el_dt, reg, base, stack,
+                                                 f"{spath}/items/{i}")
+                for kw, sp, fn in builders:
+                    pred = null_pass | ~within | F.coalesce(fn(el), F.lit(True))
+                    out.append(ColumnCheck(kw, f"{ipath}[{i}]", sp, pred,
+                                           _detail(el), colname))
+            addl = node.get("additionalItems", True)
+            if addl is False:
+                add("additionalItems", null_pass | (F.size(col) <= n_pos),
+                    leaf="additionalItems")
+            elif isinstance(addl, dict):
+                extras = F.slice(col, n_pos + 1,
+                                 F.greatest(F.size(col) - n_pos, F.lit(0)))
+                builders = _scalar_pred_builders(addl, el_dt, reg, base, stack,
+                                                 f"{spath}/additionalItems")
+                for kw, sp, fn in builders:
+                    pred = null_pass | _forall_ok(extras, fn)
+                    out.append(ColumnCheck(kw, ipath, sp, pred, _detail(col), colname))
+        elif items is None:
+            if "additionalItems" in node:
+                handled.add("additionalItems")  # inert without tuple items
+    else:
+        # array keywords are vacuous on non-array typed values — but a
+        # StringType column could hold a JSON array; compile_plan routes
+        # those to the dynamic path BEFORE calling us, so vacuous is safe
+        # only off strings.
+        if not isinstance(dt, T.StringType):
+            handled.update({"items", "additionalItems", "minItems",
+                            "maxItems", "uniqueItems"})
+
+    # ---- object keywords ----------------------------------------------------
+    if isinstance(dt, T.StructType):
+        handled |= {"required", "properties", "patternProperties",
+                    "additionalProperties", "minProperties", "maxProperties",
+                    "dependencies"}
+        out.extend(_compile_struct(col, node, dt, spath, ipath, colname,
+                                   reg, base, stack))
+    elif isinstance(dt, T.MapType):
+        handled |= {"required", "properties", "patternProperties",
+                    "additionalProperties", "minProperties", "maxProperties",
+                    "dependencies"}
+        out.extend(_compile_map(col, node, dt, spath, ipath, colname,
+                                reg, base, stack))
+    elif not isinstance(dt, T.StringType):
+        # scalar value can never be a JSON object → vacuous
+        handled |= {"required", "properties", "patternProperties",
+                    "additionalProperties", "minProperties", "maxProperties",
+                    "dependencies"}
+
+    # ---- combinators (any type) ---------------------------------------------
+    if "allOf" in node:
+        handled.add("allOf")
+        for i, b in enumerate(node["allOf"]):
+            out.extend(_compile_sub(col, b, dt, f"{spath}/allOf/{i}", ipath,
+                                    colname, reg, base, stack))
+    if "anyOf" in node:
+        handled.add("anyOf")
+        preds = [
+            _valid_pred(col, b, dt, f"{spath}/anyOf/{i}", ipath, colname, reg, base, stack)
+            for i, b in enumerate(node["anyOf"])
+        ]
+        add("anyOf", null_pass | _or_all(preds), leaf="anyOf")
+    if "oneOf" in node:
+        handled.add("oneOf")
+        preds = [
+            _valid_pred(col, b, dt, f"{spath}/oneOf/{i}", ipath, colname, reg, base, stack)
+            for i, b in enumerate(node["oneOf"])
+        ]
+        hits = sum((p.cast("int") for p in preds), F.lit(0))
+        add("oneOf", null_pass | (hits == 1), leaf="oneOf")
+    if "not" in node:
+        handled.add("not")
+        p = _valid_pred(col, node["not"], dt, f"{spath}/not", ipath, colname,
+                        reg, base, stack)
+        add("not", null_pass | ~p, leaf="not")
+
+    extra = set(node) - handled
+    if extra:
+        raise _NotNative(f"keywords {sorted(extra)} on {dt.simpleString()}")
+    return out
+
+
+def _forall_ok(arr: Column, fn: PredBuilder) -> Column:
+    """forall(arr, x -> coalesce(fn(x), true)) with a strictly
+    SINGLE-parameter lambda — pyspark binds a second lambda parameter to
+    the array index, so closures must capture fn, never default-arg it."""
+    def _ok(x: Column) -> Column:
+        return F.coalesce(fn(x), F.lit(True))
+
+    return F.forall(arr, _ok)
+
+
+def _valid_pred(col, node, dt, spath, ipath, colname, reg, base, stack) -> Column:
+    """'value satisfies node' as one Column (three-valued-safe): the
+    conjunction of the compiled checks with NULL coerced to pass."""
+    checks = _compile_sub(col, node, dt, spath, ipath, colname, reg, base, stack)
+    return _and_all([F.coalesce(c.predicate, F.lit(True)) for c in checks])
+
+
+def _compile_struct(col, node, dt: T.StructType, spath, ipath, colname,
+                    reg, base, stack) -> list[ColumnCheck]:
+    """Object keywords over a typed StructType column (SURVEY 2(a).13):
+    checks address nested fields via getField — still pure Column
+    expressions, still one codegen stage. A NULL parent struct means the
+    object is absent, so every nested check passes."""
     out: list[ColumnCheck] = []
     fields = {f.name: f.dataType for f in dt.fields}
     parent_absent = col.isNull()
-    req = set(sub.get("required", []))
-    props = sub.get("properties", {}) or {}
-    for k in sorted(req - set(props)):
-        props = {**props, k: {}}
+    req = list(node.get("required", []) or [])
+    props = node.get("properties", {}) or {}
+    pat_props = node.get("patternProperties", {}) or {}
+
+    for k in req:
+        if k in fields:
+            out.append(ColumnCheck(
+                "required", f"{ipath}.{k}", f"{spath}/required",
+                parent_absent | col.getField(k).isNotNull(),
+                F.lit("<absent>"), colname))
+        else:
+            out.append(ColumnCheck(
+                "required", f"{ipath}.{k}", f"{spath}/required",
+                parent_absent, F.lit("<missing field>"), colname))
+
+    matched: set[str] = set()
     for k, ksub in props.items():
         if k not in fields:
-            if k in req:
-                out.append(ColumnCheck(
-                    "required", f"{ipath}.{k}", f"{spath}/properties/{k}/required",
-                    parent_absent, F.lit("<missing field>"), name))
             continue
-        fcol = col.getField(k)
-        fpath = f"{ipath}.{k}"
-        fspath = f"{spath}/properties/{k}"
-        if k in req:
-            out.append(ColumnCheck(
-                "required", fpath, f"{fspath}/required",
-                parent_absent | fcol.isNotNull(), F.lit("<absent>"), name))
-        if isinstance(fields[k], T.StructType) and isinstance(ksub, dict) and "properties" in ksub:
-            out.extend(_compile_struct_checks(name, fcol, ksub, fields[k], fspath, fpath))
-        elif isinstance(ksub, dict):
-            for c in _compile_scalar_checks_on(fcol, ksub, fields[k], fspath, fpath, name):
-                out.append(c)
-    if "maxProperties" in sub or "minProperties" in sub:
+        matched.add(k)
+        out.extend(_compile_sub(col.getField(k), ksub, fields[k],
+                                f"{spath}/properties/{k}", f"{ipath}.{k}",
+                                colname, reg, base, stack))
+    for rx, psub in pat_props.items():
+        try:
+            crx = re.compile(rx)
+        except re.error as exc:
+            raise _NotNative(f"bad patternProperties regex {rx!r}") from exc
+        for k in fields:
+            if crx.search(k):
+                matched.add(k)
+                out.extend(_compile_sub(col.getField(k), psub, fields[k],
+                                        f"{spath}/patternProperties/{rx}",
+                                        f"{ipath}.{k}", colname, reg, base, stack))
+
+    addl = node.get("additionalProperties", True)
+    declared = set(props)
+    pat_res = [re.compile(rx) for rx in pat_props]
+    if addl is not True:
+        for k in fields:
+            if k in declared or any(crx.search(k) for crx in pat_res):
+                continue
+            if addl is False:
+                out.append(ColumnCheck(
+                    "additionalProperties", f"{ipath}.{k}",
+                    f"{spath}/additionalProperties",
+                    parent_absent | col.getField(k).isNull(),
+                    F.lit("<extra key>"), colname))
+            else:
+                out.extend(_compile_sub(col.getField(k), addl, fields[k],
+                                        f"{spath}/additionalProperties",
+                                        f"{ipath}.{k}", colname, reg, base, stack))
+
+    if "maxProperties" in node or "minProperties" in node:
         present = sum(
-            (F.when(col.getField(f.name).isNotNull(), 1).otherwise(0) for f in dt.fields),
+            (F.when(col.getField(f.name).isNotNull(), 1).otherwise(0)
+             for f in dt.fields),
             F.lit(0),
         )
-        if "maxProperties" in sub:
+        if "maxProperties" in node:
             out.append(ColumnCheck("maxProperties", ipath, f"{spath}/maxProperties",
-                                   parent_absent | (present <= sub["maxProperties"]),
-                                   present.cast("string"), name))
-        if "minProperties" in sub:
+                                   parent_absent | (present <= node["maxProperties"]),
+                                   present.cast("string"), colname))
+        if "minProperties" in node:
             out.append(ColumnCheck("minProperties", ipath, f"{spath}/minProperties",
-                                   parent_absent | (present >= sub["minProperties"]),
-                                   present.cast("string"), name))
+                                   parent_absent | (present >= node["minProperties"]),
+                                   present.cast("string"), colname))
+
+    for k, dep in (node.get("dependencies") or {}).items():
+        trigger = (col.getField(k).isNotNull() if k in fields else F.lit(False))
+        if isinstance(dep, dict):
+            sub_checks = _compile_sub(col, dep, dt, f"{spath}/dependencies/{k}",
+                                      ipath, colname, reg, base, stack)
+            for c in sub_checks:
+                out.append(ColumnCheck(
+                    c.keyword, c.instance_path, c.schema_path,
+                    ~trigger | F.coalesce(c.predicate, F.lit(True)),
+                    c.detail, colname))
+        else:
+            dl = [dep] if isinstance(dep, str) else list(dep)
+            for dk in dl:
+                dk_present = (col.getField(dk).isNotNull()
+                              if dk in fields else F.lit(False))
+                out.append(ColumnCheck(
+                    "dependencies", f"{ipath}.{dk}", f"{spath}/dependencies",
+                    parent_absent | ~trigger | dk_present,
+                    F.lit("<dependency>"), colname))
     return out
 
 
-def _compile_map_checks(name: str, col: Column, sub: dict, dt: T.MapType,
-                        spath: str, ipath: str) -> list[ColumnCheck]:
+def _compile_map(col, node, dt: T.MapType, spath, ipath, colname,
+                 reg, base, stack) -> list[ColumnCheck]:
     """Object keywords over open-key MapType columns (SURVEY 2(a).12/14/15)
     via higher-order functions — map_contains_key / size / forall."""
     out: list[ColumnCheck] = []
     absent = col.isNull()
+    v_dt = dt.valueType
 
-    for k in sub.get("required", []):
+    for k in node.get("required", []) or []:
         out.append(ColumnCheck("required", f"{ipath}.{k}", f"{spath}/required",
                                absent | F.map_contains_key(col, F.lit(k)),
-                               F.lit("<absent>"), name))
-    if "minProperties" in sub:
+                               F.lit("<absent>"), colname))
+    if "minProperties" in node:
         out.append(ColumnCheck("minProperties", ipath, f"{spath}/minProperties",
-                               absent | (F.size(col) >= sub["minProperties"]),
-                               F.size(col).cast("string"), name))
-    if "maxProperties" in sub:
+                               absent | (F.size(col) >= node["minProperties"]),
+                               F.size(col).cast("string"), colname))
+    if "maxProperties" in node:
         out.append(ColumnCheck("maxProperties", ipath, f"{spath}/maxProperties",
-                               absent | (F.size(col) <= sub["maxProperties"]),
-                               F.size(col).cast("string"), name))
+                               absent | (F.size(col) <= node["maxProperties"]),
+                               F.size(col).cast("string"), colname))
 
-    declared = set(sub.get("properties", {}) or {})
-    pat_specs = sub.get("patternProperties", {}) or {}
-    if sub.get("additionalProperties") is False:
+    declared = set(node.get("properties", {}) or {})
+    pat_specs = node.get("patternProperties", {}) or {}
+    for rx in pat_specs:
+        if java_safe_pattern(rx) is None:
+            raise _NotNative(f"patternProperties regex dialect {rx!r}")
+    addl = node.get("additionalProperties", True)
+    if addl is False:
         allowed_keys = sorted(declared)
-        pat_list = list(pat_specs)
+        pat_list = [java_safe_pattern(rx) for rx in pat_specs]
 
         def _covered(k):  # MUST stay single-parameter (pyspark HOF arity)
             p = k.isin(allowed_keys) if allowed_keys else F.lit(False)
@@ -419,80 +899,142 @@ def _compile_map_checks(name: str, col: Column, sub: dict, dt: T.MapType,
                 p = p | k.rlike(rx)
             return p
 
-        out.append(ColumnCheck("additionalProperties", ipath, f"{spath}/additionalProperties",
+        out.append(ColumnCheck("additionalProperties", ipath,
+                               f"{spath}/additionalProperties",
                                absent | F.forall(F.map_keys(col), _covered),
-                               F.lit("<extra key>"), name))
+                               F.lit("<extra key>"), colname))
+    elif isinstance(addl, dict):
+        allowed_keys = sorted(declared)
+        pat_list = [java_safe_pattern(rx) for rx in pat_specs]
+        vfn = _scalar_valid_builder(addl, v_dt, reg, base, stack,
+                                    f"{spath}/additionalProperties")
+        ak, pl = allowed_keys, pat_list
 
-    # properties / patternProperties value checks (simple value schemas)
-    for k, vsub in (sub.get("properties", {}) or {}).items():
-        vp = _value_lambda(vsub)
-        if vp is not None and vsub:
-            val = F.element_at(col, F.lit(k))
-            out.append(ColumnCheck("properties", f"{ipath}.{k}", f"{spath}/properties/{k}",
-                                   absent | val.isNull() | vp(val),
-                                   F.substring(val.cast("string"), 1, 64), name))
-    for rx, vsub in pat_specs.items():
-        vp = _value_lambda(vsub)
-        if vp is not None and vsub:
-            def entry_ok(k, v, rx=rx, vp=vp):
-                return F.when(k.rlike(rx), vp(v)).otherwise(F.lit(True))
+        def _extra_ok(e):  # MUST stay single-parameter (pyspark HOF arity)
+            k, v = e.getField("key"), e.getField("value")
+            known = k.isin(ak) if ak else F.lit(False)
+            for rx in pl:
+                known = known | k.rlike(rx)
+            return F.when(known, F.lit(True)).otherwise(
+                F.coalesce(vfn(v), F.lit(True)))
 
+        out.append(ColumnCheck("additionalProperties", ipath,
+                               f"{spath}/additionalProperties",
+                               absent | F.forall(F.map_entries(col), _extra_ok),
+                               F.lit("<extra value>"), colname))
+
+    # properties / patternProperties value checks (full scalar keyword set,
+    # fail-closed: anything richer raises _NotNative → Arrow wrapper)
+    for k, vsub in (node.get("properties", {}) or {}).items():
+        if not isinstance(vsub, dict) or not vsub:
+            continue
+        builders = _scalar_pred_builders(vsub, v_dt, reg, base, stack,
+                                         f"{spath}/properties/{k}")
+        val = F.element_at(col, F.lit(k))
+        has_k = F.map_contains_key(col, F.lit(k))
+        for kw, sp, fn in builders:
             out.append(ColumnCheck(
-                "patternProperties", ipath, f"{spath}/patternProperties/{rx}",
-                absent | F.forall(F.map_entries(col),
-                                  lambda e: entry_ok(e.getField("key"), e.getField("value"))),
-                F.lit("<pattern value>"), name))
+                kw, f"{ipath}.{k}", sp,
+                absent | ~has_k | F.coalesce(fn(val), F.lit(True)),
+                F.substring(val.cast("string"), 1, 64), colname))
+    for rx, vsub in pat_specs.items():
+        if not isinstance(vsub, dict) or not vsub:
+            continue
+        vfn = _scalar_valid_builder(vsub, v_dt, reg, base, stack,
+                                    f"{spath}/patternProperties/{rx}")
+        jrx = java_safe_pattern(rx)
+
+        def _mk_entry_ok(jrx, vfn):
+            def entry_ok(e):  # single-parameter (pyspark HOF arity)
+                k, v = e.getField("key"), e.getField("value")
+                return F.when(k.rlike(jrx),
+                              F.coalesce(vfn(v), F.lit(True))).otherwise(F.lit(True))
+            return entry_ok
+
+        entry_ok = _mk_entry_ok(jrx, vfn)
+        out.append(ColumnCheck(
+            "patternProperties", ipath, f"{spath}/patternProperties/{rx}",
+            absent | F.forall(F.map_entries(col), entry_ok),
+            F.lit("<pattern value>"), colname))
+
+    for k, dep in (node.get("dependencies") or {}).items():
+        trigger = F.coalesce(F.map_contains_key(col, F.lit(k)), F.lit(False))
+        if isinstance(dep, dict):
+            sub_checks = _compile_map(col, dep, dt, f"{spath}/dependencies/{k}",
+                                      ipath, colname, reg, base, stack)
+            for c in sub_checks:
+                out.append(ColumnCheck(
+                    c.keyword, c.instance_path, c.schema_path,
+                    ~trigger | F.coalesce(c.predicate, F.lit(True)),
+                    c.detail, colname))
+        else:
+            dl = [dep] if isinstance(dep, str) else list(dep)
+            for dk in dl:
+                out.append(ColumnCheck(
+                    "dependencies", f"{ipath}.{dk}", f"{spath}/dependencies",
+                    absent | ~trigger | F.map_contains_key(col, F.lit(dk)),
+                    F.lit("<dependency>"), colname))
     return out
 
 
-def _compile_scalar_checks_on(col: Column, sub: dict, dt: T.DataType,
-                              spath: str, ipath: str, colname: str) -> list[ColumnCheck]:
-    """Scalar keyword checks against an arbitrary Column expression
-    (nested field) — same semantics as _compile_scalar_checks but without
-    the top-level naming/required handling."""
-    out: list[ColumnCheck] = []
-    null_pass = col.isNull()
-
-    def add(keyword: str, pred: Column, leaf: str | None = None) -> None:
-        out.append(ColumnCheck(keyword, ipath, f"{spath}/{leaf or keyword}", pred,
-                               F.substring(col.cast("string"), 1, 64), colname))
-
-    if "type" in sub:
-        types = sub["type"] if isinstance(sub["type"], list) else [sub["type"]]
-        if not any(_type_compatible(t, dt) for t in types):
-            add("type", null_pass)
-    if "enum" in sub:
-        add("enum", null_pass | col.isin([m for m in sub["enum"] if not isinstance(m, bool)]))
-    if "pattern" in sub:
-        add("pattern", null_pass | col.rlike(sub["pattern"]))
-    if "minLength" in sub:
-        add("minLength", null_pass | (F.length(col) >= sub["minLength"]))
-    if "maxLength" in sub:
-        add("maxLength", null_pass | (F.length(col) <= sub["maxLength"]))
-    if "minimum" in sub:
-        pred = (col > sub["minimum"]) if sub.get("exclusiveMinimum") else (col >= sub["minimum"])
-        add("exclusiveMinimum" if sub.get("exclusiveMinimum") else "minimum", null_pass | pred, leaf="minimum")
-    if "maximum" in sub:
-        pred = (col < sub["maximum"]) if sub.get("exclusiveMaximum") else (col <= sub["maximum"])
-        add("exclusiveMaximum" if sub.get("exclusiveMaximum") else "maximum", null_pass | pred, leaf="maximum")
-    if isinstance(dt, T.ArrayType):
-        if "minItems" in sub:
-            add("minItems", null_pass | (F.size(col) >= sub["minItems"]))
-        if "maxItems" in sub:
-            add("maxItems", null_pass | (F.size(col) <= sub["maxItems"]))
-        if sub.get("uniqueItems") is True:
-            add("uniqueItems", null_pass | (F.size(F.array_distinct(col)) == F.size(col)))
-    return out
+# ---------------------------------------------------------------------------
+# dynamic-JSON detection & Arrow wrapper fallback
+# ---------------------------------------------------------------------------
 
 
-# Java-regex format table (draft-4 validation §7 built-ins minus date-time,
-# which uses try_to_timestamp natively).
-_FORMAT_REGEX = {
-    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
-    "hostname": r"^[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
-    "ipv4": r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$",
-    "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*:",
-}
+def _string_is_dynamic(sub: Any, reg: SchemaRegistry, base: str,
+                       stack: tuple = ()) -> bool:
+    """Does this subschema, applied to a StringType column, demand JSON
+    interpretation (the column holds a serialized document)? Container
+    keywords or container types anywhere reachable say yes; plain string
+    scalars stay on the raw-string contract."""
+    if not isinstance(sub, dict):
+        return False
+    if "$ref" in sub:
+        try:
+            target, nb, _ = reg.resolve(sub["$ref"], base)
+        except Exception:
+            return True  # unresolvable here → let the dynamic path report
+        if id(target) in stack:
+            return True  # cyclic → dynamic by definition
+        return _string_is_dynamic(target, reg, nb, stack + (id(target),))
+    if set(sub) & _JSON_CONTAINER_KEYWORDS:
+        return True
+    types = sub.get("type")
+    if types is not None:
+        tlist = types if isinstance(types, list) else [types]
+        if any(t in ("object", "array") for t in tlist):
+            return True
+    if any(isinstance(m, (list, dict)) for m in sub.get("enum", []) or []):
+        return True
+    for comb in ("allOf", "anyOf", "oneOf"):
+        for b in sub.get(comb, []) or []:
+            if _string_is_dynamic(b, reg, base, stack):
+                return True
+    if "not" in sub and _string_is_dynamic(sub["not"], reg, base, stack):
+        return True
+    return False
+
+
+def _arrow_wrapper_spec(name: str, sub: Any, reg: SchemaRegistry,
+                        root_uri: str) -> ArrowColumnSpec:
+    """Complete fallback for a typed column whose subschema exceeds the
+    native set: serialize the single value per row (``to_json(struct)``,
+    still vectorized JVM-side) and run the compiled Python closure
+    validator on the Arrow path. The wrapper object schema reproduces the
+    table convention exactly: instance paths ``$.{name}…``, schema paths
+    ``{root}#/properties/{name}/…``; a NULL column serializes to ``{}``
+    (ignoreNullFields), i.e. ABSENT, preserving the typed null contract."""
+    wrapper = {"type": "object", "properties": {name: sub}}
+    validator = compile_python_validator(wrapper, registry=reg, base_uri=root_uri)
+    payload = F.to_json(F.struct(F.col(name).alias(name)))
+    return ArrowColumnSpec(column=name, validator=validator,
+                           instance_prefix="$", payload=payload)
+
+
+# ---------------------------------------------------------------------------
+# defaults / enum-as-table helpers (SURVEY 2(a).26, 2(a).2)
+# ---------------------------------------------------------------------------
 
 
 def defaults_projection(schema: dict, df_columns: list[str]) -> list[Column]:
@@ -511,26 +1053,25 @@ def defaults_projection(schema: dict, df_columns: list[str]) -> list[Column]:
     return out
 
 
-def enum_broadcast_predicate(col: Column | str, allowed, spark=None) -> Column:
-    """Large-enum membership via a broadcast hash set (SURVEY 2(a).2).
-
-    For enums too large for an `isin` literal list (e.g. a 1M-entry
-    allowlist), the scalable plan is a broadcast LEFT SEMI join; as a
-    Column predicate composable into the fused pass we broadcast the set
-    into a literal map-side array only up to a bound, else callers should
-    use `semi_join_filter`."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.isin(list(allowed))
-
-
 def semi_join_filter(df, col: str, allowed_df, allowed_col: str,
                      broadcast_allowed: bool = True):
     """df rows whose `col` IS in the allowed set — broadcast left-semi
-    join (the enum-as-table regime for web-scale allowlists)."""
+    join (the enum-as-table regime for web-scale allowlists, SURVEY
+    2(a).2: enums too large for an isin literal list)."""
     keys = allowed_df.select(F.col(allowed_col).alias("__allowed")).dropDuplicates(["__allowed"])
     if broadcast_allowed:
         keys = F.broadcast(keys)
     return df.join(keys, df[col] == keys["__allowed"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# table-level compile (reference EP1 analogue)
+# ---------------------------------------------------------------------------
+
+_ROOT_KEYWORDS = ({"type", "properties", "required", "dependencies",
+                   "patternProperties", "additionalProperties",
+                   "minProperties", "maxProperties",
+                   "allOf", "anyOf", "oneOf", "not"} | _ANNOTATIONS)
 
 
 def compile_plan(
@@ -538,111 +1079,270 @@ def compile_plan(
     table_schema: T.StructType,
     registry: SchemaRegistry | None = None,
     variant_unroll_depth: int = 3,
+    json_columns: set | frozenset | None = None,
 ) -> CompiledPlan:
     """Compile a root object schema against a typed table's StructType.
 
     Each top-level property maps to a column. Native-expressible
-    subschemas become Column checks; the rest (nested objects, $refs,
-    combinators) become Arrow batch validators over that column
-    (JSON-string payload).
+    subschemas become Column checks; dynamic JSON string columns go to
+    the Variant-native/Arrow path; every other inexpressible subschema
+    gets a complete Arrow wrapper spec (fail-closed — see module
+    docstring). Unsupported ROOT keywords raise UnsupportedSchemaError.
+
+    ``json_columns``: StringType columns to ALWAYS treat as serialized
+    JSON documents. By default a string column is treated as a plain
+    string value unless its subschema mentions container keywords/types
+    (``_string_is_dynamic``) — a column holding e.g. ``"30"`` that must
+    validate as the NUMBER 30 is ambiguous and needs this declaration.
     """
     registry, root_uri = parse_schema(schema, registry)
     if schema.get("type") not in (None, "object"):
         raise ValueError("table-level compile expects a root object schema")
 
+    unknown_root = set(schema) - _ROOT_KEYWORDS
+    if unknown_root:
+        raise UnsupportedSchemaError(
+            f"root keywords {sorted(unknown_root)} are not supported over "
+            f"typed tables (fail-closed; wrap the dynamic part in a JSON column)")
+
     plan = CompiledPlan(root_uri=root_uri)
     fields = {f.name: f.dataType for f in table_schema.fields}
-    required = set(schema.get("required", []))
-    props: dict[str, Any] = schema.get("properties", {}) or {}
-    base_spath = f"{root_uri}#/properties"
+    plan._json_columns = frozenset(json_columns or ())
+    _compile_object_level(schema, f"{root_uri}#", plan, fields, registry,
+                          root_uri, variant_unroll_depth)
+    return plan
 
+
+def _compile_object_level(node: dict, spath: str, plan: CompiledPlan,
+                          fields: dict, registry: SchemaRegistry,
+                          root_uri: str, unroll: int) -> None:
+    """One object level of the ROOT schema applied to table columns.
+    Recurses for root allOf branches; anyOf/oneOf/not compose natively
+    via row predicates."""
+    required = set(node.get("required", []) or [])
+    props: dict[str, Any] = dict(node.get("properties", {}) or {})
     for name in sorted(required - set(props)):
-        props = {**props, name: {}}
+        props[name] = {}
 
     for name, sub in props.items():
-        spath = f"{base_spath}/{name}"
-        if name not in fields:
-            if name in required:
-                # column missing entirely: constant violation
-                plan.checks.append(
-                    ColumnCheck("required", f"$.{name}", f"{spath}/required",
-                                F.lit(False), F.lit("<missing column>"), name)
-                )
-            continue
-        dt = fields[name]
-        plan.columns_needed.add(name)
-        resolved = sub
-        if isinstance(sub, dict) and "$ref" in sub:
-            resolved_node, _, canon = registry.resolve(sub["$ref"], root_uri)
-            if _is_native_expressible(resolved_node):
-                resolved, spath = resolved_node, canon.replace("#", "#", 1)
-        # typed nested objects: recurse natively into struct fields / map keys
-        if isinstance(dt, T.StructType) and isinstance(resolved, dict) and (
-            "properties" in resolved or "required" in resolved
-            or "maxProperties" in resolved or "minProperties" in resolved
-        ) and "$ref" not in resolved:
-            plan.columns_needed.add(name)
-            if name in required:
-                plan.checks.append(ColumnCheck(
-                    "required", f"$.{name}", f"{spath}/required",
-                    F.col(name).isNotNull(), F.lit("<absent>"), name))
-            plan.checks.extend(
-                _compile_struct_checks(name, F.col(name), resolved, dt, spath, f"$.{name}")
-            )
-            continue
-        if isinstance(dt, T.MapType) and isinstance(resolved, dict) and "$ref" not in resolved:
-            plan.columns_needed.add(name)
-            if name in required:
-                plan.checks.append(ColumnCheck(
-                    "required", f"$.{name}", f"{spath}/required",
-                    F.col(name).isNotNull(), F.lit("<absent>"), name))
-            plan.checks.extend(
-                _compile_map_checks(name, F.col(name), resolved, dt, spath, f"$.{name}")
-            )
-            continue
-        if isinstance(dt, T.StringType) and not _is_native_expressible(resolved):
-            # dynamic JSON column. Fast path: bounded-unroll native Variant
-            # compile (plans/variant_native.py) — zero Python for rows
-            # within the unroll depth; only deeper rows (deep_guard) cross
-            # the Arrow boundary. Fallback: full vectorized Arrow path
-            # (cyclic $refs via compiled-closure recursion, deep equality,
-            # ECMA regex, combinators).
-            from themis_spark.plans.variant_native import try_compile_variant_native
+        _compile_column(name, sub, name in required, spath, plan, fields,
+                        registry, root_uri, unroll)
 
-            valias = f"__variant_{name}"
-            vn = (
-                try_compile_variant_native(
-                    name, sub, registry, root_uri, variant_unroll_depth,
-                    parsed=F.col(valias),
-                )
-                if variant_unroll_depth > 0
-                else None
-            )
-            if vn is not None:
-                plan.variant_sources[valias] = name
-                plan.variant_arrays.append(vn.violations_array)
-                if vn.deep_guard is not None:
-                    sub_validator = compile_python_validator(
-                        sub, registry=registry, base_uri=root_uri
-                    )
-                    plan.arrow_specs.append(
-                        ArrowColumnSpec(name, sub_validator, f"$.{name}",
-                                        gate=vn.deep_guard)
-                    )
+    # patternProperties at root: compile-time name matching over columns
+    for rx, psub in (node.get("patternProperties") or {}).items():
+        try:
+            crx = re.compile(rx)
+        except re.error as exc:
+            raise UnsupportedSchemaError(f"bad root patternProperties {rx!r}") from exc
+        for name in fields:
+            if crx.search(name) and name not in props:
+                _compile_column(name, psub, False,
+                                spath, plan, fields, registry, root_uri, unroll,
+                                spath_leaf=f"patternProperties/{rx}")
+
+    # additionalProperties at root: undeclared columns must be absent /
+    # match the additional schema (a typed table CAN have extra columns —
+    # they must be NULL for additionalProperties=false rows to validate)
+    addl = node.get("additionalProperties", True)
+    if addl is not True:
+        pat_res = [re.compile(rx) for rx in (node.get("patternProperties") or {})]
+        for name in fields:
+            if name in props or any(crx.search(name) for crx in pat_res):
+                continue
+            if addl is False:
+                plan.checks.append(ColumnCheck(
+                    "additionalProperties", f"$.{name}",
+                    f"{spath}/additionalProperties",
+                    F.col(name).isNull(), F.lit("<extra column>"), name))
+                plan.columns_needed.add(name)
             else:
+                _compile_column(name, addl, False, spath, plan, fields,
+                                registry, root_uri, unroll,
+                                spath_leaf="additionalProperties")
+
+    if "minProperties" in node or "maxProperties" in node:
+        present = sum((F.when(F.col(c).isNotNull(), 1).otherwise(0)
+                       for c in fields), F.lit(0))
+        plan.columns_needed.update(fields)
+        if "minProperties" in node:
+            plan.checks.append(ColumnCheck(
+                "minProperties", "$", f"{spath}/minProperties",
+                present >= node["minProperties"], present.cast("string"), "*"))
+        if "maxProperties" in node:
+            plan.checks.append(ColumnCheck(
+                "maxProperties", "$", f"{spath}/maxProperties",
+                present <= node["maxProperties"], present.cast("string"), "*"))
+
+    # dependencies at root (round-1 verdict item 9): cross-column presence
+    # and gated schema-form checks — native F.when logic
+    for k, dep in (node.get("dependencies") or {}).items():
+        trigger = (F.col(k).isNotNull() if k in fields else F.lit(False))
+        if k in fields:
+            plan.columns_needed.add(k)
+        if isinstance(dep, dict):
+            branch_checks = _root_branch_checks(dep, f"{spath}/dependencies/{k}",
+                                                fields, registry, root_uri, plan)
+            for c in branch_checks:
+                plan.checks.append(ColumnCheck(
+                    c.keyword, c.instance_path, c.schema_path,
+                    ~trigger | F.coalesce(c.predicate, F.lit(True)),
+                    c.detail, c.column))
+        else:
+            dl = [dep] if isinstance(dep, str) else list(dep)
+            for dk in dl:
+                dk_present = F.col(dk).isNotNull() if dk in fields else F.lit(False)
+                if dk in fields:
+                    plan.columns_needed.add(dk)
+                plan.checks.append(ColumnCheck(
+                    "dependencies", f"$.{dk}", f"{spath}/dependencies",
+                    ~trigger | dk_present, F.lit("<dependency>"), k))
+
+    # root combinators over typed columns (round-1 verdict items 1–2)
+    if "allOf" in node:
+        for i, b in enumerate(node["allOf"]):
+            if not isinstance(b, dict):
+                continue
+            unknown = set(b) - _ROOT_KEYWORDS
+            if unknown:
+                raise UnsupportedSchemaError(
+                    f"root allOf branch keywords {sorted(unknown)} unsupported")
+            _compile_object_level(b, f"{spath}/allOf/{i}", plan, fields,
+                                  registry, root_uri, unroll)
+    for comb in ("anyOf", "oneOf"):
+        if comb in node:
+            preds = []
+            for i, b in enumerate(node[comb]):
+                checks = _root_branch_checks(b, f"{spath}/{comb}/{i}", fields,
+                                             registry, root_uri, plan)
+                preds.append(_and_all(
+                    [F.coalesce(c.predicate, F.lit(True)) for c in checks]))
+            pred = _or_all(preds) if comb == "anyOf" else (
+                sum((p.cast("int") for p in preds), F.lit(0)) == 1)
+            plan.checks.append(ColumnCheck(
+                comb, "$", f"{spath}/{comb}", pred, F.lit(f"<{comb}>"), "*"))
+    if "not" in node:
+        checks = _root_branch_checks(node["not"], f"{spath}/not", fields,
+                                     registry, root_uri, plan)
+        p = _and_all([F.coalesce(c.predicate, F.lit(True)) for c in checks])
+        plan.checks.append(ColumnCheck(
+            "not", "$", f"{spath}/not", ~p, F.lit("<not>"), "*"))
+
+
+def _root_branch_checks(branch: Any, spath: str, fields: dict,
+                        registry: SchemaRegistry, root_uri: str,
+                        plan: CompiledPlan) -> list[ColumnCheck]:
+    """Native checks for a root combinator/dependency branch (an object
+    schema over table columns). Fail-closed: anything the native path
+    can't express raises UnsupportedSchemaError — a branch predicate
+    cannot be partially evaluated."""
+    if not isinstance(branch, dict):
+        return []
+    allowed = {"required", "properties", "dependencies", "type"} | _ANNOTATIONS
+    unknown = set(branch) - allowed
+    if unknown:
+        raise UnsupportedSchemaError(
+            f"root branch keywords {sorted(unknown)} not natively expressible "
+            f"over typed columns at {spath}")
+    out: list[ColumnCheck] = []
+    for name in branch.get("required", []) or []:
+        pred = F.col(name).isNotNull() if name in fields else F.lit(False)
+        if name in fields:
+            plan.columns_needed.add(name)
+        out.append(ColumnCheck("required", f"$.{name}", f"{spath}/required",
+                               pred, F.lit("<absent>"), name))
+    for name, sub in (branch.get("properties") or {}).items():
+        if name not in fields:
+            continue
+        plan.columns_needed.add(name)
+        try:
+            out.extend(_compile_sub(F.col(name), sub, fields[name],
+                                    f"{spath}/properties/{name}", f"$.{name}",
+                                    name, registry, root_uri))
+        except _NotNative as exc:
+            raise UnsupportedSchemaError(
+                f"root branch property {name!r} at {spath}: {exc}") from exc
+    for k, dep in (branch.get("dependencies") or {}).items():
+        trigger = F.col(k).isNotNull() if k in fields else F.lit(False)
+        if not isinstance(dep, dict):
+            dl = [dep] if isinstance(dep, str) else list(dep)
+            for dk in dl:
+                dk_present = F.col(dk).isNotNull() if dk in fields else F.lit(False)
+                out.append(ColumnCheck("dependencies", f"$.{dk}",
+                                       f"{spath}/dependencies",
+                                       ~trigger | dk_present,
+                                       F.lit("<dependency>"), k))
+        else:
+            raise UnsupportedSchemaError(
+                f"schema-form dependencies inside a root branch at {spath}")
+    return out
+
+
+def _compile_column(name: str, sub: Any, is_required: bool, spath_base: str,
+                    plan: CompiledPlan, fields: dict,
+                    registry: SchemaRegistry, root_uri: str, unroll: int,
+                    spath_leaf: str | None = None) -> None:
+    """Dispatch one (column, subschema) pair to the right compile path."""
+    spath = f"{spath_base}/{spath_leaf}" if spath_leaf else f"{spath_base}/properties/{name}"
+    if name not in fields:
+        if is_required:
+            # column missing entirely: constant violation
+            plan.checks.append(
+                ColumnCheck("required", f"$.{name}", f"{spath}/required",
+                            F.lit(False), F.lit("<missing column>"), name))
+        return
+    dt = fields[name]
+    plan.columns_needed.add(name)
+
+    if is_required:
+        # presence: SQL NULL == absent (typed-table contract)
+        plan.checks.append(
+            ColumnCheck("required", f"$.{name}", f"{spath}/required",
+                        F.col(name).isNotNull(), F.lit("<absent>"), name))
+
+    if not isinstance(sub, dict) or not sub:
+        return
+
+    # dynamic JSON string column? → Variant-native bounded unroll, else the
+    # full Arrow JSON path (cyclic $refs via compiled-closure recursion,
+    # deep equality, ECMA regex, combinators over unknown shapes).
+    forced_json = name in getattr(plan, "_json_columns", ())
+    if isinstance(dt, T.StringType) and (
+            forced_json or _string_is_dynamic(sub, registry, root_uri)):
+        from themis_spark.plans.variant_native import try_compile_variant_native
+
+        valias = f"__variant_{name}"
+        vn = (
+            try_compile_variant_native(
+                name, sub, registry, root_uri, unroll,
+                parsed=F.col(valias),
+            )
+            if unroll > 0
+            else None
+        )
+        if vn is not None:
+            plan.variant_sources[valias] = name
+            plan.variant_arrays.append(vn.violations_array)
+            if vn.deep_guard is not None:
                 sub_validator = compile_python_validator(
                     sub, registry=registry, base_uri=root_uri
                 )
-                plan.arrow_specs.append(ArrowColumnSpec(name, sub_validator, f"$.{name}"))
-            if name in required:
-                plan.checks.append(
-                    ColumnCheck("required", f"$.{name}", f"{spath}/required",
-                                F.col(name).isNotNull(), F.lit("<absent>"), name)
+                plan.arrow_specs.append(
+                    ArrowColumnSpec(name, sub_validator, f"$.{name}",
+                                    gate=vn.deep_guard)
                 )
-            continue
-        plan.checks.extend(
-            _compile_scalar_checks(name, resolved if isinstance(resolved, dict) else {},
-                                   dt, spath, name in required)
-        )
+        else:
+            sub_validator = compile_python_validator(
+                sub, registry=registry, base_uri=root_uri
+            )
+            plan.arrow_specs.append(ArrowColumnSpec(name, sub_validator, f"$.{name}"))
+        return
 
-    return plan
+    # typed column: try the complete native compile; on _NotNative fall
+    # back to the Arrow wrapper (never silently under-validate)
+    try:
+        plan.checks.extend(
+            _compile_sub(F.col(name), sub, dt, spath, f"$.{name}", name,
+                         registry, root_uri)
+        )
+    except _NotNative:
+        plan.arrow_specs.append(_arrow_wrapper_spec(name, sub, registry, root_uri))

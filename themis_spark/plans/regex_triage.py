@@ -1,0 +1,70 @@
+"""Regex dialect triage for the native compile paths (SURVEY.md §7.3.3).
+
+Schema ``pattern`` strings are ECMA-262; the engine's ground truth
+(plans/pyvalidator.py) evaluates them with Python ``re`` (Unicode
+semantics); the native Column paths evaluate them with Java regex via
+``rlike``. The dialects diverge in two load-bearing ways (round-1 ADVICE):
+
+1. Python/ECMA-valid syntax that Java rejects — e.g. ``(?P<g>ab)+`` —
+   raises ``PatternSyntaxException`` on EXECUTORS at runtime, aborting
+   the whole job long after compile succeeded.
+2. ``\\d``/``\\w``/``\\b``/``\\s`` default to ASCII classes in Java but
+   Unicode in Python ``re`` — silent divergence on non-ASCII input.
+
+``java_safe_pattern`` is the compile-time bail-out both native paths
+share: it returns a Java pattern aligned with Python semantics for the
+supported subset, or None, in which case the caller must route the check
+through the Arrow/Python path (plans/compiler.py falls back to an Arrow
+wrapper spec; plans/variant_native.py raises ``_Unsupported``).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Python-only syntax: Java-invalid (named groups/backrefs in Python
+# spelling) or differently interpreted (comments). Conservative substring
+# checks — false positives just mean the Arrow path runs, never a wrong
+# answer.
+_PY_ONLY_TOKENS = ("(?P<", "(?P=", "(?#", r"\A", r"\Z")
+
+# Predefined classes whose Java defaults are ASCII-only; prefixing the
+# pattern with (?U) (UNICODE_CHARACTER_CLASS) aligns them with Python re.
+_CLASS_SHORTHAND = re.compile(r"\\[dwbsDWBS]")
+
+
+def _jvm_pattern_compiles(pattern: str) -> bool | None:
+    """Driver-side java.util.regex.Pattern.compile probe. Returns None
+    when no JVM is reachable (plan built before a SparkSession exists) —
+    callers then rely on the token heuristics alone."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        spark._jvm.java.util.regex.Pattern.compile(pattern)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def java_safe_pattern(pattern: str) -> str | None:
+    """Java-regex form of an ECMA/Python schema pattern, or None when the
+    pattern must take the Python (Arrow) path.
+
+    The returned pattern may carry a leading ``(?U)`` so Java's
+    ``\\d``/``\\w``/``\\b`` match Python's Unicode-aware classes.
+    """
+    if any(tok in pattern for tok in _PY_ONLY_TOKENS):
+        return None
+    try:
+        re.compile(pattern)  # ground truth must accept it too
+    except re.error:
+        return None
+    out = pattern
+    if _CLASS_SHORTHAND.search(pattern):
+        out = "(?U)" + out
+    if _jvm_pattern_compiles(out) is False:
+        return None
+    return out

@@ -10,6 +10,12 @@ compiles the COMMON CASE natively instead:
 * every keyword check on every reachable subschema node becomes a pure
   Column expression over ``variant_get``/``schema_of_variant`` probes
   (whole-stage codegen, zero Python);
+* combinators (``allOf``/``anyOf``/``oneOf``/``not``) and
+  ``dependencies`` compile natively: ``allOf`` and schema-form
+  dependencies recurse with a guard (inner triples match the Python
+  validator exactly); ``anyOf``/``oneOf``/``not`` compose per-branch
+  validity predicates with three-valued-logic wrapping
+  (``coalesce(p, …)`` before negation — SURVEY.md 2(a).23);
 * a cyclic ``$ref`` is UNROLLED ``unroll_depth`` levels; rows whose data
   actually recurses deeper trip a native *deep guard*
   (``variant_get(v, '$.parent.parent.parent') IS NOT NULL``) — those
@@ -28,10 +34,12 @@ the two paths agree on randomized documents.
 
 Type discrimination uses ``schema_of_variant`` (draft-4 type model:
 ``1.0`` IS an integer), never lenient casts — ``try_variant_get(...,
-'string')`` would happily coerce numbers. Known divergences from the
-Python path (both documented, both bail-out-able): Java-regex vs Python
-``re`` on exotic patterns, and double-precision numeric compares for
-``multipleOf`` above 2⁵³.
+'string')`` would happily coerce numbers. Pattern dialect triage happens
+at COMPILE time (plans/regex_triage.py): Java-incompatible or
+Unicode-divergent patterns bail the column out to the Arrow path instead
+of aborting executors or silently diverging from the Python ground truth
+(round-1 ADVICE). Known remaining divergence: double-precision numeric
+compares for ``multipleOf`` above 2⁵³ (documented).
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from themis_spark.plans.parser import SchemaRegistry
+from themis_spark.plans.regex_triage import java_safe_pattern
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -53,9 +62,15 @@ _SUPPORTED = {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "minItems", "maxItems", "uniqueItems", "items",
     "required", "properties", "$ref",
+    "allOf", "anyOf", "oneOf", "not", "dependencies",
     # inert annotations
     "id", "definitions", "title", "description", "default",
 }
+
+#: subset allowed inside anyOf/oneOf/not branch PREDICATES — keywords that
+#: would need the Arrow residual (deep uniqueItems, per-index items) can't
+#: be deferred from inside a branch, so their presence bails the column out
+_PRED_SUPPORTED = _SUPPORTED - {"uniqueItems", "items"}
 
 
 class _Unsupported(Exception):
@@ -130,40 +145,26 @@ def try_compile_variant_native(
     def node_at(vpath: str) -> Column:
         return v if vpath == "$" else F.variant_get(v, vpath, "variant")
 
-    def walk(node, vpath: str, ipath: str, spath: str, base: str,
-             stack: tuple, budget: int) -> None:
-        if not isinstance(node, dict):
-            return
-        if "$ref" in node:
-            sub, new_base, canon = registry.resolve(node["$ref"], base)
-            if id(sub) in stack:
-                if budget == 0:
-                    frontier.append(vpath)
-                    return
-                budget -= 1
-            walk(sub, vpath, ipath, canon, new_base, stack + (id(sub),), budget)
-            return
-        extra = set(node) - _SUPPORTED
-        if extra:
-            raise _Unsupported(f"keywords {sorted(extra)}")
+    def _child(vpath: str, k: str) -> str:
+        return f"$.{k}" if vpath == "$" else f"{vpath}.{k}"
 
-        nd = node_at(vpath)
-        present = nd.isNotNull()
+    # -- shared per-node scalar keyword fail-conditions ---------------------
+    # (kw, fail_cond_without_present_guard, ipath, spath) — used by walk()
+    # to emit violation triples and by _node_valid() to build branch
+    # predicates from the SAME logic (no semantic drift between the two).
+    def _scalar_fails(node: dict, nd: Column, ipath: str, spath: str):
         s = F.schema_of_variant(nd)
         d = F.try_variant_get(nd, "$", "double")
         sval = F.try_variant_get(nd, "$", "string")
-        is_str, is_arr = s == "STRING", F.startswith(s, F.lit("ARRAY"))
-        is_obj, is_num = F.startswith(s, F.lit("OBJECT")), _num_sov(s)
+        is_str, is_num = s == "STRING", _num_sov(s)
+        is_arr = F.startswith(s, F.lit("ARRAY"))
         arrv = F.try_variant_get(nd, "$", "array<variant>")
-
-        def add(kw: str, fail: Column, ip, sp: str) -> None:
-            cond_checks.append((present & F.coalesce(fail, F.lit(False)),
-                                _viol(kw, ip, sp)))
+        out: list[tuple[str, Column, str, str]] = []
 
         if "type" in node:
             types = node["type"] if isinstance(node["type"], list) else [node["type"]]
             ok = reduce(lambda a, b: a | b, [_type_pred(t, s, d) for t in types])
-            add("type", ~ok, ipath, f"{spath}/type")
+            out.append(("type", ~ok, ipath, f"{spath}/type"))
 
         if "enum" in node:
             members = node["enum"]
@@ -183,28 +184,31 @@ def try_compile_variant_native(
                 match = match | ((s == "BOOLEAN") & bv.isin(bools))
             if any(m is None for m in members):
                 match = match | (s == "VOID")
-            add("enum", ~match, ipath, f"{spath}/enum")
+            out.append(("enum", ~match, ipath, f"{spath}/enum"))
 
         if "pattern" in node:
-            add("pattern", is_str & ~sval.rlike(node["pattern"]),
-                ipath, f"{spath}/pattern")
+            jp = java_safe_pattern(node["pattern"])
+            if jp is None:
+                raise _Unsupported(f"pattern dialect {node['pattern']!r}")
+            out.append(("pattern", is_str & ~sval.rlike(jp),
+                        ipath, f"{spath}/pattern"))
         if "minLength" in node:
-            add("minLength", is_str & (F.length(sval) < node["minLength"]),
-                ipath, f"{spath}/minLength")
+            out.append(("minLength", is_str & (F.length(sval) < node["minLength"]),
+                        ipath, f"{spath}/minLength"))
         if "maxLength" in node:
-            add("maxLength", is_str & (F.length(sval) > node["maxLength"]),
-                ipath, f"{spath}/maxLength")
+            out.append(("maxLength", is_str & (F.length(sval) > node["maxLength"]),
+                        ipath, f"{spath}/maxLength"))
 
         if "minimum" in node:
             excl = bool(node.get("exclusiveMinimum", False))
             bad = (d <= node["minimum"]) if excl else (d < node["minimum"])
-            add("exclusiveMinimum" if excl else "minimum",
-                is_num & bad, ipath, f"{spath}/minimum")
+            out.append(("exclusiveMinimum" if excl else "minimum",
+                        is_num & bad, ipath, f"{spath}/minimum"))
         if "maximum" in node:
             excl = bool(node.get("exclusiveMaximum", False))
             bad = (d >= node["maximum"]) if excl else (d > node["maximum"])
-            add("exclusiveMaximum" if excl else "maximum",
-                is_num & bad, ipath, f"{spath}/maximum")
+            out.append(("exclusiveMaximum" if excl else "maximum",
+                        is_num & bad, ipath, f"{spath}/maximum"))
         if "multipleOf" in node:
             n = node["multipleOf"]
             if isinstance(n, int):
@@ -214,14 +218,125 @@ def try_compile_variant_native(
 
                 dec = T.DecimalType(38, 12)
                 bad = F.pmod(d.cast(dec), F.lit(n).cast(dec)) != 0
-            add("multipleOf", is_num & bad, ipath, f"{spath}/multipleOf")
+            out.append(("multipleOf", is_num & bad, ipath, f"{spath}/multipleOf"))
 
         if "minItems" in node:
-            add("minItems", is_arr & (F.size(arrv) < node["minItems"]),
-                ipath, f"{spath}/minItems")
+            out.append(("minItems", is_arr & (F.size(arrv) < node["minItems"]),
+                        ipath, f"{spath}/minItems"))
         if "maxItems" in node:
-            add("maxItems", is_arr & (F.size(arrv) > node["maxItems"]),
-                ipath, f"{spath}/maxItems")
+            out.append(("maxItems", is_arr & (F.size(arrv) > node["maxItems"]),
+                        ipath, f"{spath}/maxItems"))
+        return out
+
+    # -- branch validity predicate (anyOf/oneOf/not/dependencies-schema) ----
+    def _node_valid(node, vpath: str, base: str, stack: tuple, budget: int) -> Column:
+        """'instance value at vpath satisfies node' as one Column. Raises
+        _Unsupported for anything that would need the Arrow residual —
+        a branch predicate cannot be partially deferred."""
+        if not isinstance(node, dict):
+            return F.lit(True)
+        if "$ref" in node:
+            sub, new_base, canon = registry.resolve(node["$ref"], base)
+            if id(sub) in stack:
+                if budget == 0:
+                    raise _Unsupported("cyclic $ref inside a combinator branch")
+                budget -= 1
+            return _node_valid(sub, vpath, new_base, stack + (id(sub),), budget)
+        extra = set(node) - _PRED_SUPPORTED
+        if extra:
+            raise _Unsupported(f"branch keywords {sorted(extra)}")
+
+        nd = node_at(vpath)
+        present = nd.isNotNull()
+        s = F.schema_of_variant(nd)
+        is_obj = F.startswith(s, F.lit("OBJECT"))
+        preds: list[Column] = []
+        for _kw, fail, _ip, _sp in _scalar_fails(node, nd, "$", "#"):
+            preds.append(~F.coalesce(present & fail, F.lit(False)))
+
+        for k in node.get("required", []) or []:
+            if not _IDENT_RE.match(k):
+                raise _Unsupported(f"non-identifier key {k!r}")
+            missing = F.variant_get(v, _child(vpath, k), "variant").isNull()
+            preds.append(~F.coalesce(present & is_obj & missing, F.lit(False)))
+
+        for k, sub in (node.get("properties") or {}).items():
+            if not _IDENT_RE.match(k):
+                raise _Unsupported(f"non-identifier key {k!r}")
+            preds.append(_node_valid(sub, _child(vpath, k), base, stack, budget))
+
+        for k, dep in (node.get("dependencies") or {}).items():
+            if not _IDENT_RE.match(k):
+                raise _Unsupported(f"non-identifier key {k!r}")
+            k_present = F.variant_get(v, _child(vpath, k), "variant").isNotNull()
+            trigger = F.coalesce(present & is_obj & k_present, F.lit(False))
+            if isinstance(dep, dict):
+                preds.append(~trigger | _node_valid(dep, vpath, base, stack, budget))
+            else:
+                dl = [dep] if isinstance(dep, str) else list(dep)
+                for dk in dl:
+                    dk_present = F.variant_get(v, _child(vpath, dk), "variant").isNotNull()
+                    preds.append(~trigger | F.coalesce(dk_present, F.lit(False)))
+
+        if "allOf" in node:
+            for b in node["allOf"]:
+                preds.append(_node_valid(b, vpath, base, stack, budget))
+        if "anyOf" in node:
+            preds.append(reduce(lambda a, c: a | c,
+                                [_node_valid(b, vpath, base, stack, budget)
+                                 for b in node["anyOf"]]))
+        if "oneOf" in node:
+            hits = sum((_node_valid(b, vpath, base, stack, budget).cast("int")
+                        for b in node["oneOf"]), F.lit(0))
+            preds.append(hits == 1)
+        if "not" in node:
+            preds.append(~F.coalesce(
+                _node_valid(node["not"], vpath, base, stack, budget), F.lit(True)))
+
+        if not preds:
+            return F.lit(True)
+        result = reduce(lambda a, b: a & F.coalesce(b, F.lit(True)),
+                        preds, F.lit(True))
+        # absent value: draft-4 keywords apply only to present values —
+        # without this, an absent node would fail oneOf (every branch
+        # vacuously valid → hits == n_branches != 1)
+        return ~F.coalesce(present, F.lit(False)) | result
+
+    def walk(node, vpath: str, ipath: str, spath: str, base: str,
+             stack: tuple, budget: int, guard: Column | None = None) -> None:
+        """Emit violation triples for ``node`` at ``vpath``. ``guard``
+        (schema-form dependencies) is ANDed into every emitted condition."""
+        if not isinstance(node, dict):
+            return
+        if "$ref" in node:
+            sub, new_base, canon = registry.resolve(node["$ref"], base)
+            if id(sub) in stack:
+                if budget == 0:
+                    frontier.append(vpath)
+                    return
+                budget -= 1
+            walk(sub, vpath, ipath, canon, new_base, stack + (id(sub),), budget, guard)
+            return
+        extra = set(node) - _SUPPORTED
+        if extra:
+            raise _Unsupported(f"keywords {sorted(extra)}")
+
+        nd = node_at(vpath)
+        present = nd.isNotNull()
+        s = F.schema_of_variant(nd)
+        is_arr = F.startswith(s, F.lit("ARRAY"))
+        is_obj = F.startswith(s, F.lit("OBJECT"))
+        arrv = F.try_variant_get(nd, "$", "array<variant>")
+
+        def add(kw: str, fail: Column, ip, sp: str) -> None:
+            cond = present & F.coalesce(fail, F.lit(False))
+            if guard is not None:
+                cond = F.coalesce(guard, F.lit(False)) & cond
+            cond_checks.append((cond, _viol(kw, ip, sp)))
+
+        for kw, fail, ip, sp in _scalar_fails(node, nd, ipath, spath):
+            add(kw, fail, ip, sp)
+
         # Array-content keywords WITHOUT higher-order functions: HOF
         # lambdas are CodegenFallback in Spark, and one of them in the
         # projection knocks the whole fused pass out of whole-stage
@@ -303,10 +418,51 @@ def try_compile_variant_native(
             if not _IDENT_RE.match(k):
                 raise _Unsupported(f"non-identifier key {k!r}")
             walk(sub, _child(vpath, k), f"{ipath}.{k}",
-                 f"{spath}/properties/{k}", base, stack, budget)
+                 f"{spath}/properties/{k}", base, stack, budget, guard)
 
-    def _child(vpath: str, k: str) -> str:
-        return f"$.{k}" if vpath == "$" else f"{vpath}.{k}"
+        # dependencies (SURVEY 2(a).18–19): property form emits the exact
+        # pyvalidator triple; schema form recurses with a guard so INNER
+        # triples match the Python path byte-for-byte
+        for k, dep in (node.get("dependencies") or {}).items():
+            if not _IDENT_RE.match(k):
+                raise _Unsupported(f"non-identifier key {k!r}")
+            k_present = F.variant_get(v, _child(vpath, k), "variant").isNotNull()
+            trigger = is_obj & k_present
+            if isinstance(dep, dict):
+                dep_guard = trigger if guard is None else (
+                    F.coalesce(guard, F.lit(False)) & trigger)
+                walk(dep, vpath, ipath, f"{spath}/dependencies/{k}", base,
+                     stack, budget, dep_guard)
+            else:
+                dl = [dep] if isinstance(dep, str) else list(dep)
+                for dk in dl:
+                    if not _IDENT_RE.match(dk):
+                        raise _Unsupported(f"non-identifier key {dk!r}")
+                    dk_missing = F.variant_get(v, _child(vpath, dk), "variant").isNull()
+                    add("dependencies", trigger & dk_missing,
+                        f"{ipath}.{dk}", f"{spath}/dependencies")
+
+        # combinators (round-1 verdict item 2). allOf recurses (inner
+        # triples, like the reference's generated sub-calls); the others
+        # compose branch predicates with coalesce() against SQL
+        # three-valued logic before negation/counting.
+        if "allOf" in node:
+            for i, b in enumerate(node["allOf"]):
+                walk(b, vpath, ipath, f"{spath}/allOf/{i}", base, stack, budget, guard)
+        if "anyOf" in node:
+            ok = reduce(lambda a, c: a | c,
+                        [F.coalesce(_node_valid(b, vpath, base, stack, budget), F.lit(True))
+                         for b in node["anyOf"]])
+            add("anyOf", ~ok, ipath, f"{spath}/anyOf")
+        if "oneOf" in node:
+            hits = sum((F.coalesce(_node_valid(b, vpath, base, stack, budget),
+                                   F.lit(True)).cast("int")
+                        for b in node["oneOf"]), F.lit(0))
+            add("oneOf", hits != 1, ipath, f"{spath}/oneOf")
+        if "not" in node:
+            valid = F.coalesce(_node_valid(node["not"], vpath, base, stack, budget),
+                               F.lit(True))
+            add("not", valid, ipath, f"{spath}/not")
 
     try:
         walk(subschema, "$", root_ipath, _initial_spath(subschema, registry, base_uri),

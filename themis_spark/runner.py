@@ -16,9 +16,14 @@ partition-granular and idempotently resumable:
 3. a killed run re-executes at most one uncommitted batch; committed
    partitions are never re-validated (tested by tests/test_resume.py).
 
-Cross-partition constraints (uniqueness, referential, drift) run after
-the per-partition pass over the full table — they are global by nature
-and are recorded in the verdicts under partition_id='__global__'.
+Cross-partition constraints (uniqueness, referential, drift,
+text-invariant) run after the per-partition pass over the full table —
+they are global by nature and are recorded in the verdicts under
+partition_id='__global__'.
+
+Per-stage wall-clock is recorded in RunResult.stage_secs (BASELINE.md
+protocol step 5) so scaling regressions are attributable to
+scan+validate vs constraint shuffles vs sink commits.
 """
 
 from __future__ import annotations
@@ -47,6 +52,9 @@ class RunConfig:
     hist_specs: list[HistSpec] = field(default_factory=list)
     unique_keys: list[str] = field(default_factory=list)
     fk: tuple[DataFrame, str, str] | None = None  # (child_df, child_key, parent_key)
+    #: reference extraction for the per-row text invariant (BASELINE.json
+    #: input_hint: byte-identical extracted text per url) — None disables
+    text_invariant_ref: DataFrame | None = None
     partitions_per_batch: int | None = None  # None = all remaining in one job
     max_batches: int | None = None  # tests: stop early to simulate a kill
 
@@ -59,6 +67,9 @@ class RunResult:
     rows: int
     violation_rows: int
     global_violations: int
+    #: per-stage wall seconds: validate_sink / stats / verdict_commit /
+    #: constraints — the attribution record for scaling analysis
+    stage_secs: dict = field(default_factory=dict)
 
 
 def _lineage_table(spark: SparkSession, cfg: RunConfig) -> ParquetTable:
@@ -96,6 +107,8 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
     metr_t = ParquetTable(spark, f"{cfg.out_dir}/metrics", "partition_id")
     lin_t = _lineage_table(spark, cfg)
 
+    stage = {"validate_sink": 0.0, "stats": 0.0, "verdict_commit": 0.0,
+             "constraints": 0.0}
     total_rows = total_viol = 0
     done_now: list = []
     for batch in batches:
@@ -109,25 +122,27 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                                defer_residual=True)
 
         # scan 1 (the only pass that runs the compiled validators):
-        # violations straight to their partitioned sink. The explode output
-        # is tiny relative to the scan, so clustering it onto its partition
-        # key first costs one small shuffle and cuts the files committed
-        # from (#tasks × #partitions) slivers to one per partition — the
-        # commit protocol renames files serially on the driver. Persisting
-        # the (small) clustered frame lets the per-partition counts below
-        # come from cache instead of re-running the validators or
-        # re-reading the sink.
+        # violations straight to their partitioned sink. The explode
+        # output is tiny relative to the scan, so clustering it onto its
+        # partition key first costs one small shuffle and cuts the files
+        # committed from (#tasks × #partitions) slivers to one per
+        # partition — the commit protocol renames files serially on the
+        # driver. No .persist() round-trip (round-1 advice): per-partition
+        # counts come from READING BACK the just-written (tiny, columnar)
+        # sink instead of caching the exploded frame in executor memory.
+        t0 = time.time()
         viol = V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
         residual = V.residual_violations_df(df, plan, cfg.key_col,
                                             cfg.partition_col, cfg.run_id)
         if residual is not None:
             viol = viol.unionByName(residual)
-        viol = viol.repartition(F.col("partition_id")).persist()
-        viol_t.overwrite_partitions(viol)
+        viol_t.overwrite_partitions(viol.repartition(F.col("partition_id")))
+        stage["validate_sink"] += time.time() - t0
 
         # scan 2 (no Python, pure codegen aggregation): per-partition stats
         # — its cnt+nulls also yields exact per-partition row counts, so
         # verdicts need NO third scan and NO re-run of the validators
+        t0 = time.time()
         stats_cols = cfg.stats_columns or [cfg.key_col]
         metrics = column_stats(df, stats_cols, cfg.partition_col,
                                cfg.hist_specs, cfg.run_id)
@@ -140,19 +155,27 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                 # slivers. repartition, NOT coalesce — coalesce(1) would
                 # narrow the aggregation stage itself to one task
                 metr_t.overwrite_partitions(metrics.repartition(1))
-            # both per-partition frames are tiny (one row per partition /
-            # per (partition, keyword)); collecting them driver-side and
-            # building verdicts locally avoids three extra Spark jobs —
-            # serial job latency, not data volume, bounds small-batch runs
             rows_per_part = {
                 r["partition_id"]: int(r["rows"])
                 for r in metrics.where(F.col("column") == stats_cols[0])
                 .select("partition_id", (F.col("cnt") + F.col("nulls")).alias("rows"))
                 .collect()
             }
+            stage["stats"] += time.time() - t0
+
+            # verdicts: violation counts from the written sink — a scan of
+            # a few small parquet files, not a cache of the whole exploded
+            # frame; both per-partition frames are tiny (one row per
+            # partition), so building verdicts driver-side avoids extra
+            # Spark jobs — serial job latency, not data volume, bounds
+            # small-batch runs
+            t0 = time.time()
+            batch_ids = [str(p) for p in batch]
             viol_per_part: dict[str, int] = {
                 str(r["partition_id"]): int(r["n"])
-                for r in viol.groupBy("partition_id")
+                for r in viol_t.read()
+                .where(F.col("partition_id").isin(batch_ids))
+                .groupBy("partition_id")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
@@ -171,7 +194,6 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             total_viol += sum(viol_per_part.values())
         finally:
             metrics.unpersist()
-            viol.unpersist()
         # lineage commit LAST: a kill before this line leaves the batch
         # uncommitted and it re-runs idempotently (outputs are overwritten
         # per-partition, so the retry converges to the same bytes)
@@ -180,22 +202,21 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             "run_id string, part_id int, status string, started_ts double, finished_ts double",
         )
         lin_t.append(lineage.coalesce(1), partitioned=False)
+        stage["verdict_commit"] += time.time() - t0
         done_now.extend(batch)
 
     # ---- global constraints (cross-partition by nature)
+    t0 = time.time()
     global_viol = 0
     if done_now or done:
         full = table.read()
         gv: list[DataFrame] = []
-        key_counts = None
-        if cfg.unique_keys:
-            # one scan + one shuffle produce BOTH the duplicate-key set and
-            # (when the FK parent is this table on the same key) the
-            # deduplicated parent keyset for the anti-join — the agg output
-            # IS the distinct keys, so the referential check rides for free
-            key = cfg.unique_keys[0]
-            key_counts = full.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).cache()
-            dups = key_counts.where(F.col("cnt") > 1)
+        for key in cfg.unique_keys:
+            # hash-compressed two-stage plan: the big exchange carries
+            # 8-byte xxhash64(key) rows instead of key strings; exact
+            # re-count over the broadcast candidate set (see
+            # constraints.duplicate_keys_hashed)
+            dups = C.duplicate_keys_hashed(full, key)
             gv.append(
                 dups.select(
                     F.col(key).cast("string").alias("url"),
@@ -207,12 +228,12 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                     F.concat(F.lit("count="), F.col("cnt").cast("string")).alias("detail"),
                 )
             )
-            for key2 in cfg.unique_keys[1:]:
-                gv.append(C.uniqueness_violations(full, key2, run_id=cfg.run_id))
         if cfg.fk is not None:
             child, ck, pk = cfg.fk
-            parent = key_counts if (key_counts is not None and pk == cfg.unique_keys[0]) else full
-            gv.append(C.referential_violations(child, ck, parent, pk, run_id=cfg.run_id))
+            gv.append(C.referential_violations(child, ck, full, pk, run_id=cfg.run_id))
+        if cfg.text_invariant_ref is not None:
+            gv.append(C.invariant_violations(full, cfg.text_invariant_ref,
+                                             key=cfg.key_col, run_id=cfg.run_id))
         if gv:
             allg = gv[0]
             for g in gv[1:]:
@@ -223,8 +244,7 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                 viol_t.overwrite_partitions(allg)
             finally:
                 allg.unpersist()
-                if key_counts is not None:
-                    key_counts.unpersist()
+    stage["constraints"] = time.time() - t0
 
     return RunResult(
         run_id=cfg.run_id,
@@ -233,4 +253,5 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         rows=total_rows,
         violation_rows=total_viol,
         global_violations=global_viol,
+        stage_secs={k: round(v, 3) for k, v in stage.items()},
     )
