@@ -46,8 +46,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # headline per-operator queries (keys into __spark_entry__.queries())
 HEADLINE = [
-    "validate_documents", "kw_range", "stat_basic", "stat_hist",
-    "con_unique", "con_ref", "con_dup_window",
+    "validate_documents", "kw_range", "kw_combinators", "stat_basic", "stat_hist",
+    "con_unique", "con_unique_hashed", "con_ref", "con_dup_window",
+    "con_text_invariant",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_lsh_candidates", "text_tokens", "text_langid", "text_quality",
     "ann_cosine_topk", "ann_lsh", "mm_meta",
@@ -136,6 +137,9 @@ def run_engine_pass(spark, pages_path: str, out_dir: str) -> dict:
         "global_violations": res.global_violations,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(res.rows / wall, 1),
+        # per-stage attribution (BASELINE.md protocol step 5): which
+        # stage stops scaling is the question, not just the total
+        "stage_secs": res.stage_secs,
     }
 
 
@@ -306,6 +310,7 @@ def scaling_main() -> None:
     lo_c, hi_c = _parse_cores(lo_m), _parse_cores(hi_m)
     factor = hi_c / lo_c
     results: dict[str, list[float]] = {lo_m: [], hi_m: []}
+    stages: dict[str, list[dict]] = {lo_m: [], hi_m: []}
     rows = None
     # interleave configurations: host-level noise spreads across both
     for i in range(repeats):
@@ -322,11 +327,27 @@ def scaling_main() -> None:
             data = json.loads(line[0][len("ENGINE_JSON:"):])
             rows = data["rows"]
             results[master].append(data["docs_per_sec"])
+            stages[master].append(data.get("stage_secs", {}))
             print(f"{master} run {i+1}/{repeats}: {data['docs_per_sec']} docs/s "
-                  f"({data['wall_sec']} s)", file=sys.stderr)
+                  f"({data['wall_sec']} s) stages={data.get('stage_secs')}",
+                  file=sys.stderr)
 
-    med = {c: sorted(v)[len(v) // 2] for c, v in results.items()}
+    def _median(v):
+        return sorted(v)[len(v) // 2]
+
+    med = {c: _median(v) for c, v in results.items()}
     eff = med[hi_m] / (factor * med[lo_m])
+    stage_names = sorted({k for s in stages[lo_m] + stages[hi_m] for k in s})
+    stage_med = {
+        m: {k: _median([s.get(k, 0.0) for s in stages[m]]) for k in stage_names}
+        for m in (lo_m, hi_m)
+    }
+    # per-stage throughput scaling: tput ∝ 1/wall → eff = t_lo/(factor·t_hi)
+    stage_eff = {
+        k: round(stage_med[lo_m][k] / (factor * stage_med[hi_m][k]), 3)
+        if stage_med[hi_m][k] > 0 else None
+        for k in stage_names
+    }
     summary = {
         "rows": rows,
         "master_lo": lo_m,
@@ -337,10 +358,31 @@ def scaling_main() -> None:
         "docs_per_sec_hi": med[hi_m],
         "runs_lo": results[lo_m],
         "runs_hi": results[hi_m],
+        "stage_secs_lo": stage_med[lo_m],
+        "stage_secs_hi": stage_med[hi_m],
+        "stage_efficiency": stage_eff,
         "scaling_efficiency": round(eff, 3),
         "criterion": f"eff = tput_hi/({factor:g}*tput_lo) >= 0.8",
         "passed": eff >= 0.8,
     }
+    # kernel (no-sink fused validate+stats) at both sizes: the secondary,
+    # architecture-only number — reported alongside, never as the criterion
+    if os.environ.get("BENCH_WITH_KERNEL", "1") == "1":
+        for master in (lo_m, hi_m):
+            p = subprocess.run(
+                [sys.executable, __file__, "--kernel-json", "--master", master],
+                capture_output=True, text=True, cwd=REPO,
+                env={**os.environ, "BENCH_PAGES_ROWS": str(scale_rows)},
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("KERNEL_JSON:")]
+            if line:
+                k = json.loads(line[0][len("KERNEL_JSON:"):])
+                summary[f"kernel_docs_per_sec_{'lo' if master == lo_m else 'hi'}"] = k["docs_per_sec"]
+        if "kernel_docs_per_sec_lo" in summary and "kernel_docs_per_sec_hi" in summary:
+            summary["kernel_efficiency"] = round(
+                summary["kernel_docs_per_sec_hi"]
+                / (factor * summary["kernel_docs_per_sec_lo"]), 3)
+
     print(json.dumps(summary))
     _write_baseline_md(summary)
 
@@ -348,27 +390,66 @@ def scaling_main() -> None:
 def _write_baseline_md(s: dict) -> None:
     lo_m, hi_m = s["master_lo"], s["master_hi"]
     factor = s["cores_hi"] / s["cores_lo"]
+    stage_rows = "".join(
+        f"| {k} | {s['stage_secs_lo'].get(k, 0):.1f} s | "
+        f"{s['stage_secs_hi'].get(k, 0):.1f} s | "
+        f"{s['stage_efficiency'].get(k) if s['stage_efficiency'].get(k) is not None else '—'} |\n"
+        for k in sorted(s.get("stage_secs_lo", {}))
+    )
+    kernel_block = ""
+    if "kernel_efficiency" in s:
+        kernel_block = f"""
+## 3. Supporting evidence — the no-sink kernel
+
+The BASELINE metric's *kernel* (fused validate + stats, no sinks, no
+constraint shuffles) isolates the engine's architectural scaling from the
+host's shared-DRAM IO ceiling:
+
+| cluster size | kernel docs/sec (best of 3 steady passes) |
+|---|---|
+| `{lo_m}` | {s['kernel_docs_per_sec_lo']:,} |
+| `{hi_m}` | {s['kernel_docs_per_sec_hi']:,} |
+
+kernel efficiency = {s['kernel_efficiency']} (supporting number — the
+criterion above is the FULL run, per round-1 advice).
+"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
+## 1. Criterion number — the FULL engine run, median of medians
+
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. Sandbox protocol (per driver instruction: "run the same job at
-two parallelism levels on the same input"): the SAME engine pass
-(compile -> fused validate+stats -> uniqueness + referential constraints ->
-checkpointed writes) on the SAME synthetic pages input
-({s['rows']:,} rows, seed=42, Zipf host/lang skew) at
-`{lo_m}` ({s['cores_lo']} cores) vs `{hi_m}` ({s['cores_hi']} cores),
-fresh JVMs per run, configurations interleaved,
-median of {len(s['runs_lo'])}.
+executors, measured on the COMPLETE `run_validation` (compile -> fused
+validate+stats -> uniqueness + referential constraints -> checkpointed
+violations/verdicts/metrics/lineage sinks) — the thing the engine
+actually does, reported as the MEDIAN of interleaved repeats (round-1
+advice: no best-of framing, no kernel-as-headline).
 
 | cluster size | docs/sec (median) | runs |
 |---|---|---|
-| `{lo_m}` | {s['docs_per_sec_lo']:,} | {s['runs_lo']} |
-| `{hi_m}` | {s['docs_per_sec_hi']:,} | {s['runs_hi']} |
+| `{lo_m}` ({s['cores_lo']} cores) | {s['docs_per_sec_lo']:,} | {s['runs_lo']} |
+| `{hi_m}` ({s['cores_hi']} cores) | {s['docs_per_sec_hi']:,} | {s['runs_hi']} |
 
-**scaling efficiency = tput_hi / ({factor:g} x tput_lo) = {s['scaling_efficiency']}**
+**full-run scaling efficiency = {s['docs_per_sec_hi']:,} / ({factor:g} x {s['docs_per_sec_lo']:,}) = {s['scaling_efficiency']}**
 -> criterion (>= 0.8): **{'PASS' if s['passed'] else 'FAIL'}**
+
+## 2. Per-stage attribution (BASELINE.md protocol step 5)
+
+Median per-stage wall seconds and per-stage scaling efficiency
+(eff = t_lo / ({factor:g} x t_hi); input {s['rows']:,} rows, seed 42):
+
+| stage | `{lo_m}` | `{hi_m}` | stage efficiency |
+|---|---|---|---|
+{stage_rows}{kernel_block}""")
+        f.write("""
+## Protocol notes
+
+Sandbox protocol (per driver instruction: "run the same job at two
+parallelism levels on the same input"): fresh JVM sets per run, a warmup
+slice before timing (JIT/codegen/python-daemon costs land outside the
+measured window, as on any long-lived cluster), steady-state passes,
+configurations interleaved so host-level drift spreads across both.
 
 ## Why local-cluster (multi-executor JVMs), not local[N]
 

@@ -110,6 +110,30 @@ def test_histogram_and_ks_drift(spark, pages):
     assert res["drifted"] and 0.15 < res["ks"] < 0.4
 
 
+def test_invariant_operator_finds_planted_mismatches(spark, pages):
+    """invariant_violations (SURVEY 2(b).11, round-1 missing item 4): the
+    engine operator — not just a test — emits the violation-row contract
+    for every url whose extracted text diverges from the reference."""
+    base = pages.dropDuplicates(["url"])
+    ref = base.select(
+        "url",
+        F.when(F.pmod(F.xxhash64("url"), F.lit(50)) == 0,
+               F.concat(F.coalesce("text", F.lit("")), F.lit("CORRUPTED")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    v = C.invariant_violations(base, ref).cache()
+    n = v.count()
+    expected = base.where(F.pmod(F.xxhash64("url"), F.lit(50)) == 0).count()
+    assert 0 < n <= expected  # null-text rows coalesce differently → <=
+    row = v.first()
+    assert row["keyword"] == "text_invariant"
+    assert row["instance_path"] == "$.text"
+    assert row["schema_path"].endswith("/constraints/text_invariant/url")
+    # identical reference → zero violations
+    assert C.invariant_violations(base, base.select("url", "text")).count() == 0
+    v.unpersist()
+
+
 def test_text_invariant_across_parallelism(spark):
     """Byte-identical text per url across runs and parallelism levels
     (BASELINE.json input_hint per-row invariant)."""

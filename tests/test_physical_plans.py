@@ -102,3 +102,35 @@ def test_native_checks_are_codegen(spark, pages_table):
     assert plan_str.count("ArrowEvalPython") == 1
     # and no row-at-a-time Python UDF node anywhere
     assert "BatchEvalPython" not in plan_str
+
+
+def test_media_hash_size_fast_path_is_pure_native(spark, pages_table):
+    """extract_media_meta(fields=(n_bytes, sha256)) must compile to
+    native length/sha2 columns — NO Arrow boundary, no Python workers
+    (round-1 verdict item 6 'Done =' criterion)."""
+    from themis_spark.operators.multimodal import extract_media_meta
+
+    df = pages_table.read().select(
+        F.xxhash64("url").alias("doc_id"), F.col("html").alias("payload"))
+    fast = extract_media_meta(df, fields=("n_bytes", "sha256"))
+    plan_str = _plan(fast)
+    assert "ArrowEvalPython" not in plan_str
+    assert "MapInPandas" not in plan_str
+    assert "BatchEvalPython" not in plan_str
+    # full decode path still goes through one mapInPandas
+    full = extract_media_meta(df)
+    assert "MapInPandas" in _plan(full)
+
+
+def test_hashed_uniqueness_shuffles_hashes_not_keys(spark, pages_table):
+    """duplicate_keys_hashed: the FIRST (big) exchange carries 8-byte
+    xxhash64 rows; the exact re-count joins against a broadcast
+    candidate set (round-2 shuffle-volume optimization)."""
+    df = pages_table.read()
+    plan_str = _plan(C.duplicate_keys_hashed(df, "url"))
+    assert "xxhash64" in plan_str
+    assert "BroadcastHashJoin" in plan_str and "LeftSemi" in plan_str
+    # identical output to the plain plan
+    a = {(r["url"], r["cnt"]) for r in C.duplicate_keys(df, "url").collect()}
+    b = {(r["url"], r["cnt"]) for r in C.duplicate_keys_hashed(df, "url").collect()}
+    assert a == b and a  # pages generator plants dup urls

@@ -127,16 +127,28 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         # partition key first costs one small shuffle and cuts the files
         # committed from (#tasks × #partitions) slivers to one per
         # partition — the commit protocol renames files serially on the
-        # driver. No .persist() round-trip (round-1 advice): per-partition
-        # counts come from READING BACK the just-written (tiny, columnar)
-        # sink instead of caching the exploded frame in executor memory.
+        # driver. No .persist() round-trip and no count re-run (round-1
+        # advice): per-partition violation counts ride ON the write job
+        # itself via Observation (conditional sums — one per batch
+        # partition), so the counts cost zero extra jobs.
         t0 = time.time()
         viol = V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
         residual = V.residual_violations_df(df, plan, cfg.key_col,
                                             cfg.partition_col, cfg.run_id)
         if residual is not None:
             viol = viol.unionByName(residual)
-        viol_t.overwrite_partitions(viol.repartition(F.col("partition_id")))
+        viol = viol.repartition(F.col("partition_id"))
+        obs = None
+        if len(batch) <= 64:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            viol = viol.observe(obs, *[
+                F.sum(F.when(F.col("partition_id") == str(p), 1).otherwise(0))
+                .alias(f"p{p}")
+                for p in batch
+            ])
+        viol_t.overwrite_partitions(viol)
         stage["validate_sink"] += time.time() - t0
 
         # scan 2 (no Python, pure codegen aggregation): per-partition stats
@@ -163,22 +175,26 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             }
             stage["stats"] += time.time() - t0
 
-            # verdicts: violation counts from the written sink — a scan of
-            # a few small parquet files, not a cache of the whole exploded
-            # frame; both per-partition frames are tiny (one row per
-            # partition), so building verdicts driver-side avoids extra
-            # Spark jobs — serial job latency, not data volume, bounds
-            # small-batch runs
+            # verdicts: violation counts came for free from the write
+            # job's Observation (fallback: aggregate the written sink —
+            # still no cache of the exploded frame); per-partition frames
+            # are tiny (one row per partition), so building verdicts
+            # driver-side avoids extra Spark jobs — serial job latency,
+            # not data volume, bounds small-batch runs
             t0 = time.time()
-            batch_ids = [str(p) for p in batch]
-            viol_per_part: dict[str, int] = {
-                str(r["partition_id"]): int(r["n"])
-                for r in viol_t.read()
-                .where(F.col("partition_id").isin(batch_ids))
-                .groupBy("partition_id")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            if obs is not None:
+                got = obs.get
+                viol_per_part = {str(p): int(got[f"p{p}"] or 0) for p in batch}
+            else:
+                batch_ids = [str(p) for p in batch]
+                viol_per_part = {
+                    str(r["partition_id"]): int(r["n"])
+                    for r in viol_t.read()
+                    .where(F.col("partition_id").isin(batch_ids))
+                    .groupBy("partition_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
             verdict_rows = [
                 (pid, cfg.run_id, n, viol_per_part.get(pid, 0), viol_per_part.get(pid, 0) == 0)
                 for pid, n in sorted(rows_per_part.items())
