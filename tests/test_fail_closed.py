@@ -183,6 +183,48 @@ def test_native_ipv6_format(spark):
 
 
 @pytest.mark.spark
+def test_integer_type_on_double_column_floor_semantics(spark):
+    """draft-4: 1.0 IS an integer — 'integer' over a fractional column is
+    a runtime floor check, not a constant violation."""
+    df = spark.createDataFrame([(1.0,), (1.5,), (None,)], "x double")
+    ok, plan = _verdicts(spark, df, {
+        "type": "object", "properties": {"x": {"type": "integer"}},
+    })
+    assert not plan.arrow_specs
+    assert ok == [True, False, True]
+
+
+@pytest.mark.spark
+def test_enum_members_do_not_cross_type_match(spark):
+    """draft-4 deep equality: "1" != 1 and true != 1 — isin must not let
+    Spark's implicit casts match across JSON type families."""
+    df = spark.createDataFrame([("1",), ("a",)], "s string")
+    ok, _ = _verdicts(spark, df, {
+        "type": "object", "properties": {"s": {"enum": [1, "a"]}},
+    })
+    assert ok == [False, True]  # string "1" does not match number 1
+
+    dfn = spark.createDataFrame([(1,), (2,)], "n long")
+    ok, _ = _verdicts(spark, dfn, {
+        "type": "object", "properties": {"n": {"enum": ["1", 2, True]}},
+    })
+    assert ok == [False, True]  # 1 matches neither "1" nor true
+
+
+@pytest.mark.spark
+def test_string_keywords_on_timestamp_column(spark):
+    # explicit cast keeps rlike/length legal under ANSI mode
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:00",), ("1999-01-01 00:00:00",)], "t string"
+    ).select(F.col("t").cast("timestamp").alias("t"))
+    ok, plan = _verdicts(spark, df, {
+        "type": "object", "properties": {"t": {"pattern": "^2024", "minLength": 10}},
+    })
+    assert not plan.arrow_specs
+    assert ok == [True, False]
+
+
+@pytest.mark.spark
 def test_root_additional_properties_false(spark):
     df = spark.createDataFrame([("a", None), ("a", "x")], "k string, extra string")
     ok, plan = _verdicts(spark, df, {

@@ -133,3 +133,38 @@ def test_streaming_validation(spark, tmpdir_path):
     q2.awaitTermination(120)
     got = spark.sql("select * from rates").collect()
     assert got and all(0 <= r["violation_rate"] <= 1 for r in got)
+
+
+def test_stateful_host_violation_tracker(spark, tmpdir_path):
+    """applyInPandasWithState custom stateful operator: cumulative
+    per-host violation state across micro-batches (lifetime state, not a
+    window)."""
+    from pyspark.sql import functions as F
+
+    from themis_spark.plans.compiler import compile_plan
+    from themis_spark.sources.pages import PAGES_SCHEMA_JSON, generate_pages
+    from themis_spark.streaming.validate_stream import (
+        annotate_stream, host_violation_tracker,
+    )
+
+    pages = generate_pages(spark, 3000, n_partitions=4)
+    pages.write.mode("overwrite").parquet(f"{tmpdir_path}/sin")
+    plan = compile_plan(PAGES_SCHEMA_JSON, pages.schema)
+
+    stream = spark.readStream.schema(pages.schema).parquet(f"{tmpdir_path}/sin")
+    ann = annotate_stream(stream, plan, keep=["url", "lang"]).withColumn(
+        "host", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+    tracked = host_violation_tracker(ann, key_col="host",
+                                     threshold=0.0, min_rows=1)
+    q = (tracked.writeStream.format("memory").queryName("tracked")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select host, max(rows) rows, max(bad_rows) bad from tracked group by host"
+    ).collect()
+    assert got and sum(r["rows"] for r in got) == 3000
+    # cumulative counts agree with the batch pass
+    from themis_spark.operators.validate import annotate as batch_annotate
+    batch = batch_annotate(pages, plan, keep=["url"])
+    total_bad = batch.where("n_violations > 0").count()
+    assert sum(r["bad"] for r in got) == total_bad

@@ -21,15 +21,23 @@ runner.py   checkpointed, resumable end-to-end validation runs.
 """
 
 from themis_spark.plans.parser import SchemaRegistry, parse_schema
-from themis_spark.plans.pyvalidator import compile_python_validator
-from themis_spark.plans.compiler import compile_plan, CompiledPlan
+from themis_spark.plans.pyvalidator import compile_python_validator, register_format
+from themis_spark.plans.compiler import (
+    CompiledPlan,
+    UnsupportedSchemaError,
+    compile_plan,
+)
+from themis_spark.sources.tableio import open_table
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SchemaRegistry",
     "parse_schema",
     "compile_python_validator",
+    "register_format",
     "compile_plan",
     "CompiledPlan",
+    "UnsupportedSchemaError",
+    "open_table",
 ]

@@ -258,6 +258,28 @@ def _detail(col: Column) -> Column:
     return F.substring(col.cast("string"), 1, 64)
 
 
+def _enum_members_for(members, dt: T.DataType) -> list:
+    """Enum members comparable to values of this Spark type. Filtering by
+    the DRAFT-4 type family prevents ``isin`` cross-type casts from
+    matching what the spec says must not match (``"1"`` ≠ ``1``;
+    ``true`` ≠ ``1``)."""
+    if isinstance(dt, T.BooleanType):
+        return [m for m in members if isinstance(m, bool)]
+    if isinstance(dt, _NUMERIC):
+        return [m for m in members
+                if isinstance(m, (int, float)) and not isinstance(m, bool)]
+    if isinstance(dt, _STRINGLIKE):
+        return [m for m in members if isinstance(m, str)]
+    return []
+
+
+def _str_ops_col(col: Column, dt: T.DataType) -> Column:
+    """String-keyword operand: Timestamp/Date columns compare as their
+    canonical string form — EXPLICIT cast (ANSI mode rejects the implicit
+    timestamp→string coercion rlike/length would need)."""
+    return col if isinstance(dt, T.StringType) else col.cast("string")
+
+
 def _and_all(preds: list[Column]) -> Column:
     if not preds:
         return F.lit(True)
@@ -343,8 +365,14 @@ def _scalar_pred_builders(
         types = node["type"] if isinstance(node["type"], list) else [node["type"]]
         compatible = any(_type_compatible(t, dt) and t != "null" for t in types)
         null_ok = "null" in types
+        # draft-4: "integer" is runtime-satisfiable on fractional types
+        int_over_frac = (not compatible and "integer" in types
+                         and isinstance(dt, _FRACTIONAL))
 
-        def b_type(v: Column, c=compatible, n=null_ok) -> Column:
+        def b_type(v: Column, c=compatible, n=null_ok, f=int_over_frac) -> Column:
+            if f:
+                base = v.isNotNull() & (v == F.floor(v))
+                return (v.isNull() | base) if n else base
             if c and n:
                 return F.lit(True)
             if c:
@@ -360,21 +388,14 @@ def _scalar_pred_builders(
         members = node["enum"]
         if any(isinstance(m, (list, dict)) for m in members):
             raise _NotNative("non-scalar enum members need deep equality")
-        scalars = [m for m in members
-                   if isinstance(m, (str, int, float)) and not isinstance(m, bool)]
-        bools = [m for m in members if isinstance(m, bool)]
+        scalars = _enum_members_for(members, dt)
         has_null = any(m is None for m in members)
 
         # draft-4: null matches enum only via an explicit null member;
-        # non-null matches the scalar/bool member sets
-        def b_enum(v: Column, s=scalars, bl=bools, hn=has_null) -> Column:
-            nonnull_match = F.lit(False)
-            if s:
-                nonnull_match = nonnull_match | v.isin(s)
-            if bl and isinstance(dt, T.BooleanType):
-                nonnull_match = nonnull_match | v.isin(bl)
-            null_match = F.lit(hn)
-            return F.when(v.isNull(), null_match).otherwise(
+        # non-null matches only same-type-family members
+        def b_enum(v: Column, s=scalars, hn=has_null) -> Column:
+            nonnull_match = v.isin(s) if s else F.lit(False)
+            return F.when(v.isNull(), F.lit(hn)).otherwise(
                 F.coalesce(nonnull_match, F.lit(False))
             )
 
@@ -387,17 +408,19 @@ def _scalar_pred_builders(
             if jp is None:
                 raise _NotNative(f"pattern dialect: {node['pattern']!r}")
             out.append(("pattern", f"{spath}/pattern",
-                        lambda v, p=jp: v.isNull() | v.rlike(p)))
+                        lambda v, p=jp: v.isNull() | _str_ops_col(v, dt).rlike(p)))
     if "minLength" in node:
         handled.add("minLength")
         if is_str:
             out.append(("minLength", f"{spath}/minLength",
-                        lambda v, n=node["minLength"]: v.isNull() | (F.length(v) >= n)))
+                        lambda v, n=node["minLength"]:
+                        v.isNull() | (F.length(_str_ops_col(v, dt)) >= n)))
     if "maxLength" in node:
         handled.add("maxLength")
         if is_str:
             out.append(("maxLength", f"{spath}/maxLength",
-                        lambda v, n=node["maxLength"]: v.isNull() | (F.length(v) <= n)))
+                        lambda v, n=node["maxLength"]:
+                        v.isNull() | (F.length(_str_ops_col(v, dt)) <= n)))
 
     if "minimum" in node:
         handled.update({"minimum", "exclusiveMinimum"})
@@ -552,10 +575,12 @@ def _compile_sub(
         types = node["type"] if isinstance(node["type"], list) else [node["type"]]
         compatible = any(_type_compatible(t, dt) for t in types)
         if not compatible:
-            add("type", null_pass)  # every present value violates
-        elif isinstance(dt, _FRACTIONAL) and set(types) <= {"integer", "null"}:
-            # draft-4: 1.0 is an integer; fractional values are not
-            add("type", null_pass | (col == F.floor(col)))
+            if "integer" in types and isinstance(dt, _FRACTIONAL):
+                # draft-4: 1.0 IS an integer — a fractional column can
+                # satisfy "integer" at runtime (fraction-free values)
+                add("type", null_pass | (col == F.floor(col)))
+            else:
+                add("type", null_pass)  # every present value violates
         # otherwise satisfied at schema level — zero runtime cost
 
     # ---- enum (scalar members; complex types need deep equality) ----------
@@ -563,11 +588,7 @@ def _compile_sub(
         handled.add("enum")
         if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
             raise _NotNative("enum over complex type needs deep equality")
-        members = node["enum"]
-        scalars = [m for m in members
-                   if isinstance(m, (str, int, float)) and not isinstance(m, bool)]
-        if isinstance(dt, T.BooleanType):
-            scalars += [m for m in members if isinstance(m, bool)]
+        scalars = _enum_members_for(node["enum"], dt)
         add("enum", null_pass | (col.isin(scalars) if scalars else F.lit(False)))
 
     # ---- string keywords (vacuous on non-string types) ---------------------
@@ -577,15 +598,17 @@ def _compile_sub(
             jp = java_safe_pattern(node["pattern"])
             if jp is None:
                 raise _NotNative(f"pattern dialect: {node['pattern']!r}")
-            add("pattern", null_pass | col.rlike(jp))
+            add("pattern", null_pass | _str_ops_col(col, dt).rlike(jp))
     if "minLength" in node:
         handled.add("minLength")
         if is_str:
-            add("minLength", null_pass | (F.length(col) >= node["minLength"]))
+            add("minLength",
+                null_pass | (F.length(_str_ops_col(col, dt)) >= node["minLength"]))
     if "maxLength" in node:
         handled.add("maxLength")
         if is_str:
-            add("maxLength", null_pass | (F.length(col) <= node["maxLength"]))
+            add("maxLength",
+                null_pass | (F.length(_str_ops_col(col, dt)) <= node["maxLength"]))
     if "format" in node:
         handled.add("format")
         if isinstance(dt, T.StringType):
@@ -960,7 +983,9 @@ def _compile_map(col, node, dt: T.MapType, spath, ipath, colname,
     for k, dep in (node.get("dependencies") or {}).items():
         trigger = F.coalesce(F.map_contains_key(col, F.lit(k)), F.lit(False))
         if isinstance(dep, dict):
-            sub_checks = _compile_map(col, dep, dt, f"{spath}/dependencies/{k}",
+            # _compile_sub, not _compile_map: the dep schema gets the full
+            # fail-closed keyword check, not just the object subset
+            sub_checks = _compile_sub(col, dep, dt, f"{spath}/dependencies/{k}",
                                       ipath, colname, reg, base, stack)
             for c in sub_checks:
                 out.append(ColumnCheck(

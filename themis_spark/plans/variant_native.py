@@ -238,9 +238,11 @@ def try_compile_variant_native(
         if "$ref" in node:
             sub, new_base, canon = registry.resolve(node["$ref"], base)
             if id(sub) in stack:
-                if budget == 0:
-                    raise _Unsupported("cyclic $ref inside a combinator branch")
-                budget -= 1
+                # a branch PREDICATE cannot defer deep rows to the Arrow
+                # residual (walk()'s frontier mechanism) — an unrolled
+                # prefix would silently validate data that recurses
+                # deeper, so cyclic refs bail the whole column to Arrow
+                raise _Unsupported("cyclic $ref inside a combinator branch")
             return _node_valid(sub, vpath, new_base, stack + (id(sub),), budget)
         extra = set(node) - _PRED_SUPPORTED
         if extra:

@@ -28,9 +28,12 @@ scan+validate vs constraint shuffles vs sink commits.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,6 +77,61 @@ class RunResult:
 
 def _lineage_table(spark: SparkSession, cfg: RunConfig) -> ParquetTable:
     return ParquetTable(spark, f"{cfg.out_dir}/lineage", "part_id")
+
+
+# ---------------------------------------------------------------------------
+# driver-side metadata commits. Verdicts / lineage / metrics are TINY
+# (rows = partitions, or partitions × stat columns) and fully known on the
+# driver after the distributed aggregations — writing them through a Spark
+# job costs a full dispatch round-trip per table per batch, which at small
+# batch sizes is the single worst serial fraction (measured: the commit
+# stage INVERTED scaling, 2 s at 1 executor → 5-6 s at 4, pure multi-JVM
+# job overhead). Iceberg's own design makes the same move: data files are
+# written distributed, metadata commits are driver-side. On object storage
+# the same writes go through the storage client; with a real Iceberg
+# catalog, writeTo().overwritePartitions() does it natively.
+# ---------------------------------------------------------------------------
+
+
+def _overwrite_partition_local(table_dir: str, partition_col: str,
+                               partition_value, batch: pa.Table) -> None:
+    """Replace one partition directory with one pyarrow-written file —
+    same layout Spark's dynamic partition overwrite produces (partition
+    dir-encoded, column absent from the file), same idempotent-replace
+    semantics (write tmp → atomic rename)."""
+    pdir = os.path.join(table_dir, f"{partition_col}={partition_value}")
+    os.makedirs(pdir, exist_ok=True)
+    for old in os.listdir(pdir):
+        if not old.startswith("."):
+            os.remove(os.path.join(pdir, old))
+    tmp = os.path.join(pdir, ".part-0.parquet.tmp")
+    pq.write_table(batch, tmp)
+    os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+
+
+def _append_file_local(table_dir: str, batch: pa.Table) -> None:
+    os.makedirs(table_dir, exist_ok=True)
+    name = f"part-{time.time_ns()}-{os.getpid()}.parquet"
+    tmp = os.path.join(table_dir, f".{name}.tmp")
+    pq.write_table(batch, tmp)
+    os.replace(tmp, os.path.join(table_dir, name))
+
+
+_VERDICT_ARROW = pa.schema([
+    ("run_id", pa.string()), ("rows", pa.int64()),
+    ("violation_rows", pa.int64()), ("passed", pa.bool_()),
+])
+_LINEAGE_ARROW = pa.schema([
+    ("run_id", pa.string()), ("part_id", pa.int32()), ("status", pa.string()),
+    ("started_ts", pa.float64()), ("finished_ts", pa.float64()),
+])
+_METRICS_ARROW = pa.schema([
+    ("run_id", pa.string()), ("column", pa.string()),
+    ("cnt", pa.int64()), ("nulls", pa.int64()),
+    ("min_v", pa.string()), ("max_v", pa.string()),
+    ("hll_sketch", pa.binary()), ("histogram", pa.list_(pa.int64())),
+    ("hist_lo", pa.float64()), ("hist_hi", pa.float64()),
+])
 
 
 def completed_partitions(spark: SparkSession, cfg: RunConfig) -> set:
@@ -153,71 +211,74 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
 
         # scan 2 (no Python, pure codegen aggregation): per-partition stats
         # — its cnt+nulls also yields exact per-partition row counts, so
-        # verdicts need NO third scan and NO re-run of the validators
+        # verdicts need NO third scan and NO re-run of the validators.
+        # ONE Spark job: the tiny long-format result collects to the
+        # driver; all downstream sinks are driver-side metadata commits.
         t0 = time.time()
         stats_cols = cfg.stats_columns or [cfg.key_col]
-        metrics = column_stats(df, stats_cols, cfg.partition_col,
-                               cfg.hist_specs, cfg.run_id)
-        metrics = metrics.cache()
-        try:
-            if cfg.stats_columns:
-                # tiny frame (rows = partitions × columns): one writer
-                # task, else every agg task opens a file in every
-                # partition dir and the commit renames hundreds of
-                # slivers. repartition, NOT coalesce — coalesce(1) would
-                # narrow the aggregation stage itself to one task
-                metr_t.overwrite_partitions(metrics.repartition(1))
-            rows_per_part = {
-                r["partition_id"]: int(r["rows"])
-                for r in metrics.where(F.col("column") == stats_cols[0])
-                .select("partition_id", (F.col("cnt") + F.col("nulls")).alias("rows"))
+        metrics_rows = column_stats(df, stats_cols, cfg.partition_col,
+                                    cfg.hist_specs, cfg.run_id).collect()
+        rows_per_part = {
+            r["partition_id"]: int(r["cnt"]) + int(r["nulls"])
+            for r in metrics_rows if r["column"] == stats_cols[0]
+        }
+        stage["stats"] += time.time() - t0
+
+        t0 = time.time()
+        if cfg.stats_columns:
+            by_part: dict[str, list] = {}
+            for r in metrics_rows:
+                by_part.setdefault(r["partition_id"], []).append(r)
+            for pid, rws in by_part.items():
+                tbl = pa.Table.from_pylist([
+                    {
+                        "run_id": r["run_id"], "column": r["column"],
+                        "cnt": int(r["cnt"]), "nulls": int(r["nulls"]),
+                        "min_v": r["min_v"], "max_v": r["max_v"],
+                        "hll_sketch": (bytes(r["hll_sketch"])
+                                       if r["hll_sketch"] is not None else None),
+                        "histogram": (list(r["histogram"])
+                                      if r["histogram"] is not None else None),
+                        "hist_lo": r["hist_lo"], "hist_hi": r["hist_hi"],
+                    }
+                    for r in rws
+                ], schema=_METRICS_ARROW)
+                _overwrite_partition_local(metr_t.path, "partition_id", pid, tbl)
+
+        # violation counts came for free from the write job's Observation
+        # (fallback for huge batches: aggregate the written sink — parquet
+        # footer counts, still no cache of the exploded frame)
+        if obs is not None:
+            got = obs.get
+            viol_per_part = {str(p): int(got[f"p{p}"] or 0) for p in batch}
+        else:
+            batch_ids = [str(p) for p in batch]
+            viol_per_part = {
+                str(r["partition_id"]): int(r["n"])
+                for r in viol_t.read()
+                .where(F.col("partition_id").isin(batch_ids))
+                .groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            stage["stats"] += time.time() - t0
-
-            # verdicts: violation counts came for free from the write
-            # job's Observation (fallback: aggregate the written sink —
-            # still no cache of the exploded frame); per-partition frames
-            # are tiny (one row per partition), so building verdicts
-            # driver-side avoids extra Spark jobs — serial job latency,
-            # not data volume, bounds small-batch runs
-            t0 = time.time()
-            if obs is not None:
-                got = obs.get
-                viol_per_part = {str(p): int(got[f"p{p}"] or 0) for p in batch}
-            else:
-                batch_ids = [str(p) for p in batch]
-                viol_per_part = {
-                    str(r["partition_id"]): int(r["n"])
-                    for r in viol_t.read()
-                    .where(F.col("partition_id").isin(batch_ids))
-                    .groupBy("partition_id")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-            verdict_rows = [
-                (pid, cfg.run_id, n, viol_per_part.get(pid, 0), viol_per_part.get(pid, 0) == 0)
-                for pid, n in sorted(rows_per_part.items())
-            ]
-            verd_t.overwrite_partitions(
-                spark.createDataFrame(
-                    verdict_rows,
-                    "partition_id string, run_id string, rows bigint, "
-                    "violation_rows bigint, passed boolean",
-                ).coalesce(1)
-            )
-            total_rows += sum(rows_per_part.values())
-            total_viol += sum(viol_per_part.values())
-        finally:
-            metrics.unpersist()
+        for pid, n in sorted(rows_per_part.items()):
+            v = viol_per_part.get(pid, 0)
+            _overwrite_partition_local(
+                verd_t.path, "partition_id", pid,
+                pa.Table.from_pylist(
+                    [{"run_id": cfg.run_id, "rows": n,
+                      "violation_rows": v, "passed": v == 0}],
+                    schema=_VERDICT_ARROW))
+        total_rows += sum(rows_per_part.values())
+        total_viol += sum(viol_per_part.values())
         # lineage commit LAST: a kill before this line leaves the batch
         # uncommitted and it re-runs idempotently (outputs are overwritten
         # per-partition, so the retry converges to the same bytes)
-        lineage = spark.createDataFrame(
-            [(cfg.run_id, int(p), "done", started, time.time()) for p in batch],
-            "run_id string, part_id int, status string, started_ts double, finished_ts double",
-        )
-        lin_t.append(lineage.coalesce(1), partitioned=False)
+        _append_file_local(lin_t.path, pa.Table.from_pylist(
+            [{"run_id": cfg.run_id, "part_id": int(p), "status": "done",
+              "started_ts": started, "finished_ts": time.time()}
+             for p in batch],
+            schema=_LINEAGE_ARROW))
         stage["verdict_commit"] += time.time() - t0
         done_now.extend(batch)
 
@@ -254,12 +315,11 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             allg = gv[0]
             for g in gv[1:]:
                 allg = allg.unionByName(g)
-            allg = allg.withColumn("partition_id", F.lit("__global__")).repartition(1).cache()
-            try:
-                global_viol = allg.count()
-                viol_t.overwrite_partitions(allg)
-            finally:
-                allg.unpersist()
+            allg = allg.withColumn("partition_id", F.lit("__global__")).repartition(1)
+            # write once; the count comes from the written parquet footers
+            # (metadata-only scan) instead of a cache + count + write trio
+            viol_t.overwrite_partitions(allg)
+            global_viol = viol_t.read(partitions=["__global__"]).count()
     stage["constraints"] = time.time() - t0
 
     return RunResult(

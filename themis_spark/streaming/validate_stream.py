@@ -51,6 +51,55 @@ def violation_rate_stream(
     )
 
 
+def host_violation_tracker(
+    annotated: DataFrame,
+    key_col: str = "host",
+    threshold: float = 0.10,
+    min_rows: int = 100,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState —
+    SURVEY 2(c) streaming row): per-key cumulative violation tracking
+    across micro-batches.
+
+    Keeps ``(rows_seen, bad_rows)`` per key in the state store (grows
+    O(#distinct keys), independent of stream length) and emits the key's
+    updated cumulative rate each batch, flagging keys whose rate crosses
+    ``threshold`` after ``min_rows`` observations — the "this host's
+    extraction broke mid-crawl" alarm a windowed aggregate can't express
+    (it needs lifetime state, not a window).
+
+    Arrow-batched like everything else: the update function sees pandas
+    frames per key per batch, never per-row Python over the stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{key_col} string, rows bigint, bad_rows bigint, "
+                  "rate double, flagged boolean")
+    state_schema = "rows bigint, bad_rows bigint"
+
+    def update(key, pdfs, state: GroupState):
+        rows, bad = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            bad += int((pdf["n_violations"] > 0).sum())
+        state.update((rows, bad))
+        rate = (bad / rows) if rows else 0.0
+        yield pd.DataFrame(
+            [[key[0], rows, bad, rate, bool(rows >= min_rows and rate >= threshold)]],
+            columns=[key_col, "rows", "bad_rows", "rate", "flagged"],
+        )
+
+    return (
+        annotated.select(key_col, "n_violations")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_validation_stream(
     stream_df: DataFrame,
     plan: CompiledPlan,
