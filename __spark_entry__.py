@@ -359,6 +359,66 @@ def q_drift_ks(spark, sf):
     )
 
 
+def q_drift_psi(spark, sf):
+    # same parity-split as drift_ks, PSI metric (SURVEY 2(b).5 — the
+    # second standard drift statistic; mergeable histograms, driver-side
+    # O(nbins) formula)
+    from themis_spark.operators.constraints import drift_check
+    from themis_spark.operators.stats import HistSpec, column_stats
+
+    orders = _t(spark, sf, "orders")
+    spec = [HistSpec("o_totalprice", 0.0, 600000.0, 20)]
+    a = column_stats(orders.where(F.pmod("o_orderkey", F.lit(2)) == 0),
+                     ["o_totalprice"], None, spec, "a")
+    b = column_stats(orders.where(F.pmod("o_orderkey", F.lit(2)) == 1),
+                     ["o_totalprice"], None, spec, "b")
+    r = drift_check(a, b, "o_totalprice", threshold=0.25, metric="psi")
+    return spark.createDataFrame(
+        [(r["column"], float(round(r["psi"], 6)), bool(r["drifted"]))],
+        "column string, psi double, drifted boolean",
+    )
+
+
+def q_stat_quantiles(spark, sf):
+    # mergeable GK quantile sketch (percentile_approx) checked against
+    # the EXACT interpolated percentile: exact values hash-match DuckDB
+    # quantile_cont; the sketch's answer must land within its declared
+    # rank bound (±n/accuracy ranks → between the exact quantiles at
+    # p∓1e-4 for accuracy=10k)
+    from themis_spark.operators.stats import quantile_stats
+
+    li = _t(spark, sf, "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    approx = quantile_stats(li, "l_extendedprice", probs, accuracy=10_000)
+    eps = 1.0 / 10_000
+    exact = li.agg(
+        *[F.expr(f"percentile(l_extendedprice, {p})").alias(f"e{i}")
+          for i, p in enumerate(probs)],
+        *[F.expr(f"percentile(l_extendedprice, {max(p - eps, 0.0)})").alias(f"lo{i}")
+          for i, p in enumerate(probs)],
+        *[F.expr(f"percentile(l_extendedprice, {min(p + eps, 1.0)})").alias(f"hi{i}")
+          for i, p in enumerate(probs)],
+    )
+    rows = exact.crossJoin(approx.select("p", "value"))
+    checks = None
+    for i, p in enumerate(probs):
+        c = F.when(
+            F.col("p") == p,
+            F.struct(
+                F.round(F.col(f"e{i}"), 4).alias("exact_value"),
+                F.col("value").between(F.col(f"lo{i}"), F.col(f"hi{i}"))
+                .alias("approx_within_bound"),
+            ),
+        )
+        checks = c if checks is None else F.coalesce(checks, c)
+    return rows.select(
+        F.lit("l_extendedprice").alias("column"),
+        "p",
+        checks.getField("exact_value").alias("exact_value"),
+        checks.getField("approx_within_bound").alias("approx_within_bound"),
+    )
+
+
 def q_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return S.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
@@ -414,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_embedding_neardup": q_ann_embedding_neardup,
         "drift_ks": q_drift_ks,
+        "drift_psi": q_drift_psi,
+        "stat_quantiles": q_stat_quantiles,
         "mm_meta": q_mm_meta,
     }
 
@@ -585,6 +647,29 @@ def _drift_ks_sql(lo: float = 0.0, hi: float = 600000.0, n: int = 20,
     SELECT 'o_totalprice' AS column, round(max(abs(fa - fb)), 6) AS ks,
            max(abs(fa - fb)) > {threshold} AS drifted
     FROM cdf
+    """
+
+
+def _drift_psi_sql(lo: float = 0.0, hi: float = 600000.0, n: int = 20,
+                   threshold: float = 0.25, eps: float = 1e-6) -> str:
+    w = (hi - lo) / n
+    bucket = (f"CASE WHEN o_totalprice < {lo} THEN 0 "
+              f"WHEN o_totalprice >= {hi} THEN {n + 1} "
+              f"ELSE (floor((o_totalprice - {lo}) / {w}) + 1)::INT END")
+    return f"""
+    WITH ha AS (SELECT {bucket} AS bucket, count(*) AS c FROM orders
+                WHERE o_orderkey % 2 = 0 GROUP BY 1),
+    hb AS (SELECT {bucket} AS bucket, count(*) AS c FROM orders
+           WHERE o_orderkey % 2 = 1 GROUP BY 1),
+    allb AS (SELECT range AS bucket FROM range(0, {n + 2})),
+    j AS (SELECT allb.bucket,
+                 greatest(coalesce(ha.c, 0) / (SELECT sum(c) FROM ha)::DOUBLE, {eps}) AS pa,
+                 greatest(coalesce(hb.c, 0) / (SELECT sum(c) FROM hb)::DOUBLE, {eps}) AS pb
+          FROM allb LEFT JOIN ha USING (bucket) LEFT JOIN hb USING (bucket))
+    SELECT 'o_totalprice' AS column,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           sum((pa - pb) * ln(pa / pb)) > {threshold} AS drifted
+    FROM j
     """
 
 
@@ -796,4 +881,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(4, 10, 5),
         "ann_embedding_neardup": _ann_neardup_sql(4, 0.15, 500),
         "drift_ks": _drift_ks_sql(),
+        "drift_psi": _drift_psi_sql(),
+        "stat_quantiles": " UNION ALL ".join(
+            f"""SELECT 'l_extendedprice' AS column, {p} AS p,
+                round(quantile_cont(l_extendedprice, {p}), 4) AS exact_value,
+                true AS approx_within_bound FROM lineitem"""
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ),
     }

@@ -200,12 +200,21 @@ def invariant_violations(df: DataFrame, reference: DataFrame, key: str = "url",
 
 
 def drift_check(metrics_now: DataFrame, metrics_baseline: DataFrame, column: str,
-                threshold: float = 0.1) -> dict:
-    """KS drift between the current run's histogram and a stored baseline
-    (both mergeable across partitions — only O(nbins) numbers move)."""
-    from themis_spark.operators.stats import merge_histograms
+                threshold: float = 0.1, metric: str = "ks") -> dict:
+    """Distribution drift between the current run's histogram and a
+    stored baseline (both mergeable across partitions — only O(nbins)
+    numbers move). ``metric`` picks the statistic: "ks" (max CDF gap,
+    threshold ~0.1) or "psi" (population stability index, threshold
+    conventions 0.1/0.25)."""
+    from themis_spark.operators.stats import merge_histograms, psi_statistic
 
     h_now = merge_histograms(metrics_now, column)
     h_base = merge_histograms(metrics_baseline, column)
-    ks = ks_statistic(h_now, h_base)
-    return {"column": column, "ks": ks, "drifted": ks > threshold, "threshold": threshold}
+    if metric == "psi":
+        stat = psi_statistic(h_now, h_base)
+    elif metric == "ks":
+        stat = ks_statistic(h_now, h_base)
+    else:
+        raise ValueError(f"unknown drift metric {metric!r} (ks|psi)")
+    return {"column": column, "metric": metric, metric: stat,
+            "drifted": stat > threshold, "threshold": threshold}

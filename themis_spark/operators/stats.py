@@ -32,7 +32,10 @@ _HLL_OK = (T.StringType, T.IntegerType, T.LongType, T.BinaryType)
 def _hist_array(col: Column, spec: HistSpec) -> Column:
     """Equi-width histogram as nbins+2 conditional sums (bucket 0 =
     underflow, nbins+1 = overflow) — width_bucket semantics, expressed so
-    the whole histogram rides in the same hash-agg as min/max/count."""
+    the whole histogram rides in the same hash-agg as min/max/count.
+    The column is cast to double first so timestamps histogram on epoch
+    seconds and non-numeric values fall into no bucket (NULL)."""
+    col = col.cast("double")
     w = (spec.hi - spec.lo) / spec.nbins
     bucket = F.when(col.isNull(), F.lit(None)).when(col < spec.lo, F.lit(0)).when(
         col >= spec.hi, F.lit(spec.nbins + 1)
@@ -114,6 +117,91 @@ def column_stats(
     )
 
 
+def fused_stats_aggs(
+    df: DataFrame,
+    columns: list[str],
+    partition_col: str,
+    parts: list,
+    hist_specs: list[HistSpec] | None,
+    run_id: str,
+    with_hll: bool = True,
+):
+    """Per-(partition, column) stats as OBSERVATION aggregates, so they
+    ride the violations-write job's scan instead of costing a second
+    pass over the table (the second pass re-read every byte of ``text``
+    and was the worst-scaling stage of the run — pure re-traffic on the
+    DRAM-bound sandbox, pure extra IO at 100 TB).
+
+    Spark's CollectMetrics node evaluates plain (non-distinct) aggregate
+    expressions per task and merges them on the driver — including
+    ``hll_sketch_agg`` binary state and conditional histogram sums
+    (verified live). Per-partition granularity is expressed as
+    ``when(partition_col = p, col)`` conditionals, which is why this
+    path is gated on small batches (≤64 partitions — same gate as the
+    violation-count observation): |columns|×|parts|×~5 expressions.
+
+    Returns ``(aggs, decode)`` where ``decode(observation.get)`` yields
+    rows shaped exactly like :func:`column_stats` output (the runner's
+    metrics contract), so the two paths stay interchangeable."""
+    hist_by_col = {h.column: h for h in (hist_specs or [])}
+    part_s = F.col(partition_col).cast("string")
+    aggs: list[Column] = []
+    for ci, c in enumerate(columns):
+        field = df.schema[c].dataType
+        spec = hist_by_col.get(c)
+        for pi, p in enumerate(parts):
+            cond = part_s == str(p)
+            col = F.when(cond, F.col(c))
+            tag = f"s{ci}_{pi}"
+            aggs.append(F.count(col).alias(f"{tag}_cnt"))
+            aggs.append(
+                F.sum(F.when(cond & F.col(c).isNull(), 1).otherwise(0))
+                .alias(f"{tag}_nulls"))
+            aggs.append(F.min(col).cast("string").alias(f"{tag}_min"))
+            aggs.append(F.max(col).cast("string").alias(f"{tag}_max"))
+            if with_hll and isinstance(field, _HLL_OK):
+                aggs.append(F.hll_sketch_agg(col).alias(f"{tag}_hll"))
+            if spec is not None:
+                num = F.col(c).cast("double")  # timestamps → epoch secs
+                w = (spec.hi - spec.lo) / spec.nbins
+                bucket = F.when(num.isNull(), F.lit(None)).when(
+                    num < spec.lo, F.lit(0)
+                ).when(num >= spec.hi, F.lit(spec.nbins + 1)).otherwise(
+                    (F.floor((num - spec.lo) / F.lit(w)) + 1).cast("int"))
+                aggs.append(F.array(*[
+                    F.coalesce(
+                        F.sum(F.when(cond & (bucket == i), 1).otherwise(0)),
+                        F.lit(0),
+                    ).cast("long")
+                    for i in range(spec.nbins + 2)
+                ]).alias(f"{tag}_hist"))
+
+    def decode(got: dict) -> list[dict]:
+        rows = []
+        for ci, c in enumerate(columns):
+            spec = hist_by_col.get(c)
+            for pi, p in enumerate(parts):
+                tag = f"s{ci}_{pi}"
+                sk = got.get(f"{tag}_hll")
+                hist = got.get(f"{tag}_hist")
+                rows.append({
+                    "run_id": run_id,
+                    "partition_id": str(p),
+                    "column": c,
+                    "cnt": int(got[f"{tag}_cnt"]),
+                    "nulls": int(got[f"{tag}_nulls"] or 0),
+                    "min_v": got[f"{tag}_min"],
+                    "max_v": got[f"{tag}_max"],
+                    "hll_sketch": bytes(sk) if sk is not None else None,
+                    "histogram": list(hist) if hist is not None else None,
+                    "hist_lo": float(spec.lo) if spec else None,
+                    "hist_hi": float(spec.hi) if spec else None,
+                })
+        return rows
+
+    return aggs, decode
+
+
 def distinct_estimate(metrics: DataFrame, column: str) -> int:
     """Merge per-partition HLL sketches → one distinct estimate. Sketches
     are mergeable across partitions AND across resumed runs (they're
@@ -141,6 +229,63 @@ def merge_histograms(metrics: DataFrame, column: str) -> list[int]:
         for i, v in enumerate(r["histogram"]):
             acc[i] += v
     return acc
+
+
+def psi_statistic(hist_a: list[int], hist_b: list[int], eps: float = 1e-6) -> float:
+    """Population Stability Index between two equi-width histograms with
+    the same bucket layout: Σ (p_a − p_b)·ln(p_a/p_b). Conventional
+    read: <0.1 stable, 0.1–0.25 moderate shift, >0.25 drifted. Zero
+    proportions are floored at ``eps`` (standard smoothing) so empty
+    buckets contribute finitely. O(nbins), driver-side — like
+    ks_statistic, the bucket counting already happened distributed and
+    only O(nbins) numbers ever cross the wire."""
+    import math
+
+    ta, tb = sum(hist_a), sum(hist_b)
+    if ta == 0 or tb == 0 or len(hist_a) != len(hist_b):
+        return 0.0
+    psi = 0.0
+    for a, b in zip(hist_a, hist_b):
+        pa = max(a / ta, eps)
+        pb = max(b / tb, eps)
+        psi += (pa - pb) * math.log(pa / pb)
+    return psi
+
+
+def quantile_stats(
+    df: DataFrame,
+    column: str,
+    probabilities: list[float] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate quantiles per column via Spark's built-in
+    percentile_approx (Greenwald-Khanna sketch: mergeable partial state,
+    rank error ≤ rows/accuracy — the 10¹²-row plan is one partial+final
+    agg, no sort, no shuffle beyond one tiny exchange). Returns one row
+    per probability with the approx value AND the sketch's error bound
+    so callers can size ``accuracy`` for their tolerance."""
+    probabilities = probabilities or [0.25, 0.5, 0.75, 0.95]
+    agg = df.agg(
+        F.percentile_approx(
+            F.col(column), F.array(*[F.lit(p) for p in probabilities]),
+            F.lit(accuracy)
+        ).alias("qs"),
+        F.count(F.col(column)).alias("n"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in probabilities]).alias("p"),
+        F.col("qs").alias("value"),
+    )
+    return agg.select(
+        F.lit(column).alias("column"),
+        F.explode(pairs).alias("z"),
+        (F.col("n") / F.lit(accuracy)).alias("max_rank_error"),
+    ).select(
+        "column",
+        F.col("z.p").alias("p"),
+        F.col("z.value").cast("double").alias("value"),
+        "max_rank_error",
+    )
 
 
 def ks_statistic(hist_a: list[int], hist_b: list[int]) -> float:

@@ -95,9 +95,16 @@ def residual_violations_df(
     batch validator (native checks are deep-gated off, so the union with
     the main pass never double-reports).
 
-    Runs as its own filtered job over a column-pruned scan (gate + JSON
-    column + keys only — never text/html) so the main pass stays
-    Python-free. Returns None when the plan has no gated residue."""
+    Runs as its own job over a column-pruned scan (JSON column + keys
+    only — never text/html) so the main pass stays Python-free. The gate
+    is evaluated INSIDE the projection — ``when(gate, payload)`` NULLs
+    the UDF input for shallow rows — and deliberately NOT as a
+    ``.filter(gate)``: Spark's predicate pushdown inlines the gate's
+    aliased ``try_parse_json`` into a Filter node, and FilterExec codegen
+    has no subexpression elimination, so every variant probe re-parses
+    the JSON per row (measured 64 s vs 7 s for the SAME gate on 8M rows
+    at 16 cores). Projections keep CSE; explode drops the empties.
+    Returns None when the plan has no gated residue."""
     gate = plan.residual_gate()
     if gate is None:
         return None
@@ -106,7 +113,7 @@ def residual_violations_df(
         violations_pandas_udf,
     )
 
-    deep = plan.prepare(df).filter(gate)
+    deep = plan.prepare(df)
     arr = None
     for spec in plan.arrow_specs:
         if spec.gate is None:

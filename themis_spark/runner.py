@@ -60,6 +60,17 @@ class RunConfig:
     text_invariant_ref: DataFrame | None = None
     partitions_per_batch: int | None = None  # None = all remaining in one job
     max_batches: int | None = None  # tests: stop early to simulate a kill
+    #: True: repartition violations onto partition_id before the sink
+    #: write (fewest, biggest files — one per input partition). False
+    #: (default): violations write MAP-SIDE into the batch's directory,
+    #: straight from the scan tasks. A/B at 8M rows × both cluster sizes
+    #: measured the two within noise of each other (the exploded
+    #: violation set is ~2% of rows, so its clustering shuffle is tiny
+    #: either way); default False keeps the validate stage barrier-free,
+    #: True trades that for one-file-per-partition output — flip it when
+    #: downstream reads of the violations table matter more than write
+    #: latency. A 100 TB deployment can also compact offline.
+    cluster_violations: bool = False
 
 
 @dataclass
@@ -160,7 +171,11 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
     if cfg.max_batches is not None:
         batches = batches[: cfg.max_batches]
 
-    viol_t = ParquetTable(spark, f"{cfg.out_dir}/violations", "partition_id")
+    # violations are partitioned by BATCH, not by input partition: the
+    # unit of idempotent replace is the retry unit (one batch = one job),
+    # so a re-run overwrites exactly its own directory — and the write
+    # needs no clustering shuffle. partition_id stays a data column.
+    viol_t = ParquetTable(spark, f"{cfg.out_dir}/violations", "batch")
     verd_t = ParquetTable(spark, f"{cfg.out_dir}/verdicts", "partition_id")
     metr_t = ParquetTable(spark, f"{cfg.out_dir}/metrics", "partition_id")
     lin_t = _lineage_table(spark, cfg)
@@ -172,30 +187,56 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
     for batch in batches:
         started = time.time()
         df = table.read(partitions=batch)
+        stats_cols = cfg.stats_columns or [cfg.key_col]
+        # fused single-scan regime (the default at sane batch sizes):
+        # per-partition stats ride the violations-write job as
+        # Observation aggregates (stats.fused_stats_aggs) instead of a
+        # second scan re-reading every byte of the stats columns. The
+        # ≤64-partition gate bounds the conditional-agg expression count
+        # (same gate as the violation-count observation below); larger
+        # batches fall back to the standalone column_stats job.
+        fused = len(batch) <= 64 and cfg.partition_col in df.columns
+        keep = [cfg.key_col, cfg.partition_col]
+        if fused:
+            keep += [c for c in stats_cols if c not in keep]
         # defer_residual: the big scan runs 100% JVM-side; rows whose
         # dynamic JSON recurses past the unroll depth are validated by a
         # separate tiny Arrow job (residual_violations_df below) over a
         # column-pruned scan — Python workers never spawn on clean data
-        annotated = V.annotate(df, plan, keep=[cfg.key_col, cfg.partition_col],
-                               defer_residual=True)
+        annotated = V.annotate(df, plan, keep=keep, defer_residual=True)
+        stats_obs = decode_stats = None
+        if fused:
+            from pyspark.sql import Observation
+
+            from themis_spark.operators.stats import fused_stats_aggs
+
+            stats_obs = Observation()
+            stat_aggs, decode_stats = fused_stats_aggs(
+                df, stats_cols, cfg.partition_col, batch,
+                cfg.hist_specs, cfg.run_id)
+            # observed upstream of the violations explode (and of the
+            # residual union), so stats see every source row exactly once
+            annotated = annotated.observe(stats_obs, *stat_aggs)
 
         # scan 1 (the only pass that runs the compiled validators):
-        # violations straight to their partitioned sink. The explode
-        # output is tiny relative to the scan, so clustering it onto its
-        # partition key first costs one small shuffle and cuts the files
-        # committed from (#tasks × #partitions) slivers to one per
-        # partition — the commit protocol renames files serially on the
-        # driver. No .persist() round-trip and no count re-run (round-1
-        # advice): per-partition violation counts ride ON the write job
-        # itself via Observation (conditional sums — one per batch
-        # partition), so the counts cost zero extra jobs.
+        # violations write MAP-SIDE straight from the scan tasks into the
+        # batch's sink directory — no shuffle barrier inside the validate
+        # stage (cfg.cluster_violations opts back into clustering, see
+        # its docstring for the measured trade-off). No .persist()
+        # round-trip and no count re-run (round-1 advice): per-partition
+        # violation counts ride ON the write job itself via Observation
+        # (conditional sums — one per batch partition), so the counts
+        # cost zero extra jobs.
         t0 = time.time()
         viol = V.violations_df(annotated, cfg.key_col, cfg.partition_col, cfg.run_id)
         residual = V.residual_violations_df(df, plan, cfg.key_col,
                                             cfg.partition_col, cfg.run_id)
         if residual is not None:
             viol = viol.unionByName(residual)
-        viol = viol.repartition(F.col("partition_id"))
+        if cfg.cluster_violations:
+            viol = viol.repartition(F.col("partition_id"))
+        batch_label = f"b{batch[0]}" if batch else "b_empty"
+        viol = viol.withColumn("batch", F.lit(batch_label))
         obs = None
         if len(batch) <= 64:
             from pyspark.sql import Observation
@@ -209,15 +250,15 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         viol_t.overwrite_partitions(viol)
         stage["validate_sink"] += time.time() - t0
 
-        # scan 2 (no Python, pure codegen aggregation): per-partition stats
-        # — its cnt+nulls also yields exact per-partition row counts, so
-        # verdicts need NO third scan and NO re-run of the validators.
-        # ONE Spark job: the tiny long-format result collects to the
-        # driver; all downstream sinks are driver-side metadata commits.
+        # stats: fused path decodes the Observation the write job already
+        # computed (zero extra scans); fallback path is the standalone
+        # per-partition aggregation job (scan 2, pure codegen).
         t0 = time.time()
-        stats_cols = cfg.stats_columns or [cfg.key_col]
-        metrics_rows = column_stats(df, stats_cols, cfg.partition_col,
-                                    cfg.hist_specs, cfg.run_id).collect()
+        if decode_stats is not None:
+            metrics_rows = decode_stats(stats_obs.get)
+        else:
+            metrics_rows = column_stats(df, stats_cols, cfg.partition_col,
+                                        cfg.hist_specs, cfg.run_id).collect()
         rows_per_part = {
             r["partition_id"]: int(r["cnt"]) + int(r["nulls"])
             for r in metrics_rows if r["column"] == stats_cols[0]
@@ -252,11 +293,9 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             got = obs.get
             viol_per_part = {str(p): int(got[f"p{p}"] or 0) for p in batch}
         else:
-            batch_ids = [str(p) for p in batch]
             viol_per_part = {
                 str(r["partition_id"]): int(r["n"])
-                for r in viol_t.read()
-                .where(F.col("partition_id").isin(batch_ids))
+                for r in viol_t.read(partitions=[batch_label])
                 .groupBy("partition_id")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -315,7 +354,8 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
             allg = gv[0]
             for g in gv[1:]:
                 allg = allg.unionByName(g)
-            allg = allg.withColumn("partition_id", F.lit("__global__")).repartition(1)
+            allg = (allg.withColumn("partition_id", F.lit("__global__"))
+                    .withColumn("batch", F.lit("__global__")).repartition(1))
             # write once; the count comes from the written parquet footers
             # (metadata-only scan) instead of a cache + count + write trio
             viol_t.overwrite_partitions(allg)
