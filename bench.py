@@ -208,25 +208,14 @@ def kernel_run(master: str, passes: int = 3) -> dict:
         table = ParquetTable(spark, f"{PAGES_DIR}/pages", "part_id")
         df = table.read()
         plan = compile_plan(PAGES_SCHEMA_JSON, df.schema)
-        stats_cols = ["url", "text", "lang", "warc_ts"]
-        ann = V.annotate(df, plan, keep=["url", "part_id"] + stats_cols[1:],
-                         defer_residual=True)
+        ann = V.annotate(df, plan, keep=["url", "part_id"], defer_residual=True)
         res = V.residual_violations_df(df, plan, "url", "part_id", "k")
-        parts = table.list_partitions()
 
         def one():
-            # mirrors the production fused pass: per-partition stats ride
-            # the validate scan as Observation aggregates (one scan)
-            from pyspark.sql import Observation
-
-            from themis_spark.operators.stats import fused_stats_aggs
-
-            obs = Observation()
-            aggs, _ = fused_stats_aggs(df, stats_cols, "part_id", parts, [], "k")
-            ann.observe(obs, *aggs).select(F.sum("n_violations")).collect()
-            obs.get
+            ann.select(F.sum("n_violations")).collect()
             if res is not None:
                 res.count()
+            column_stats(df, ["url", "text", "lang", "warc_ts"], "part_id", [], "k").collect()
 
         one()  # warm: JIT + codegen outside the measured window
         times = []

@@ -78,7 +78,7 @@ def test_fused_stats_parity_with_column_stats(spark, tmpdir_path):
     spec = [HistSpec("warc_ts", 1.3e9, 1.8e9, 10)]
     cfg = RunConfig(schema=PAGES_SCHEMA_JSON, out_dir=f"{tmpdir_path}/fout",
                     run_id="v", stats_columns=["url", "text", "warc_ts"],
-                    hist_specs=spec)
+                    hist_specs=spec, fuse_stats=True)
     run_validation(spark, table, cfg)
 
     def cells(rows):

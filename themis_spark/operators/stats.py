@@ -128,17 +128,20 @@ def fused_stats_aggs(
 ):
     """Per-(partition, column) stats as OBSERVATION aggregates, so they
     ride the violations-write job's scan instead of costing a second
-    pass over the table (the second pass re-read every byte of ``text``
-    and was the worst-scaling stage of the run — pure re-traffic on the
-    DRAM-bound sandbox, pure extra IO at 100 TB).
+    pass over the table.
 
     Spark's CollectMetrics node evaluates plain (non-distinct) aggregate
     expressions per task and merges them on the driver — including
     ``hll_sketch_agg`` binary state and conditional histogram sums
     (verified live). Per-partition granularity is expressed as
-    ``when(partition_col = p, col)`` conditionals, which is why this
-    path is gated on small batches (≤64 partitions — same gate as the
-    violation-count observation): |columns|×|parts|×~5 expressions.
+    ``when(partition_col = p, col)`` conditionals — |columns|×|parts|×~5
+    aggregate expressions, and CollectMetrics evaluates them INTERPRETED
+    per row, outside whole-stage codegen. Measured consequence (16M rows,
+    4 stats columns × 32 partitions = 640 exprs): ~+60 s at 4 cores,
+    MORE than the column-pruned codegen'd second scan it replaces
+    (~15 s). Hence this path is opt-in (RunConfig.fuse_stats) and worth
+    it only for small |columns|×|parts| products or when a second pass
+    over the table is prohibitively expensive (cold object storage).
 
     Returns ``(aggs, decode)`` where ``decode(observation.get)`` yields
     rows shaped exactly like :func:`column_stats` output (the runner's

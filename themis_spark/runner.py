@@ -71,6 +71,17 @@ class RunConfig:
     #: downstream reads of the violations table matter more than write
     #: latency. A 100 TB deployment can also compact offline.
     cluster_violations: bool = False
+    #: True: per-partition stats ride the violations-write job as
+    #: Observation conditional aggregates — ZERO extra scans. Measured
+    #: trade-off at 16M rows × 32 partitions × 4 stats columns: the
+    #: |cols|×|parts|×5 aggregate expressions evaluate INTERPRETED per
+    #: row inside CollectMetrics (~+60 s at 4 cores), costing far more
+    #: than the column-pruned, whole-stage-codegen'd second scan they
+    #: replace (~15 s). False (default): dedicated stats job. Flip on
+    #: only for few-partition batches / few stats columns, or where a
+    #: second pass over the table is prohibitively expensive (e.g.
+    #: remote object storage without a page cache).
+    fuse_stats: bool = False
 
 
 @dataclass
@@ -188,14 +199,14 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         started = time.time()
         df = table.read(partitions=batch)
         stats_cols = cfg.stats_columns or [cfg.key_col]
-        # fused single-scan regime (the default at sane batch sizes):
-        # per-partition stats ride the violations-write job as
-        # Observation aggregates (stats.fused_stats_aggs) instead of a
-        # second scan re-reading every byte of the stats columns. The
-        # ≤64-partition gate bounds the conditional-agg expression count
-        # (same gate as the violation-count observation below); larger
-        # batches fall back to the standalone column_stats job.
-        fused = len(batch) <= 64 and cfg.partition_col in df.columns
+        # opt-in single-scan regime: per-partition stats ride the
+        # violations-write job as Observation aggregates
+        # (stats.fused_stats_aggs) instead of a second scan. See the
+        # RunConfig.fuse_stats docstring for the measured trade-off —
+        # the ≤64-partition gate bounds the conditional-agg expression
+        # count (same gate as the violation-count observation below).
+        fused = (cfg.fuse_stats and len(batch) <= 64
+                 and cfg.partition_col in df.columns)
         keep = [cfg.key_col, cfg.partition_col]
         if fused:
             keep += [c for c in stats_cols if c not in keep]

@@ -52,9 +52,16 @@ class ParquetTable:
 
     def overwrite_partitions(self, df: DataFrame) -> None:
         """Replace exactly the partitions present in ``df`` (dynamic
-        partition overwrite ≈ Iceberg overwritePartitions)."""
+        partition overwrite ≈ Iceberg overwritePartitions).
+
+        The overwrite mode is pinned PER WRITE, not inherited from the
+        session: under Spark's default ``static`` mode this exact call
+        would silently TRUNCATE every other partition of the table
+        (caught live by the spark-submit deployment test, where the
+        session was built without the engine's tuned conf)."""
         (
             df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
             .parquet(self.path)
         )
