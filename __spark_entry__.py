@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from themis_spark.functions.hashing import hash60, hash60_seeded
+from themis_spark.functions import hashing
 from themis_spark.operators import constraints as C
 from themis_spark.operators import dedup as D
 from themis_spark.operators import multimodal as M
@@ -493,16 +493,22 @@ _SHINGLES3 = (
 
 
 def _minhash_sql(num_hashes: int, limit: int = 100) -> str:
+    # universal affine family over 2^31-1: ONE md5 per shingle, each
+    # permutation i = (a_i*base + b_i) % P — mirrors dedup.py exactly
+    # (all intermediates < 2^62, exact in 64-bit on both engines)
+    P = hashing.MERSENNE_P
     mins = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + _H.format(x=f"'{i}:'||s")
-        + f")) AS minhash_{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(hb, h -> (h*{a} + {b}) % {P}))"
+        f" AS minhash_{i}"
+        for i, (a, b) in
+        ((i, hashing.affine_params(i)) for i in range(num_hashes))
     )
+    base = _H.format(x="s")
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < {limit}),
-    s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t)
-    SELECT doc_id, {mins} FROM s
+    s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+    bh AS (SELECT doc_id, list_transform(sh, s -> ({base}) % {P}) AS hb FROM s)
+    SELECT doc_id, {mins} FROM bh
     """
 
 

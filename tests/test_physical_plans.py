@@ -122,6 +122,32 @@ def test_media_hash_size_fast_path_is_pure_native(spark, pages_table):
     assert "MapInPandas" in _plan(full)
 
 
+def test_lsh_candidates_single_bucket_exchange(spark, pages_table):
+    """lsh_candidate_pairs must be join-free: ONE groupBy-bucket exchange
+    plus the distinct — no self-join (which re-evaluates signatures per
+    side and shuffles three times; see dedup._bucket_pairs)."""
+    from themis_spark.operators.dedup import lsh_candidate_pairs
+
+    df = pages_table.read().select(
+        F.xxhash64("url").alias("doc_id"), F.col("text"))
+    plan_str = _plan(lsh_candidate_pairs(df, num_hashes=12, bands=4))
+    assert "Join" not in plan_str, plan_str
+    # bucket groupBy + distinct = exactly two exchanges
+    assert plan_str.count("Exchange") == 2, plan_str
+
+
+def test_minhash_one_md5_per_shingle(spark, pages_table):
+    """The affine MinHash family derives every permutation from ONE
+    md5-based base hash per shingle — the plan must contain exactly one
+    md5 expression, not num_hashes of them."""
+    from themis_spark.operators.dedup import minhash_signatures
+
+    df = pages_table.read().select(
+        F.xxhash64("url").alias("doc_id"), F.col("text"))
+    plan_str = _optimized(minhash_signatures(df, num_hashes=8))
+    assert plan_str.count("md5(") == 1, plan_str
+
+
 def test_hashed_uniqueness_shuffles_hashes_not_keys(spark, pages_table):
     """duplicate_keys_hashed: the FIRST (big) exchange carries 8-byte
     xxhash64 rows; the exact re-count joins against a broadcast

@@ -31,6 +31,31 @@ def hash60_seeded(col: Column | str, seed: int) -> Column:
     return hash60(F.concat(F.lit(f"{seed}:"), c.cast("string")))
 
 
+# Universal affine hash family over the Mersenne prime 2^31-1 — the
+# MinHash permutations. ONE md5 per shingle (hash60 % P gives the base),
+# then each permutation i is the cheap codegen arithmetic
+# (a_i*base + b_i) % P. All intermediates < 2^62, so 64-bit signed
+# arithmetic is exact and overflow-free in BOTH Spark and DuckDB —
+# the whole family replays bit-exactly in the SQL oracle.
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+_A_MULT = 0x9E3779B1  # Knuth multiplicative constants: deterministic,
+_B_MULT = 0x85EBCA77  # seed-free parameter schedule for the family
+
+
+def affine_params(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for permutation ``i``: a in [1, P-1], b in [0, P-1]."""
+    a = 1 + (i * _A_MULT) % (MERSENNE_P - 1)
+    b = (i * _B_MULT) % MERSENNE_P
+    return a, b
+
+
+def affine_hash(base: Column, i: int) -> Column:
+    """Permutation ``i`` applied to a base-hash column in [0, P)."""
+    a, b = affine_params(i)
+    return (base * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
 def salt_col(key: Column | str, buckets: int) -> Column:
     """Deterministic salt for skew-defeating two-stage aggregation:
     ``pmod(xxhash64(key), buckets)``. Deterministic (no rand()) so

@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from themis_spark.functions.hashing import hash60, hash60_seeded
+from themis_spark.functions.hashing import (
+    MERSENNE_P,
+    affine_hash,
+    hash60,
+)
 
 
 def _cap_bucket_size(df: DataFrame, bucket_cols: list[str],
@@ -46,6 +50,10 @@ def _cap_bucket_size(df: DataFrame, bucket_cols: list[str],
     One window count over the join key (same shuffle layout the join
     needs anyway); the filter is SQL-portable (COUNT(*) OVER) so the
     DuckDB oracle replays candidate sets exactly.
+
+    Used by the inverted-index Jaccard plan; the LSH/SimHash plans fold
+    the identical cap into their bucket groupBy (``size(members) <=
+    cap``) instead, which needs no window pass at all.
     """
     if cap is None:
         return df
@@ -55,6 +63,39 @@ def _cap_bucket_size(df: DataFrame, bucket_cols: list[str],
         .where(F.col("__bucket_n") <= cap)
         .drop("__bucket_n")
     )
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], member: Column,
+                  cap: int | None) -> DataFrame:
+    """All within-bucket member pairs (a < b), ONE exchange, output-bounded.
+
+    groupBy bucket → sorted ``collect_list`` → drop buckets of 1 (no
+    pairs) or more than ``cap`` members (degenerate boilerplate — see
+    _cap_bucket_size) → per-bucket pair explode from the array. Compared
+    to the window-cap + self-equi-join formulation this shuffles the
+    bucket rows ONCE instead of three times (window + both join sides —
+    self-joins get no ReusedExchange here because the join condition
+    re-aliases the plan), never re-evaluates the signature expressions,
+    and bounds per-task pair output to cap²/2 by construction. The
+    result set is IDENTICAL — the SQL oracle keeps the self-join form.
+
+    ``member`` may be a struct column; callers project fields after.
+    """
+    capped = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(member)).alias("__ms"))
+        .where(F.size("__ms") >= 2)
+    )
+    if cap is not None:
+        capped = capped.where(F.size("__ms") <= cap)
+    pairs = F.flatten(F.transform(
+        "__ms",
+        lambda x, i: F.transform(
+            F.slice("__ms", i + F.lit(2), F.size("__ms")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    return capped.select(F.explode(pairs).alias("__p")).select("__p.a", "__p.b")
 
 
 # ------------------------------------------------------------------ shingles
@@ -102,31 +143,38 @@ def exact_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 # ------------------------------------------------------------------- MinHash
 
-def minhash_signature_cols(text: Column | str, num_hashes: int = 8,
-                           shingle_n: int = 3) -> list[Column]:
-    """k min-hash columns ``minhash_0..k-1`` — per-row, shuffle-free.
-
-    Each permutation i is the portable seeded hash min'ed over the
-    document's distinct shingles (array_min over a transform — all
-    JVM-side). Empty docs get NULL.
-    """
+def base_hash_col(text: Column | str, shingle_n: int = 3) -> Column:
+    """Array of base hashes (one portable md5-hash60 % P per distinct
+    shingle) — the ONLY md5 work in a signature; every permutation is
+    derived from it arithmetically."""
     sh = shingles_col(text, shingle_n)
+    return F.transform(sh, lambda s: hash60(s) % F.lit(MERSENNE_P))
 
-    def _hasher(seed: int):
-        # single-parameter lambda: a two-param lambda would make pyspark
-        # bind the array-index variable to the second argument
-        return lambda s: hash60_seeded(s, seed)
 
-    cols = []
-    for i in range(num_hashes):
-        h = F.array_min(F.transform(sh, _hasher(i)))
-        cols.append(h.alias(f"minhash_{i}"))
-    return cols
+def minhash_cols_from_base(base: Column, num_hashes: int) -> list[Column]:
+    """k min-hash columns ``minhash_0..k-1`` from a materialized base-hash
+    array — per-row, shuffle-free, pure codegen arithmetic. Empty docs
+    (no shingles) get NULL."""
+    return [
+        F.array_min(F.transform(base, lambda h: affine_hash(h, i)))
+        .alias(f"minhash_{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text",
                        num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    return df.select(F.col(key), *minhash_signature_cols(F.col(text), num_hashes, shingle_n))
+    """Per-doc MinHash signatures (universal affine family over 2^31-1).
+
+    Two-step select so the base-hash array MATERIALIZES once per row:
+    CollapseProject keeps the boundary because the inner array is
+    referenced k times by non-cheap expressions — without it every
+    permutation would recompute the md5s (measured ~k× the hashing work).
+    """
+    based = df.select(
+        F.col(key), base_hash_col(F.col(text), shingle_n).alias("__bh"))
+    return based.select(
+        F.col(key), *minhash_cols_from_base(F.col("__bh"), num_hashes))
 
 
 def lsh_candidate_pairs(
@@ -141,13 +189,16 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs (a_key < b_key).
 
     Plan shape: signatures map-side → explode to (band, band_hash, key)
-    — ``bands`` rows per doc, tiny — → bucket-size cap (degenerate
-    boilerplate buckets would emit O(b²) pairs; see _cap_bucket_size) →
-    self equi-join on the band bucket. The join key count is the only
-    shuffle; AQE skew-splits whatever survives the cap.
+    — ``bands`` rows per doc, tiny — → single groupBy-bucket exchange →
+    in-bucket pair explode with the degenerate-bucket cap folded into
+    the aggregate (see _bucket_pairs; boilerplate buckets would emit
+    O(b²) pairs) → distinct across bands. One shuffle of (key, band,
+    bh) rows plus the distinct — the signatures never shuffle and are
+    evaluated exactly once.
 
     Band hashes are portable (md5-based hash60 over the concatenated
-    row hashes) so the DuckDB oracle replays candidate sets exactly.
+    row hashes) so the DuckDB oracle replays candidate sets exactly
+    with the equivalent window-cap + self-join SQL.
     """
     sigs = minhash_signatures(df, key, text, num_hashes, shingle_n)
     rows_per_band = num_hashes // bands
@@ -164,13 +215,9 @@ def lsh_candidate_pairs(
     exploded = sigs.where(has_sig).select(
         F.col(key), F.explode(F.array(*band_structs)).alias("bb")
     ).select(key, "bb.band", "bb.bh")
-    exploded = _cap_bucket_size(exploded, ["band", "bh"], max_bucket_size)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
-        .select(F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"))
+        _bucket_pairs(exploded, ["band", "bh"], F.col(key), max_bucket_size)
+        .select(F.col("a").alias("a_key"), F.col("b").alias("b_key"))
         .distinct()
     )
 
@@ -204,10 +251,12 @@ def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "tex
 
     Scale path: block on the top ``block_bits`` bits (two docs within
     hamming d of each other collide on at least one of the rotated blocks
-    with high probability for small d); candidates equi-join per block,
-    verified with bit_count(xor). Avoids the quadratic all-pairs compare;
-    degenerate blocks (boilerplate) are capped before the join
-    (_cap_bucket_size) — their members are exact-dup territory.
+    with high probability for small d); candidates pair up inside each
+    block via a single groupBy exchange (see _bucket_pairs; degenerate
+    boilerplate blocks are capped in the same aggregate — their members
+    are exact-dup territory), verified with bit_count(xor). Avoids the
+    quadratic all-pairs compare; the fingerprints shuffle once as
+    (key, 8-byte sh) rows and are computed exactly once.
     """
     sigs = df.select(F.col(key), simhash_col(F.col(text), bits).alias("sh"))
     blocks = [
@@ -216,18 +265,15 @@ def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "tex
         for r in range(0, bits, block_bits)
     ]
     ex = sigs.select(key, "sh", F.explode(F.array(*blocks)).alias("b")).select(key, "sh", "b.rot", "b.blk")
-    ex = _cap_bucket_size(ex, ["rot", "blk"], max_bucket_size)
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(b, (F.col("a.rot") == F.col("b.rot")) & (F.col("a.blk") == F.col("b.blk"))
-               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
-        .select(F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),
-                F.col("a.sh").alias("a_sh"), F.col("b.sh").alias("b_sh"))
+    member = F.struct(F.col(key).alias("k"), F.col("sh").alias("sh"))
+    cand = _bucket_pairs(ex, ["rot", "blk"], member, max_bucket_size)
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        cand.select(F.col("a.k").alias("a_key"), F.col("b.k").alias("b_key"),
+                    ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
-    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming) \
-               .select("a_key", "b_key", "hamming")
 
 
 # ----------------------------------------------------------- n-gram Jaccard
@@ -237,34 +283,53 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
                         max_shingle_df: int | None = 1000) -> DataFrame:
     """N-gram Jaccard similarity via inverted-index join.
 
-    Explode distinct shingles → document-frequency cap (a shingle in
+    Explode distinct shingles → ONE groupBy-shingle exchange building the
+    inverted index as capped posting lists (a shingle in
     ``max_shingle_df``+ docs — boilerplate n-grams like "all rights
     reserved" — would alone generate O(df²) index pairs; standard prefix
     filtering drops it from the INDEX and from both set sizes, so the
-    Jaccard is exact over the surviving discriminative shingles) → self
-    equi-join on the shingle → pair intersection counts → Jaccard with
-    |A∪B| = |A|+|B|−|A∩B|. At 10¹² docs this runs AFTER an LSH
-    prefilter; standalone it's still the right corpus-scale plan.
+    Jaccard is exact over the surviving discriminative shingles).
+    Surviving set sizes |A| re-aggregate from the SAME index exchange
+    (ReusedExchange — singleton postings still count toward |A|);
+    intersection counts come from the in-list pair explode (bounded by
+    the cap, never O(df²)); |A∪B| = |A|+|B|−|A∩B|. Compared to the
+    window-cap + self-equi-join formulation this evaluates the shingle
+    explode once instead of twice and shuffles it once instead of three
+    times. At 10¹² docs this runs AFTER an LSH prefilter; standalone
+    it's still the right corpus-scale plan.
     """
-    sized = df.select(
+    rows = df.select(
         F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("shingle")
     )
-    sized = _cap_bucket_size(sized, ["shingle"], max_shingle_df)
-    wdoc = Window.partitionBy(key)
-    inv = (
-        sized.withColumn("nsh", F.count(F.lit(1)).over(wdoc))
+    index = rows.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(key)).alias("ks"))
+    if max_shingle_df is not None:
+        index = index.where(F.size("ks") <= max_shingle_df)
+    nsh = (
+        index.select(F.explode("ks").alias(key))
+        .groupBy(key).agg(F.count(F.lit(1)).alias("nsh"))
     )
-    a, b = inv.alias("a"), inv.alias("b")
+    pairs = F.flatten(F.transform(
+        "ks",
+        lambda x, i: F.transform(
+            F.slice("ks", i + F.lit(2), F.size("ks")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
-        .groupBy(F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),
-                 F.col("a.nsh").alias("a_n"), F.col("b.nsh").alias("b_n"))
+        index.where(F.size("ks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a_key"), F.col("p.b").alias("b_key"))
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    joined = (
+        inter
+        .join(nsh.select(F.col(key).alias("a_key"), F.col("nsh").alias("a_n")), "a_key")
+        .join(nsh.select(F.col(key).alias("b_key"), F.col("nsh").alias("b_n")), "b_key")
     )
     jac = F.col("inter") / (F.col("a_n") + F.col("b_n") - F.col("inter"))
     return (
-        inter.withColumn("jaccard", jac)
+        joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a_key", "b_key", F.round("jaccard", 6).alias("jaccard"))
     )
