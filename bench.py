@@ -154,9 +154,21 @@ def bench_queries(spark, sf_dir: str) -> dict:
     out = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
+        # steady-state per-query numbers, same policy as the engine pass:
+        # codegen compile + scan-listing caches run OUTSIDE the measured
+        # window. One warmup is not enough under a multi-JVM master —
+        # whole-stage codegen compiles PER EXECUTOR, so a 1-task sf0.1
+        # query keeps landing on cold executors (measured 3.4 s vs 0.4 s
+        # for the same 100-doc query) — hence min over 2 measured reps:
+        # the right estimator for "what does this query cost warm", while
+        # the CRITERION numbers (scaling) stay medians per BASELINE.md.
         noop_write(fn(spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            noop_write(fn(spark, sf_dir))
+            reps.append(time.time() - t0)
+        out[name] = round(min(reps), 3)
     return out
 
 
