@@ -334,6 +334,13 @@ def q_dedup_simhash_neardup(spark, sf):
     return D.simhash_near_duplicates(d, bits=16, max_hamming=3, block_bits=8)
 
 
+def q_dedup_clusters(spark, sf):
+    # pairs → transitive closure: the keep-one dedup resolution step
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    pairs = D.simhash_near_duplicates(d, bits=16, max_hamming=3, block_bits=8)
+    return D.duplicate_clusters(pairs)
+
+
 def q_ann_embedding_neardup(spark, sf):
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 500)
     return S.embedding_near_duplicates(emb, threshold=0.15, n_planes=4)
@@ -466,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "dedup_clusters": q_dedup_clusters,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -574,6 +582,28 @@ def _simhash_neardup_sql(bits: int = 16, max_hamming: int = 3,
         ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
     SELECT a_key, b_key, bit_count(xor(a_sh, b_sh))::INT AS hamming
     FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= {max_hamming}
+    """
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the SimHash near-dup pairs: label
+    propagation's fixed point == min label over the transitive closure,
+    which DuckDB computes exactly with a recursive CTE (edges are
+    symmetrized, so reachability is component membership)."""
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT a_key, b_key FROM ({_simhash_neardup_sql(16, 3, 8, 300, 256)})
+    ),
+    edges AS (
+      SELECT a_key AS s, b_key AS d FROM p
+      UNION SELECT b_key, a_key FROM p
+    ),
+    reach(node, label) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS member, min(label) AS cluster FROM reach GROUP BY node
     """
 
 
@@ -884,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
                        true AS within_2pct FROM lineitem""",
         "dedup_lsh_candidates": _lsh_candidates_sql(12, 6, 200, 64),
         "dedup_simhash_neardup": _simhash_neardup_sql(16, 3, 8, 300, 256),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ann_lsh": _ann_lsh_sql(4, 10, 5),
         "ann_embedding_neardup": _ann_neardup_sql(4, 0.15, 500),
         "drift_ks": _drift_ks_sql(),

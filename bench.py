@@ -49,6 +49,9 @@ HEADLINE = [
     "validate_documents", "kw_range", "kw_combinators", "stat_basic", "stat_hist",
     "con_unique", "con_unique_hashed", "con_ref", "con_dup_window",
     "con_text_invariant",
+    # dedup_clusters is iterative (multi-round label propagation) — in the
+    # oracle gate but not the timing loop, where its per-round stage
+    # latency under the multi-JVM master would swamp the other numbers
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_lsh_candidates", "text_tokens", "text_langid", "text_quality",
     "ann_cosine_topk", "ann_lsh", "mm_meta",

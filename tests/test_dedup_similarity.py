@@ -168,3 +168,22 @@ def test_embedding_near_duplicates_planted(spark):
              S.embedding_near_duplicates(df, threshold=0.98, n_planes=4).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_duplicate_clusters_transitive(spark):
+    # a~b, b~c chain must merge into one cluster labeled by the min key;
+    # d~e stays separate; isolated nodes (no pairs) don't appear
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 5), (9, 8)], "a_key long, b_key long")
+    got = {(r["member"], r["cluster"])
+           for r in D.duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (8, 8), (9, 8)}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 12-hop chain needs multiple propagation rounds
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "a_key long, b_key long")
+    got = D.duplicate_clusters(pairs).collect()
+    assert {r["cluster"] for r in got} == {0}
+    assert len(got) == 13

@@ -276,6 +276,66 @@ def simhash_near_duplicates(df: DataFrame, key: str = "doc_id", text: str = "tex
     )
 
 
+# ------------------------------------------------------- duplicate clusters
+
+def duplicate_clusters(pairs: DataFrame, a: str = "a_key", b: str = "b_key",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate/verified duplicate pairs:
+    (member, cluster) where ``cluster`` is the component's minimum key —
+    the canonical document a keep-one dedup policy retains.
+
+    The missing last step of the dedup pipeline: LSH/SimHash/Jaccard emit
+    PAIRS; groups need the transitive closure (a~b, b~c ⇒ {a,b,c}).
+
+    Spark-first min-label propagation (Pregel-style): every node starts
+    labeled with itself; each round labels flow across edges and each
+    node keeps the minimum seen. Each round is one distributed
+    join + groupBy over the EDGE list (pairs ≪ docs — this runs after
+    candidate filtering); the driver only reads a 1-row convergence
+    count, and ``localCheckpoint`` truncates the growing lineage each
+    round (iterative plans otherwise recompile an ever-deeper tree).
+    Converges in ≤ component-diameter rounds; ``max_iter`` bounds
+    pathological chains (a 20-hop duplicate chain is exact-dup
+    territory long before hop 20). Deterministic — min() is
+    order-insensitive — so the DuckDB oracle replays it with a
+    recursive transitive-closure CTE.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"),
+                         F.col("label").alias("cluster"))
+
+
 # ----------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
