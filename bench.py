@@ -115,7 +115,45 @@ def warmup(spark, pages_path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_engine_pass(spark, pages_path: str, out_dir: str) -> dict:
+def invariant_digests(spark, pages_path: str, out_dir: str) -> dict:
+    """Per-row invariant evidence (BASELINE.md protocol): the 'byte-
+    identical extracted text per url' criterion, checked ACROSS runs and
+    parallelism levels by order- and partitioning-insensitive corpus
+    digests — bit_xor over a sha256-derived 60-bit hash of each row, so
+    any single changed byte, lost row, or duplicated row flips the
+    digest no matter how the rows were partitioned.
+
+    Two digests: the input (url, text) corpus the run validated, and the
+    violation triples it emitted — identical digests at N and 4N
+    executors mean the engine read the same bytes AND produced the same
+    verdict evidence. Computed OUTSIDE the timed window.
+    """
+    from pyspark.sql import functions as F
+
+    def _dig(df, cols):
+        h = F.conv(
+            F.substring(
+                F.sha2(F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in cols]), 256),
+                1, 15),
+            16, 10,
+        ).cast("long")
+        row = df.agg(F.bit_xor(h).alias("d"),
+                     F.count(F.lit(1)).alias("n")).collect()[0]
+        return {"digest": row["d"], "rows": row["n"]}
+
+    pages = spark.read.parquet(f"{pages_path}/pages")
+    viol = spark.read.parquet(f"{out_dir}/violations")
+    return {
+        "input_text": _dig(pages, ["url", "text"]),
+        "violations": _dig(
+            viol, ["url", "partition_id", "keyword", "instance_path",
+                   "schema_path"]),
+    }
+
+
+def run_engine_pass(spark, pages_path: str, out_dir: str,
+                    with_invariant: bool = False) -> dict:
     from themis_spark.operators.stats import HistSpec
     from themis_spark.runner import RunConfig, run_validation
     from themis_spark.sources.pages import PAGES_SCHEMA_JSON
@@ -134,7 +172,7 @@ def run_engine_pass(spark, pages_path: str, out_dir: str) -> dict:
     t0 = time.time()
     res = run_validation(spark, table, cfg)
     wall = time.time() - t0
-    return {
+    out = {
         "rows": res.rows,
         "violation_rows": res.violation_rows,
         "global_violations": res.global_violations,
@@ -144,6 +182,9 @@ def run_engine_pass(spark, pages_path: str, out_dir: str) -> dict:
         # stage stops scaling is the question, not just the total
         "stage_secs": res.stage_secs,
     }
+    if with_invariant:
+        out["invariant"] = invariant_digests(spark, pages_path, out_dir)
+    return out
 
 
 def noop_write(df) -> None:
@@ -190,10 +231,13 @@ def single_run(master: str, engine_only: bool = False) -> dict:
         warmup(spark, PAGES_DIR)
         engine = None
         history = []
-        for _ in range(passes):
+        for i in range(passes):
             out_dir = tempfile.mkdtemp(prefix="bench_out_")
             try:
-                engine = run_engine_pass(spark, PAGES_DIR, out_dir)
+                # invariant digests only on the last pass (identical by
+                # construction across passes; they are untimed but not free)
+                engine = run_engine_pass(spark, PAGES_DIR, out_dir,
+                                         with_invariant=(i == passes - 1))
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
             history.append(engine["docs_per_sec"])
@@ -327,6 +371,7 @@ def scaling_main() -> None:
     factor = hi_c / lo_c
     results: dict[str, list[float]] = {lo_m: [], hi_m: []}
     stages: dict[str, list[dict]] = {lo_m: [], hi_m: []}
+    invariants: list[dict] = []
     rows = None
     # interleave configurations: host-level noise spreads across both
     for i in range(repeats):
@@ -344,6 +389,8 @@ def scaling_main() -> None:
             rows = data["rows"]
             results[master].append(data["docs_per_sec"])
             stages[master].append(data.get("stage_secs", {}))
+            if data.get("invariant"):
+                invariants.append(data["invariant"])
             print(f"{master} run {i+1}/{repeats}: {data['docs_per_sec']} docs/s "
                   f"({data['wall_sec']} s) stages={data.get('stage_secs')}",
                   file=sys.stderr)
@@ -397,6 +444,14 @@ def scaling_main() -> None:
         "criterion": f"eff = median over repeats of tput_hi/({factor:g}*tput_lo) >= 0.8",
         "passed": eff >= 0.8,
     }
+    # per-row invariant across parallelism levels (BASELINE.md protocol):
+    # every run — both cluster sizes, all repeats — must produce identical
+    # input-text and violation digests
+    if invariants:
+        summary["invariant_runs"] = len(invariants)
+        summary["invariant_all_runs_agree"] = all(
+            d == invariants[0] for d in invariants[1:]) if len(invariants) > 1 else True
+        summary["invariant_digests"] = invariants[0]
     # kernel (no-sink fused validate+stats) at both sizes: the secondary,
     # architecture-only number — reported alongside, never as the criterion
     if os.environ.get("BENCH_WITH_KERNEL", "1") == "1":
@@ -417,6 +472,23 @@ def scaling_main() -> None:
 
     print(json.dumps(summary))
     _write_baseline_md(summary)
+
+
+def _invariant_md(s: dict) -> str:
+    if "invariant_all_runs_agree" not in s:
+        return ""
+    d = s.get("invariant_digests", {})
+    verdict = "agree" if s["invariant_all_runs_agree"] else "**DISAGREE — FAIL**"
+    return f"""
+Per-row invariant (byte-identical extracted text per url + identical
+violation triples, order/partitioning-insensitive sha256-xor corpus
+digests, computed per run outside the timed window): all
+{s['invariant_runs']} runs across both cluster sizes {verdict}.
+input_text digest {d.get('input_text', {}).get('digest')} over
+{d.get('input_text', {}).get('rows'):,} rows; violations digest
+{d.get('violations', {}).get('digest')} over
+{d.get('violations', {}).get('rows'):,} rows.
+"""
 
 
 def _write_baseline_md(s: dict) -> None:
@@ -476,6 +548,7 @@ per-repeat efficiencies: {s['pair_efficiencies']}
 **full-run scaling efficiency (paired median) = {s['scaling_efficiency']}**
 (pooled ratio-of-medians = {s['scaling_efficiency_pooled']})
 -> criterion (>= 0.8): **{'PASS' if s['passed'] else 'FAIL'}**
+{_invariant_md(s)}
 
 ## 2. Per-stage attribution (BASELINE.md protocol step 5)
 
