@@ -293,6 +293,21 @@ def q_text_quality(spark, sf):
     )
 
 
+def q_text_extract(spark, sf):
+    # end-to-end per-row invariant: build page bytes, extract, compare —
+    # extraction must reproduce the text byte-identically
+    d = _t(spark, sf, "documents")
+    html = F.encode(F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>")), "UTF-8")
+    ext = X.extracted_text_col(html)
+    return d.select(
+        "doc_id",
+        F.sha2(ext, 256).alias("extracted_sha"),
+        (ext == F.col("text")).alias("invariant_ok"),
+    )
+
+
 def q_text_fingerprint(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", X.fingerprint_col("text").alias("fp")
@@ -478,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_extract": q_text_extract,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_embedding_neardup": q_ann_embedding_neardup,
@@ -896,6 +912,16 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "text_fingerprint": """SELECT doc_id,
             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents""",
+        "text_extract": """
+            WITH h AS (SELECT doc_id, text,
+                   '<html><head><title>t</title></head><body><p>' || text
+                   || '</p></body></html>' AS page FROM documents),
+            e AS (SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(
+                     regexp_extract(page, '(?s)<body[^>]*>(.*)</body>', 1),
+                     '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS ext FROM h)
+            SELECT doc_id, sha256(ext) AS extracted_sha,
+                   ext = text AS invariant_ok FROM e""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_key, embedding::DOUBLE[] AS q_vec
                        FROM embeddings WHERE vec_id < 5),

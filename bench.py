@@ -54,6 +54,7 @@ HEADLINE = [
     # latency under the multi-JVM master would swamp the other numbers
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_lsh_candidates", "text_tokens", "text_langid", "text_quality",
+    "text_extract",
     "ann_cosine_topk", "ann_lsh", "mm_meta",
 ]
 

@@ -168,3 +168,27 @@ def test_stateful_host_violation_tracker(spark, tmpdir_path):
     batch = batch_annotate(pages, plan, keep=["url"])
     total_bad = batch.where("n_violations > 0").count()
     assert sum(r["bad"] for r in got) == total_bad
+
+
+def test_extracted_text_roundtrip(spark):
+    # extraction from page bytes must reproduce the text byte-identically
+    # (the north-rule per-row invariant), including tag stripping and
+    # whitespace collapse
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "plain words only here"),
+        (2, "nested <b>bold</b> and <i>italic</i> markup"),
+        (3, "spaced   out     words"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    html = F.encode(F.concat(
+        F.lit("<html><head><title>x</title></head><body><div>"),
+        F.col("text"), F.lit("</div></body></html>")), "UTF-8")
+    got = {r["id"]: r["ext"]
+           for r in df.select("id", X.extracted_text_col(html).alias("ext")).collect()}
+    assert got[1] == "plain words only here"
+    assert got[2] == "nested bold and italic markup"     # tags -> space, collapsed
+    assert got[3] == "spaced out words"                  # whitespace normalized
+    # head/title content never leaks into the extraction
+    assert "x" != got[1][:1]

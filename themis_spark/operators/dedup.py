@@ -107,13 +107,20 @@ def tokens_col(text: Column | str) -> Column:
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (native
-    higher-order fns — computed in the scan stage, no Python)."""
+    higher-order fns — computed in the scan stage, no Python).
+
+    Guarded for < n tokens: ``sequence(1, 0)`` would otherwise generate
+    the DESCENDING array [1, 0] (Spark defaults to step -1 when start >
+    stop) and ``slice(toks, 0, n)`` raises on the 0 index.
+    """
     toks = tokens_col(text)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    short = F.size(toks) < F.lit(n)
+    return F.when(short, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(grams))
 
 
 # --------------------------------------------------------------- exact dedup

@@ -84,6 +84,24 @@ def quality_score_col(text: Column | str) -> Column:
     return F.round(score, 6)
 
 
+def extracted_text_col(html: Column | str, encoding: str = "UTF-8") -> Column:
+    """Reference text extraction from an ``html: binary`` column — the
+    operator behind the north rule's per-row invariant ("byte-identical
+    extracted text per url"): decode the page bytes, take the <body>,
+    strip tags, collapse whitespace. Pure native columns (decode +
+    regexes, scan-stage, zero Python), deliberately simple and
+    deterministic so two runs at different parallelism produce identical
+    bytes by construction; a real boilerplate-removal model would slot in
+    behind the same column signature. SQL-portable: the DuckDB oracle
+    replays it with decode()/regexp_extract/regexp_replace(...,'g').
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    s = F.decode(c, encoding)
+    body = F.regexp_extract(s, r"(?s)<body[^>]*>(.*)</body>", 1)
+    no_tags = F.regexp_replace(body, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
 def fingerprint_col(text: Column | str) -> Column:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text (exact-dup key; portable)."""
@@ -98,9 +116,13 @@ def winnow_fingerprint_col(text: Column | str, gram: int = 8, keep: int = 4) -> 
     substring/transform/array_sort — per-row, shuffle-free."""
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-    n_windows = F.greatest(F.length(norm) - (gram - 1), F.lit(0))
     hashes = F.transform(
-        F.sequence(F.lit(1), n_windows),
+        F.sequence(F.lit(1), F.length(norm) - (gram - 1)),
         lambda i: hash60(F.substr(norm, i, F.lit(gram))),
     )
-    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+    # guard texts shorter than one window: sequence(1, n<=0) would count
+    # DOWN (Spark defaults to step -1 when start > stop) and hash bogus
+    # partial windows instead of producing the empty sketch
+    short = F.length(norm) < F.lit(gram)
+    return F.when(short, F.array().cast("array<long>")) \
+            .otherwise(F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep))
