@@ -446,6 +446,16 @@ def q_ann_lsh(spark, sf):
     return S.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
 
 
+def q_ann_ivf(spark, sf):
+    # IVF coarse-quantizer ANN: deterministic init-only centroids (first
+    # 16 vectors) so DuckDB can re-derive the identical index from the
+    # same table — no literals needed, the whole pipeline replays in SQL
+    emb = _t(spark, sf, "embeddings")
+    cents = emb.where(F.col("vec_id") < 16)
+    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 5),
+                      centroids=cents, n_probe=4, k=10)
+
+
 def q_stat_hll(spark, sf):
     # sketch BYTES aren't oracle-replayable; the oracle-checkable claims
     # are (a) the exact distinct count and (b) the HLL estimate landing
@@ -496,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extract": q_text_extract,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "ann_embedding_neardup": q_ann_embedding_neardup,
         "drift_ks": q_drift_ks,
         "drift_psi": q_drift_psi,
@@ -675,6 +686,39 @@ def _ann_neardup_sql(n_planes: int = 4, threshold: float = 0.15,
     FROM a JOIN c b USING (code)
     WHERE a.vec_id < b.vec_id
       AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
+    """
+
+
+def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
+                 n_queries: int = 5) -> str:
+    # replays ivf_topk with init-only centroids: same round-to-6dp sims,
+    # same first-on-tie (lowest cell) argmax / probe ranking
+    return f"""
+    WITH cent AS (SELECT vec_id AS cell_ix, embedding::DOUBLE[] AS c_vec
+                  FROM embeddings WHERE vec_id < {n_cells}),
+    sims AS (SELECT e.vec_id, ct.cell_ix,
+                    round(list_cosine_similarity(e.embedding::DOUBLE[], ct.c_vec), 6) AS sim
+             FROM embeddings e, cent ct),
+    assign AS (SELECT vec_id, cell_ix AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell_ix ASC) AS rn FROM sims) s
+               WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_key, cell_ix AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell_ix ASC) AS rn FROM sims
+                 WHERE vec_id < {n_queries}) s
+               WHERE rn <= {n_probe}),
+    scored AS (SELECT p.query_key, a.vec_id AS neighbor_key,
+                      round(list_cosine_similarity(
+                        q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+               FROM probes p JOIN assign a USING (cell)
+               JOIN embeddings q ON q.vec_id = p.query_key
+               JOIN embeddings c ON c.vec_id = a.vec_id
+               WHERE a.vec_id <> p.query_key),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_key
+                         ORDER BY cosine DESC, neighbor_key ASC) AS rank
+               FROM scored)
+    SELECT query_key, neighbor_key, cosine, rank FROM ranked WHERE rank <= {k}
     """
 
 
@@ -942,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_neardup": _simhash_neardup_sql(16, 3, 8, 300, 256),
         "dedup_clusters": _dedup_clusters_sql(),
         "ann_lsh": _ann_lsh_sql(4, 10, 5),
+        "ann_ivf": _ann_ivf_sql(16, 4, 10, 5),
         "ann_embedding_neardup": _ann_neardup_sql(4, 0.15, 500),
         "drift_ks": _drift_ks_sql(),
         "drift_psi": _drift_psi_sql(),

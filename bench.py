@@ -55,7 +55,7 @@ HEADLINE = [
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_lsh_candidates", "text_tokens", "text_langid", "text_quality",
     "text_extract",
-    "ann_cosine_topk", "ann_lsh", "mm_meta",
+    "ann_cosine_topk", "ann_lsh", "ann_ivf", "mm_meta",
 ]
 
 

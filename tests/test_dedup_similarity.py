@@ -153,6 +153,48 @@ def test_lsh_ann_recall_against_exact(spark, embeddings):
             assert abs(ec[k] - r["cosine"]) < 1e-9
 
 
+def test_ivf_ann_recall_against_exact(spark, embeddings):
+    queries = embeddings.where("vec_id < 10")
+    exact = S.cosine_topk(embeddings, queries, k=5)
+    cents = embeddings.where("vec_id < 8")
+    approx = S.ivf_topk(embeddings, queries, k=5, centroids=cents, n_probe=3)
+    e = {(r["query_key"], r["neighbor_key"]) for r in exact.collect()}
+    a = {(r["query_key"], r["neighbor_key"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, f"IVF recall collapsed: {recall}"
+    # in-cell candidates score with the exact kernel
+    ec = {(r["query_key"], r["neighbor_key"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_key"], r["neighbor_key"])
+        if key in ec:
+            assert abs(ec[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_cell_assignment_deterministic(spark, embeddings):
+    cents = S.collect_centroids(embeddings.where("vec_id < 8"))
+    a = embeddings.select("vec_id", S.ivf_cell_col(F.col("embedding"), cents).alias("cell"))
+    got = {r["vec_id"]: r["cell"] for r in a.collect()}
+    again = {r["vec_id"]: r["cell"] for r in a.collect()}
+    assert got == again
+    assert set(got.values()) <= set(range(8))
+    # every centroid vector lands in its own cell (sim=1 with itself)
+    for i in range(8):
+        assert got[i] == i
+
+
+def test_ivf_training_converges_and_probes_cover(spark, embeddings):
+    # iterated Lloyd centroids stay well-formed and the full probe set
+    # (n_probe = n_cells) recovers the exact top-k (IVF is then lossless)
+    cents = S.train_ivf_centroids(embeddings, n_cells=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    queries = embeddings.where("vec_id < 3")
+    exact = S.cosine_topk(embeddings, queries, k=5)
+    full = S.ivf_topk(embeddings, queries, k=5, centroids=cents, n_probe=4)
+    e = {(r["query_key"], r["neighbor_key"]) for r in exact.collect()}
+    f = {(r["query_key"], r["neighbor_key"]) for r in full.collect()}
+    assert e == f
+
+
 def test_embedding_near_duplicates_planted(spark):
     import numpy as np
     rng = np.random.default_rng(7)

@@ -138,6 +138,127 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+# ----------------------------------------------------------------- IVF ANN
+#
+# Inverted-file index: a small set of coarse centroids partitions the
+# corpus into cells; each query probes only its n_probe nearest cells.
+# This is the classic scale path beside LSH bucketing: the corpus is
+# coded ONCE (map-side, shuffle-free argmax over centroid literals), the
+# candidate join is an equi-join on the cell id, and the exact cosine
+# kernel re-ranks inside cells. Centroids are metadata (n_cells ≤ a few
+# thousand rows), held driver-side and folded into codegen expressions —
+# at 10¹² corpus rows the plan shape is unchanged.
+
+
+def _centroid_lits(centroids: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+
+def _cell_sims_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cosine(vec, centroid_i), rounded to 6 dp so the argmax /
+    top-n_probe ordering is replayable bit-for-bit by the SQL oracle
+    (same rounding + first-on-tie rule on both engines)."""
+    return F.array(*[F.round(cosine_col(vec, c), 6) for c in _centroid_lits(centroids)])
+
+
+def ivf_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (0-based; ties -> lowest cell id). Pure
+    codegen: array of rounded sims + array_position of the max."""
+    sims = _cell_sims_col(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_probe_cells_col(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest cell ids, best first (ties -> lowest cell id).
+    array_sort over (-sim, cell) structs — native, deterministic."""
+    sims = _cell_sims_col(vec, centroids)
+    ranked = F.array_sort(F.array(*[
+        F.struct((-sims[i]).alias("ns"), F.lit(i).alias("cell"))
+        for i in range(len(centroids))
+    ]))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+
+
+def collect_centroids(centroids_df: DataFrame, vec: str = "embedding",
+                      key: str = "vec_id", max_cells: int = 4096) -> list[list[float]]:
+    """Materialize a (small) centroid table driver-side, ordered by key
+    for determinism. Centroids are index metadata, like the LSH
+    hyperplanes — the guard keeps the codegen expression bounded."""
+    rows = centroids_df.select(key, vec).orderBy(key).limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(f"centroid table exceeds max_cells={max_cells}")
+    return [[float(x) for x in r[vec]] for r in rows]
+
+
+def train_ivf_centroids(
+    df: DataFrame, vec: str = "embedding", key: str = "vec_id",
+    n_cells: int = 16, iters: int = 2,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means for the coarse quantizer. Deterministic
+    init (first n_cells rows by key); each iteration is one Spark job:
+    assign (native argmax over current centroid literals) -> posexplode
+    -> partial+final avg per (cell, dim) — the shuffle carries only
+    n_cells x dim aggregate rows, never vectors. Empty cells keep their
+    previous centroid. iters=0 returns the init (what the SQL oracle
+    replays); iterated centroids are float-summation-order dependent and
+    therefore for quality, not for oracle-exact plans."""
+    init = df.select(key, vec).orderBy(key).limit(n_cells).collect()
+    cents = [[float(x) for x in r[vec]] for r in init]
+    for _ in range(iters):
+        assigned = df.select(ivf_cell_col(F.col(vec), cents).alias("cell"),
+                             F.posexplode(F.col(vec)).alias("pos", "v"))
+        means = assigned.groupBy("cell", "pos").agg(F.avg("v").alias("m")).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cell[c][p] for p in range(len(cents[c]))] if c in by_cell else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 10,
+    centroids: list[list[float]] | DataFrame | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_iters: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k: (query_key, neighbor_key, cosine, rank).
+    The corpus is assigned to cells map-side; broadcast queries explode
+    into their n_probe probe cells; candidates meet on an equi-join on
+    the cell id and the exact cosine kernel re-ranks. Pass ``centroids``
+    (a trained list or a small DataFrame) for production; defaults to
+    deterministic init-only training on the corpus."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec, key, n_cells, iters=train_iters)
+    elif isinstance(centroids, DataFrame):
+        centroids = collect_centroids(centroids, vec, key)
+    c = corpus.select(
+        F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"),
+        ivf_cell_col(F.col(vec), centroids).alias("cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(key).alias("query_key"), F.col(vec).alias("q_vec"),
+            F.explode(ivf_probe_cells_col(F.col(vec), centroids, n_probe)).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_key") != F.col("query_key"))
+        .select("query_key", "neighbor_key",
+                F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_key").orderBy(F.col("cosine").desc(), F.col("neighbor_key").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame, vec: str = "embedding", key: str = "vec_id",
     threshold: float = 0.95, n_planes: int = 8, seed: int = 42,
