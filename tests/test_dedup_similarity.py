@@ -105,6 +105,26 @@ def test_degenerate_bucket_caps_bound_pair_explosion(spark):
     assert all(r["a_key"] >= 1000 for r in sim)
 
 
+def test_duplicate_input_keys_never_self_pair(spark):
+    """Dirty input with the same key on multiple rows (the data a dedup
+    engine actually ingests) must not emit (k, k) candidate pairs —
+    the strict a < b contract of the oracle self-join."""
+    rows = [(42, "the quick brown fox jumps over the lazy dog again today"),
+            (42, "the quick brown fox jumps over the lazy dog again today"),
+            (42, "the quick brown fox leaps over the lazy dog again today"),
+            (7, "the quick brown fox jumps over the lazy dog again today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for pairs in (
+        D.lsh_candidate_pairs(df, num_hashes=8, bands=4),
+        D.simhash_near_duplicates(df, max_hamming=8),
+        D.ngram_jaccard_pairs(df, threshold=0.1),
+    ):
+        got = pairs.select("a_key", "b_key").collect()
+        assert all(r["a_key"] < r["b_key"] for r in got), got
+        # the genuine cross-key duplicate is still found
+        assert any({r["a_key"], r["b_key"]} == {7, 42} for r in got)
+
+
 def test_jaccard_shingle_df_cap(spark, docs):
     # a shingle shared by >cap docs leaves the inverted index; remaining
     # (discriminative) shingles still pair near-dups 6/7 via their tail

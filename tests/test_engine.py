@@ -134,6 +134,23 @@ def test_invariant_operator_finds_planted_mismatches(spark, pages):
     v.unpersist()
 
 
+def test_invariant_catches_missing_rows(spark, pages):
+    """A dropped or phantom row is an invariant failure, not a silent
+    pass: keys on only one side of the full-outer digest join surface
+    with a <missing> digest."""
+    base = pages.dropDuplicates(["url"]).select("url", "text").cache()
+    short = base.where(F.pmod(F.xxhash64("url"), F.lit(4)) != 0)
+    # reference has rows the run dropped → every missing url is violated
+    m = C.invariant_mismatches(short, base)
+    assert m.count() == base.count() - short.count()
+    assert m.where(F.col("__h_actual") == "<missing>").count() == m.count()
+    # run has rows the reference lacks (phantom rows) → also violations
+    m2 = C.invariant_mismatches(base, short)
+    assert m2.count() == base.count() - short.count()
+    assert m2.where(F.col("__h_ref") == "<missing>").count() == m2.count()
+    base.unpersist()
+
+
 def test_text_invariant_across_parallelism(spark):
     """Byte-identical text per url across runs and parallelism levels
     (BASELINE.json input_hint per-row invariant)."""

@@ -56,6 +56,39 @@ def test_kill_and_resume(spark, tmpdir_path):
     assert res3.partitions_done == [] and len(res3.partitions_skipped) == 8
 
 
+def test_resume_with_changed_batch_size_never_double_counts(spark, tmpdir_path):
+    """A run killed mid-batch leaves an uncommitted violations directory;
+    resuming with a DIFFERENT partitions_per_batch writes different batch
+    labels, so the stale directory would double-count its partitions'
+    violations. Lineage-driven cleanup removes it at resume start."""
+    import os
+    import shutil
+
+    write_pages_dataset(spark, f"{tmpdir_path}/data", N, n_partitions=8)
+    table = ParquetTable(spark, f"{tmpdir_path}/data/pages", "part_id")
+
+    out = f"{tmpdir_path}/geom"
+    run_validation(spark, table, _cfg(out, partitions_per_batch=2, max_batches=2))
+    # simulate a kill AFTER the batch [6,7] violations write but BEFORE
+    # its lineage commit: copy a committed batch dir to the stale label.
+    # The resume below runs partitions 4-7 as ONE batch labelled b4, so
+    # b6 is exactly the stale directory a same-geometry overwrite would
+    # never touch.
+    viol_dir = f"{out}/violations"
+    shutil.copytree(os.path.join(viol_dir, "batch=b0"),
+                    os.path.join(viol_dir, "batch=b6"))
+    # resume with a different geometry (one batch for all remaining)
+    run_validation(spark, table, _cfg(out))
+    assert not os.path.exists(os.path.join(viol_dir, "batch=b6"))
+
+    ref = f"{tmpdir_path}/geom_ref"
+    run_validation(spark, table, _cfg(ref))
+    a = spark.read.parquet(viol_dir).drop("batch")
+    b = spark.read.parquet(f"{ref}/violations").drop("batch")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_global_constraint_violations_written(spark, tmpdir_path):
     write_pages_dataset(spark, f"{tmpdir_path}/data", N, n_partitions=4)
     table = ParquetTable(spark, f"{tmpdir_path}/data/pages", "part_id")

@@ -29,10 +29,15 @@ def test_psi_statistic_matches_hand_formula():
     assert psi_statistic(a, b) > 0
 
 
-def test_psi_statistic_empty_and_mismatched():
-    assert psi_statistic([], []) == 0.0
-    assert psi_statistic([1, 2], [1, 2, 3]) == 0.0
-    assert psi_statistic([0, 0], [1, 1]) == 0.0  # ta == 0
+def test_psi_statistic_empty_and_mismatched_raise():
+    # incomparable inputs must raise, not silently report "no drift"
+    with pytest.raises(ValueError, match="layouts differ"):
+        psi_statistic([1, 2], [1, 2, 3])
+    with pytest.raises(ValueError, match="empty"):
+        psi_statistic([0, 0], [1, 1])  # ta == 0
+    from themis_spark.operators.stats import ks_statistic
+    with pytest.raises(ValueError, match="layouts differ"):
+        ks_statistic([1, 2], [1, 2, 3])
 
 
 def test_drift_check_psi_detects_shift(spark):

@@ -47,7 +47,8 @@ def duplicate_keys(df: DataFrame, key: str, salted: bool = False, salt_buckets: 
     )
 
 
-def duplicate_keys_hashed(df: DataFrame, key: str) -> DataFrame:
+def duplicate_keys_hashed(df: DataFrame, key: str,
+                          broadcast_candidates: bool = True) -> DataFrame:
     """duplicate_keys with a hash-compressed first shuffle (round-2 perf).
 
     Plain groupBy(key) shuffles every distinct KEY STRING — for ~unique
@@ -61,8 +62,15 @@ def duplicate_keys_hashed(df: DataFrame, key: str) -> DataFrame:
     Trade-off, explicit: this reads the (column-pruned) key column TWICE
     but shrinks the big shuffle ~8×. On a cluster where the exchange is
     the bottleneck — the north rule's url-skew regime — that wins; for
-    dup-HEAVY tables (candidate set too big to broadcast) use plain
-    duplicate_keys, whose one-shuffle plan is optimal there.
+    dup-HEAVY tables plain duplicate_keys' one-shuffle plan is optimal.
+
+    ``broadcast_candidates``: the default hints the candidate-hash set
+    for broadcast, which skips shuffling the probe side entirely — right
+    for the mostly-unique regime this operator targets. On a dup-HEAVY
+    table the candidate set itself can exceed broadcast limits (loud 8 GB
+    abort, not a wrong answer); pass ``False`` there to fall back to a
+    shuffled semi-join on the 8-byte hashes, which AQE can still convert
+    to broadcast at runtime if the candidates turn out small.
     """
     kh = F.xxhash64(F.col(key)).alias("__kh")
     cand = (
@@ -72,8 +80,10 @@ def duplicate_keys_hashed(df: DataFrame, key: str) -> DataFrame:
         .where(F.col("cnt") > 1)
         .select("__kh")
     )
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     exact = df.join(
-        F.broadcast(cand), F.xxhash64(F.col(key)) == F.col("__kh"), "left_semi"
+        cand, F.xxhash64(F.col(key)) == F.col("__kh"), "left_semi"
     )
     return (
         exact.groupBy(key)
@@ -165,9 +175,13 @@ def invariant_mismatches(df: DataFrame, reference: DataFrame, key: str = "url",
     'byte-identical extracted text per url' — SURVEY 2(b).11).
 
     Plan: sha256 over the UTF-8 bytes computed MAP-SIDE on both sides, so
-    the equi join shuffles (key, 64-char digest) pairs only — never the
-    text. NULL text hashes to a sentinel so null-vs-value counts as a
-    mismatch while null-vs-null matches."""
+    the FULL OUTER equi join shuffles (key, 64-char digest) pairs only —
+    never the text. NULL text hashes to a sentinel so null-vs-value
+    counts as a mismatch while null-vs-null matches. The outer join is
+    the point: a key present on only one side (a dropped or phantom row
+    — the textbook per-row-invariant failure) surfaces as a mismatch
+    with digest ``<missing>`` instead of silently vanishing from an
+    inner join."""
     def _h(frame, alias):
         digest = F.coalesce(
             F.sha2(F.encode(F.col(text), "UTF-8"), 256), F.lit("<null>"))
@@ -175,10 +189,13 @@ def invariant_mismatches(df: DataFrame, reference: DataFrame, key: str = "url",
 
     left = _h(df, "__h_actual")
     right = _h(reference, "__h_ref")
+    missing = F.lit("<missing>")
     return (
-        left.join(right, "__k")
+        left.join(right, "__k", "full_outer")
+        .select(F.col("__k").alias(key),
+                F.coalesce("__h_actual", missing).alias("__h_actual"),
+                F.coalesce("__h_ref", missing).alias("__h_ref"))
         .where(F.col("__h_actual") != F.col("__h_ref"))
-        .select(F.col("__k").alias(key), "__h_actual", "__h_ref")
     )
 
 

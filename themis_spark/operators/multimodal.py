@@ -79,18 +79,19 @@ def extract_media_meta(
     * anything needing a decode — Arrow batch at a time via
       ``mapInPandas``; the per-row loop is a zip over ndarray columns
       (never ``DataFrame.iterrows``, measured ~10× slower on wide
-      frames), and the native fields are still computed JVM-side after
-      the decode returns only the decoded columns.
+      frames). Hash/size are computed in the SAME Python batch there:
+      the payload bytes are already in hand for the decode, and a
+      second JVM pass for them would re-read the payload and need a
+      join to reunite rows — map-side-once beats that by construction.
     """
     keys = list(key_cols)
-    native_part = df.select(
-        *keys,
-        F.length(F.col(payload_col)).alias("n_bytes"),
-        F.lower(F.sha2(F.col(payload_col), 256)).alias("sha256"),
-    )
     wanted = [f for f in _ALL_META_FIELDS if f in fields]
     if set(wanted) <= _NATIVE_META_FIELDS:
-        return native_part.select(*keys, *wanted)
+        return df.select(
+            *keys,
+            F.length(F.col(payload_col)).alias("n_bytes"),
+            F.sha2(F.col(payload_col), 256).alias("sha256"),
+        ).select(*keys, *wanted)
 
     decode = _decode_fake if deterministic_fake else _decode_real
     key_schema = ", ".join(f"{k} bigint" for k in key_cols)

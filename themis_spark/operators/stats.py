@@ -234,6 +234,20 @@ def merge_histograms(metrics: DataFrame, column: str) -> list[int]:
     return acc
 
 
+def _check_comparable(hist_a, hist_b, ta, tb, metric: str) -> None:
+    """Incomparable histograms must RAISE, not report stat 0.0: a
+    drift monitor that silently answers 'no drift' on a bucket-layout
+    mismatch (e.g. baseline nbins=20 vs current nbins=30 after a
+    HistSpec change) or on an empty side is a false-negative machine."""
+    if len(hist_a) != len(hist_b):
+        raise ValueError(
+            f"{metric}: histogram layouts differ ({len(hist_a)} vs "
+            f"{len(hist_b)} buckets) — recompute both sides with the "
+            "same HistSpec before comparing")
+    if ta == 0 or tb == 0:
+        raise ValueError(f"{metric}: empty histogram side (totals {ta}, {tb})")
+
+
 def psi_statistic(hist_a: list[int], hist_b: list[int], eps: float = 1e-6) -> float:
     """Population Stability Index between two equi-width histograms with
     the same bucket layout: Σ (p_a − p_b)·ln(p_a/p_b). Conventional
@@ -245,8 +259,7 @@ def psi_statistic(hist_a: list[int], hist_b: list[int], eps: float = 1e-6) -> fl
     import math
 
     ta, tb = sum(hist_a), sum(hist_b)
-    if ta == 0 or tb == 0 or len(hist_a) != len(hist_b):
-        return 0.0
+    _check_comparable(hist_a, hist_b, ta, tb, "psi")
     psi = 0.0
     for a, b in zip(hist_a, hist_b):
         pa = max(a / ta, eps)
@@ -296,8 +309,7 @@ def ks_statistic(hist_a: list[int], hist_b: list[int]) -> float:
     same bucket layout: max |CDF_a − CDF_b|. O(nbins), driver-side —
     the heavy lifting (bucket counting) already happened distributed."""
     ta, tb = sum(hist_a), sum(hist_b)
-    if ta == 0 or tb == 0 or len(hist_a) != len(hist_b):
-        return 0.0
+    _check_comparable(hist_a, hist_b, ta, tb, "ks")
     ca = cb = 0.0
     worst = 0.0
     for a, b in zip(hist_a, hist_b):

@@ -810,11 +810,9 @@ def _compile_struct(col, node, dt: T.StructType, spath, ipath, colname,
                 "required", f"{ipath}.{k}", f"{spath}/required",
                 parent_absent, F.lit("<missing field>"), colname))
 
-    matched: set[str] = set()
     for k, ksub in props.items():
         if k not in fields:
             continue
-        matched.add(k)
         out.extend(_compile_sub(col.getField(k), ksub, fields[k],
                                 f"{spath}/properties/{k}", f"{ipath}.{k}",
                                 colname, reg, base, stack))
@@ -825,7 +823,6 @@ def _compile_struct(col, node, dt: T.StructType, spath, ipath, colname,
             raise _NotNative(f"bad patternProperties regex {rx!r}") from exc
         for k in fields:
             if crx.search(k):
-                matched.add(k)
                 out.extend(_compile_sub(col.getField(k), psub, fields[k],
                                         f"{spath}/patternProperties/{rx}",
                                         f"{ipath}.{k}", colname, reg, base, stack))
@@ -1335,7 +1332,10 @@ def _compile_column(name: str, sub: Any, is_required: bool, spath_base: str,
             forced_json or _string_is_dynamic(sub, registry, root_uri)):
         from themis_spark.plans.variant_native import try_compile_variant_native
 
-        valias = f"__variant_{name}"
+        # the alias doubles as the error message: selecting
+        # violations_col() on a frame that skipped plan.prepare(df)
+        # fails analysis with this name spelled out in the exception
+        valias = f"__variant_{name}__run_plan_prepare_first"
         vn = (
             try_compile_variant_native(
                 name, sub, registry, root_uri, unroll,

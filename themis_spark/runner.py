@@ -54,6 +54,13 @@ class RunConfig:
     stats_columns: list[str] = field(default_factory=list)
     hist_specs: list[HistSpec] = field(default_factory=list)
     unique_keys: list[str] = field(default_factory=list)
+    #: uniqueness plan: "hashed" (8-byte-hash shuffle + broadcast
+    #: candidate semi-join — the mostly-unique web regime),
+    #: "hashed-shuffle" (same but no broadcast hint: dup-HEAVY tables
+    #: whose candidate set would blow the broadcast limit), or
+    #: "grouped" (plain one-shuffle groupBy — optimal when most keys
+    #: are duplicated anyway)
+    unique_plan: str = "hashed"
     fk: tuple[DataFrame, str, str] | None = None  # (child_df, child_key, parent_key)
     #: reference extraction for the per-row text invariant (BASELINE.json
     #: input_hint: byte-identical extracted text per url) — None disables
@@ -146,6 +153,10 @@ _VERDICT_ARROW = pa.schema([
 _LINEAGE_ARROW = pa.schema([
     ("run_id", pa.string()), ("part_id", pa.int32()), ("status", pa.string()),
     ("started_ts", pa.float64()), ("finished_ts", pa.float64()),
+    # the violations directory this partition's rows were committed
+    # under — lets a resume distinguish committed batch dirs from stale
+    # ones left by a killed run with a DIFFERENT partitions_per_batch
+    ("batch_label", pa.string()),
 ])
 _METRICS_ARROW = pa.schema([
     ("run_id", pa.string()), ("column", pa.string()),
@@ -170,10 +181,49 @@ def completed_partitions(spark: SparkSession, cfg: RunConfig) -> set:
     return {r["part_id"] for r in rows}
 
 
+def _clean_stale_violation_batches(spark: SparkSession, cfg: RunConfig) -> list[str]:
+    """Remove violation batch directories no committed lineage row points
+    at. A run killed before its lineage commit leaves its batch dir
+    behind; a resume with the SAME partitions_per_batch overwrites it,
+    but a resume with different batch geometry writes different labels
+    and the stale dir's rows would double-count. Lineage is the source
+    of truth: uncommitted dirs are garbage by definition (their batch
+    re-runs idempotently). Returns the removed labels."""
+    import shutil
+
+    viol_dir = os.path.join(cfg.out_dir, "violations")
+    if not os.path.isdir(viol_dir):
+        return []
+    t = _lineage_table(spark, cfg)
+    committed: set[str] = set()
+    if t.exists():
+        lin = t.read()
+        if "batch_label" in lin.columns:
+            committed = {
+                r["batch_label"]
+                for r in lin.where(F.col("status") == "done")
+                .select("batch_label").distinct().collect()
+                if r["batch_label"] is not None
+            }
+        else:
+            return []  # pre-label lineage: can't attribute dirs — keep all
+    removed = []
+    for d in os.listdir(viol_dir):
+        if not d.startswith("batch="):
+            continue
+        label = d.split("=", 1)[1]
+        if label == "__global__" or label in committed:
+            continue  # __global__ is rewritten by every run
+        shutil.rmtree(os.path.join(viol_dir, d))
+        removed.append(label)
+    return removed
+
+
 def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> RunResult:
     all_parts = table.list_partitions()
     done = completed_partitions(spark, cfg)
     remaining = [p for p in all_parts if p not in done]
+    _clean_stale_violation_batches(spark, cfg)
 
     plan: CompiledPlan = compile_plan(cfg.schema, table.read(partitions=[]).schema)
 
@@ -326,7 +376,8 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         # per-partition, so the retry converges to the same bytes)
         _append_file_local(lin_t.path, pa.Table.from_pylist(
             [{"run_id": cfg.run_id, "part_id": int(p), "status": "done",
-              "started_ts": started, "finished_ts": time.time()}
+              "started_ts": started, "finished_ts": time.time(),
+              "batch_label": batch_label}
              for p in batch],
             schema=_LINEAGE_ARROW))
         stage["verdict_commit"] += time.time() - t0
@@ -341,9 +392,15 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
         for key in cfg.unique_keys:
             # hash-compressed two-stage plan: the big exchange carries
             # 8-byte xxhash64(key) rows instead of key strings; exact
-            # re-count over the broadcast candidate set (see
-            # constraints.duplicate_keys_hashed)
-            dups = C.duplicate_keys_hashed(full, key)
+            # re-count over the candidate set (see
+            # constraints.duplicate_keys_hashed; cfg.unique_plan picks
+            # the dup-heavy-safe variants)
+            if cfg.unique_plan == "grouped":
+                dups = C.duplicate_keys(full, key)
+            else:
+                dups = C.duplicate_keys_hashed(
+                    full, key,
+                    broadcast_candidates=(cfg.unique_plan == "hashed"))
             gv.append(
                 dups.select(
                     F.col(key).cast("string").alias("url"),
@@ -356,6 +413,11 @@ def run_validation(spark: SparkSession, table: ParquetTable, cfg: RunConfig) -> 
                 )
             )
         if cfg.fk is not None:
+            # deliberately a second column-pruned scan of the parent, not
+            # a reuse of the uniqueness aggregation: sharing would require
+            # persisting the distinct parent keyset, which at 10¹² ~unique
+            # urls is O(table) cache — two cheap scans beat one impossible
+            # cache. Spark shares nothing across actions without persist.
             child, ck, pk = cfg.fk
             gv.append(C.referential_violations(child, ck, full, pk, run_id=cfg.run_id))
         if cfg.text_invariant_ref is not None:
