@@ -92,7 +92,8 @@ def lsh_code_col(vec: Column, planes: list[list[float]]) -> Column:
     compile-time literals — pure codegen, no shuffle, deterministic."""
     code = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+        # single array literal per plane — see _centroid_lits on why
+        proj = dot_col(vec, F.lit([float(x) for x in p]))
         code = code + F.shiftleft((proj > 0).cast("long"), i)
     return code
 
@@ -150,20 +151,44 @@ def lsh_ann_topk(
 # at 10¹² corpus rows the plan shape is unchanged.
 
 
-def _centroid_lits(centroids: list[list[float]]) -> list[Column]:
-    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+def _matrix_lit(matrix: list[list[float]]) -> Column:
+    """array<array<double>> literal via ONE SQL expression string.
+
+    ``F.lit`` on a nested Python list goes through py4j per element
+    (measured 6.7 s for a 256×64 matrix); a single ``F.expr`` string is
+    one py4j call and one driver-side parse (~0.1 s). ``repr`` round-
+    trips float64 exactly and Spark parses exponent-form literals as
+    DOUBLE (plain decimals get the explicit D suffix)."""
+    def d(x: float) -> str:
+        s = repr(float(x))
+        return s if ("e" in s or "E" in s) else s + "D"
+
+    rows = ",".join("array(" + ",".join(d(x) for x in row) + ")" for row in matrix)
+    return F.expr(f"array({rows})")
 
 
 def _cell_sims_col(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of cosine(vec, centroid_i), rounded to 6 dp so the argmax /
     top-n_probe ordering is replayable bit-for-bit by the SQL oracle
-    (same rounding + first-on-tie rule on both engines)."""
-    return F.array(*[F.round(cosine_col(vec, c), 6) for c in _centroid_lits(centroids)])
+    (same rounding + first-on-tie rule on both engines).
+
+    The centroid matrix ships as ONE nested-array literal and the sims
+    come from a single ``transform`` lambda — expression size (and
+    driver-side plan-build time) is CONSTANT in n_cells. The unrolled
+    per-cell alternative (one 64-literal cosine tree per cell) measured
+    3-4 s of py4j/analysis time at a tiny 16×64 index and grows
+    linearly; this form stays ~0.1 s and scales to thousand-cell
+    indexes. Cosine here is already higher-order-function territory
+    (aggregate/zip_with), so nesting it in transform costs no codegen
+    regression."""
+    matrix = _matrix_lit(centroids)
+    nv = norm_col(vec)
+    return F.transform(matrix, lambda c: F.round(dot_col(vec, c) / (nv * norm_col(c)), 6))
 
 
 def ivf_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid cell id (0-based; ties -> lowest cell id). Pure
-    codegen: array of rounded sims + array_position of the max."""
+    """Nearest-centroid cell id (0-based; ties -> lowest cell id):
+    array_position of the max over the rounded-sims array."""
     sims = _cell_sims_col(vec, centroids)
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
@@ -172,10 +197,8 @@ def ivf_probe_cells_col(vec: Column, centroids: list[list[float]], n_probe: int)
     """The n_probe nearest cell ids, best first (ties -> lowest cell id).
     array_sort over (-sim, cell) structs — native, deterministic."""
     sims = _cell_sims_col(vec, centroids)
-    ranked = F.array_sort(F.array(*[
-        F.struct((-sims[i]).alias("ns"), F.lit(i).alias("cell"))
-        for i in range(len(centroids))
-    ]))
+    ranked = F.array_sort(F.transform(
+        sims, lambda s, i: F.struct((-s).alias("ns"), i.cast("int").alias("cell"))))
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
 
 
