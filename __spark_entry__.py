@@ -314,6 +314,36 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_gopher(spark, sf):
+    # Gopher-style quality-rule bundle (SURVEY §2 LLM-pipeline ops):
+    # word-count/mean-word-length bands, symbol + alpha-word ratios,
+    # stopword presence, and the conjunction flag
+    return _t(spark, sf, "documents").select(
+        "doc_id", *X.gopher_quality_cols("text"))
+
+
+def q_text_repetition(spark, sf):
+    # repetition filters: duplicate token / 2-gram / 3-gram fractions
+    return _t(spark, sf, "documents").select(
+        "doc_id", *X.repetition_cols("text"))
+
+
+def q_dedup_decontaminate(spark, sf):
+    # benchmark decontamination: docs sharing any token 8-gram with the
+    # "eval set" (deterministic 4% sample by key — benchmark ⊆ corpus,
+    # so every bench doc self-reports and near-dups of bench docs hit)
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod("doc_id", F.lit(25)) == 0)
+    return D.contamination_hits(d, bench, shingle_n=8)
+
+
+def q_stat_topk(spark, sf):
+    # heavy hitters: top-10 most frequent l_partkey values (skew probe)
+    from themis_spark.operators.stats import frequent_values
+
+    return frequent_values(_t(spark, sf, "lineitem"), "l_partkey", k=10)
+
+
 def q_ann_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -504,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_extract": q_text_extract,
+        "text_gopher": q_text_gopher,
+        "text_repetition": q_text_repetition,
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "stat_topk": q_stat_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -966,6 +1000,72 @@ def oracle_sql() -> dict[str, str]:
                      '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS ext FROM h)
             SELECT doc_id, sha256(ext) AS extracted_sha,
                    ext = text AS invariant_ok FROM e""",
+        "text_gopher": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            m AS (SELECT doc_id, text, toks,
+              CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words
+              FROM t),
+            v AS (SELECT doc_id, toks, n_words,
+              greatest(n_words, 1) AS nd,
+              list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / greatest(n_words, 1) AS mwl,
+              ((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                / greatest(n_words, 1) AS sym,
+              len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                / greatest(n_words, 1) AS alpha,
+              len(list_intersect(list_distinct(toks),
+                ['the','of','and','to','in','is','that','it','was','for'])) AS stop_hits
+              FROM m)
+            SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+              round(sym, 6) AS symbol_ratio, round(alpha, 6) AS alpha_word_ratio,
+              stop_hits AS stopword_hits,
+              (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+               AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2)::INT AS gopher_pass
+            FROM v""",
+        "text_repetition": f"""
+            WITH t AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE {_TOKS} END AS toks FROM documents),
+            g AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks)),
+                        i -> toks[i]||' '||toks[i+1]) END AS g2,
+              CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks)-1),
+                        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END AS g3
+              FROM t)
+            SELECT doc_id,
+              round(CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(toks))::DOUBLE/len(toks) END, 6)
+                AS dup_word_frac,
+              round(CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2))::DOUBLE/len(g2) END, 6)
+                AS dup_2gram_frac,
+              round(CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3))::DOUBLE/len(g3) END, 6)
+                AS dup_3gram_frac
+            FROM g""",
+        "dedup_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+              CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+                   ELSE list_distinct(list_transform(range(1, len(toks)-6),
+                     i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]
+                       ||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))
+                   END AS sh FROM t),
+            d AS (SELECT doc_id, {_H.format(x='s')} AS h
+                  FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+            b AS (SELECT DISTINCT h FROM d WHERE doc_id % 25 = 0)
+            SELECT d.doc_id, count(*) AS n_contaminated
+            FROM d JOIN b USING (h) GROUP BY d.doc_id""",
+        "stat_topk": """
+            WITH c AS (SELECT l_partkey AS value, count(*) AS cnt
+                       FROM lineitem GROUP BY 1),
+            r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, value ASC)
+                       AS rank FROM c)
+            SELECT 'l_partkey' AS column, rank, value::VARCHAR AS value, cnt
+            FROM r WHERE rank <= 10""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_key, embedding::DOUBLE[] AS q_vec
                        FROM embeddings WHERE vec_id < 5),

@@ -206,6 +206,47 @@ def lsh_candidate_pairs(
     )
 
 
+# ----------------------------------------------------------- decontamination
+
+def contamination_hits(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    bench_text: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct token
+    ``shingle_n``-grams shared with a benchmark/eval corpus — the
+    standard training-data hygiene pass (flag or drop any training doc
+    that overlaps an eval set at the n-gram level).
+
+    Plan shape for 10¹² docs: the benchmark n-gram hash set is tiny
+    (eval sets are thousands of docs) → built once and BROADCAST; the
+    corpus side explodes shingles map-side in the scan stage and the
+    broadcast inner join discards non-hits immediately, so the only
+    exchange is the groupBy(key) over actual hits (rare by
+    construction). Returns only contaminated docs: ``(key,
+    n_contaminated)`` where ``n_contaminated`` counts distinct shared
+    n-grams (shingles_col is distinct per doc). Hashes are the portable
+    md5-hash60 so the DuckDB oracle replays the join exactly.
+    """
+    bench_hashes = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(bench_text), shingle_n)).alias("s"))
+        .select(hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("s")
+    ).select(key, hash60(F.col("s")).alias("h"))
+    return (
+        doc_grams.join(F.broadcast(bench_hashes), "h")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash_col(text: Column | str, bits: int = 16) -> Column:

@@ -304,6 +304,36 @@ def quantile_stats(
     )
 
 
+def frequent_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of a column (heavy hitters) — the
+    profiling companion to the null/distinct stats: skew diagnosis (which
+    url/lang values dominate) and enum discovery both read this.
+
+    Plan: partial+final hash agg on the value (Catalyst splits the
+    two phases automatically) → distributed top-k via orderBy+limit,
+    which Spark executes as TakeOrderedAndProject (each task keeps a
+    k-row heap; the driver merges #partitions × k rows — no global
+    sort materializes even at 10¹² rows / high cardinality). The rank
+    window runs on the ≤k surviving rows only. Ties break on value
+    ascending so the result is deterministic and oracle-replayable.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    return counts.select(
+        F.lit(column).alias("column"),
+        F.row_number().over(w).alias("rank"),
+        F.col("value").cast("string").alias("value"),
+        "cnt",
+    )
+
+
 def ks_statistic(hist_a: list[int], hist_b: list[int]) -> float:
     """Two-sample KS statistic between two equi-width histograms with the
     same bucket layout: max |CDF_a − CDF_b|. O(nbins), driver-side —

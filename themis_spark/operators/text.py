@@ -102,6 +102,99 @@ def extracted_text_col(html: Column | str, encoding: str = "UTF-8") -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
+def ngrams_col(text: Column | str, n: int, distinct: bool = False) -> Column:
+    """Word n-grams as an array column (native higher-order fns, scan
+    stage, no Python). ``distinct=False`` keeps every occurrence — the
+    repetition stats need multiplicity; dedup shingling wants the set.
+
+    Guarded for < n tokens: ``sequence(1, 0)`` counts DOWN in Spark
+    (default step -1 when start > stop), so short docs explicitly yield
+    the empty array instead of bogus partial windows.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text) if isinstance(text, str) else text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    out = F.array_distinct(grams) if distinct else grams
+    short = F.size(toks) < F.lit(n)
+    return F.when(short, F.array().cast("array<string>")).otherwise(out)
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — length delta after removal,
+    portable to the SQL oracle (replace() is greedy left-to-right in
+    both engines)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
+
+
+def gopher_quality_cols(text: Column | str) -> list[Column]:
+    """Gopher-style quality-rule bundle (Rae et al. 2021, public): word
+    count band, mean word length band, symbol-to-word ratio (# and …),
+    fraction of words with an alphabetic character, stopword presence.
+    Emitted as individual aliased columns plus the conjunction flag
+    ``gopher_pass`` so a pipeline can filter on the flag or inspect the
+    failing rule. Pure native expressions — scan-stage, zero shuffle,
+    zero Python — and arithmetic-portable to the DuckDB oracle.
+
+    Thresholds are the published Gopher bounds; at 100 TB this runs
+    fused into the same projection as the other text stats (one scan).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    n_words = token_count_col(c)
+    n_den = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ) / n_den
+    symbol_ratio = (
+        _count_occurrences(c, "#") + _count_occurrences(c, "...")
+    ) / n_den
+    alpha_word_ratio = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / n_den
+    stop_hits = stopword_score_col(c, "en")
+    gopher_pass = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_word_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return [
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    ]
+
+
+def repetition_cols(text: Column | str) -> list[Column]:
+    """Repetition signals (the Gopher repetition filters adapted to
+    single-line web text): duplicate-token fraction and duplicate
+    2-/3-gram fractions — ``1 − distinct/total`` over each gram stream.
+    Boilerplate and degenerate machine-generated pages score high.
+    Per-row native array arithmetic; portable to the SQL oracle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def dup_frac(grams: Column) -> Column:
+        n = F.size(grams)
+        return F.when(
+            n <= 0, F.lit(0.0)
+        ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)) / n)
+
+    toks = F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(F.lower(c)), r"\s+"))
+    return [
+        F.round(dup_frac(toks), 6).alias("dup_word_frac"),
+        F.round(dup_frac(ngrams_col(c, 2)), 6).alias("dup_2gram_frac"),
+        F.round(dup_frac(ngrams_col(c, 3)), 6).alias("dup_3gram_frac"),
+    ]
+
+
 def fingerprint_col(text: Column | str) -> Column:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text (exact-dup key; portable)."""
