@@ -318,14 +318,12 @@ def q_text_gopher(spark, sf):
     # Gopher-style quality-rule bundle (SURVEY §2 LLM-pipeline ops):
     # word-count/mean-word-length bands, symbol + alpha-word ratios,
     # stopword presence, and the conjunction flag
-    return _t(spark, sf, "documents").select(
-        "doc_id", *X.gopher_quality_cols("text"))
+    return X.gopher_quality_df(_t(spark, sf, "documents"))
 
 
 def q_text_repetition(spark, sf):
     # repetition filters: duplicate token / 2-gram / 3-gram fractions
-    return _t(spark, sf, "documents").select(
-        "doc_id", *X.repetition_cols("text"))
+    return X.repetition_df(_t(spark, sf, "documents"))
 
 
 def q_dedup_decontaminate(spark, sf):
@@ -342,6 +340,35 @@ def q_stat_topk(spark, sf):
     from themis_spark.operators.stats import frequent_values
 
     return frequent_values(_t(spark, sf, "lineitem"), "l_partkey", k=10)
+
+
+def _ppm_media(spark, sf, limit=200):
+    # deterministic P6 payloads built NATIVELY (header + constant fill,
+    # dims/fill char derived from doc_id) — real bytes for the real
+    # decode kernels, replayable by the DuckDB oracle via the same
+    # formula
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < limit)
+    w = (F.col("doc_id") % 13 + 4).cast("int")
+    h = (F.col("doc_id") % 7 + 3).cast("int")
+    fill = F.repeat(F.char(F.col("doc_id") % 26 + 97), w * h * 3)
+    payload = F.encode(
+        F.concat(F.format_string("P6\n%d %d\n255\n", w, h), fill), "UTF-8")
+    return d.select("doc_id", payload.alias("payload"))
+
+
+def q_mm_decode(spark, sf):
+    # REAL image decode (builtin numpy PPM codec, no fake): metadata
+    # must match the construction formula bit-for-bit
+    return M.extract_media_meta(_ppm_media(spark, sf),
+                                deterministic_fake=False)
+
+
+def q_mm_resize(spark, sf):
+    # REAL resize kernel: decode → nearest-neighbor → re-encode; the
+    # constant-fill output is formula-replayable (sha of header+fill)
+    out = M.resize_images(_ppm_media(spark, sf), target=(5, 4))
+    return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
+                      "out_w", "out_h", "src_format")
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -546,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "stat_quantiles": q_stat_quantiles,
         "mm_meta": q_mm_meta,
+        "mm_decode": q_mm_decode,
+        "mm_resize": q_mm_resize,
     }
 
 
@@ -1080,6 +1109,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_key, neighbor_key, cosine, rank FROM ranked WHERE rank <= 10""",
         "mm_meta": """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                       sha256(text) AS sha FROM documents WHERE doc_id < 200""",
+        "mm_decode": """
+            WITH t AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+                       chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 200),
+            p AS (SELECT doc_id, w, h,
+                  'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)
+                  || repeat(c, (w*h*3)::INT) AS payload FROM t)
+            SELECT doc_id, octet_length(encode(payload)) AS n_bytes,
+                   sha256(payload) AS sha256, 'ppm' AS format,
+                   w AS width, h AS height, 1 AS n_frames FROM p""",
+        "mm_resize": """
+            WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
+                          || repeat(c, 60)) AS resized_sha,
+                   5 AS out_w, 4 AS out_h, 'ppm' AS src_format FROM t""",
         "stat_hll": """SELECT count(DISTINCT l_partkey) AS exact_parts,
                        true AS within_2pct FROM lineitem""",
         "dedup_lsh_candidates": _lsh_candidates_sql(12, 6, 200, 64),

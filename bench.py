@@ -53,8 +53,9 @@ HEADLINE = [
     # oracle gate but not the timing loop, where its per-round stage
     # latency under the multi-JVM master would swamp the other numbers
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-    "dedup_lsh_candidates", "text_tokens", "text_langid", "text_quality",
-    "text_extract",
+    "dedup_lsh_candidates", "dedup_decontaminate", "text_tokens",
+    "text_langid", "text_quality", "text_extract", "text_gopher",
+    "text_repetition", "stat_topk",
     "ann_cosine_topk", "ann_lsh", "ann_ivf", "mm_meta",
 ]
 

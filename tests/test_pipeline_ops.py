@@ -93,6 +93,28 @@ def test_ngrams_col_guards_short_docs(spark):
     assert out["g3"] == [] and out["g2"] == ["a b"]
 
 
+def test_df_forms_match_cols_forms(spark):
+    """repetition_df / gopher_quality_df are the single-evaluation scan
+    forms — values must equal the inline cols forms exactly."""
+    rows = [(1, GOOD), (2, "x y x y x y"), (3, ""), (4, "## ... #")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(X.repetition_df(df).collect())
+    b = sorted(df.select("doc_id", *X.repetition_cols("text")).collect())
+    assert a == b
+    c = sorted(X.gopher_quality_df(df).collect())
+    d = sorted(df.select("doc_id", *X.gopher_quality_cols("text")).collect())
+    assert c == d
+
+
+def test_repetition_df_single_gram_build(spark):
+    """The optimized plan must keep the projection boundary: each gram
+    array built once (one transform per n), not once per reference."""
+    df = spark.range(10).select(F.lit(GOOD).alias("text"), F.col("id").alias("doc_id"))
+    plan = X.repetition_df(df)._jdf.queryExecution().optimizedPlan().toString()
+    # 2 transforms (bigram+trigram builders); the collapsed form has 6
+    assert plan.count("transform(") == 2, plan
+
+
 # ------------------------------------------------------------ decontamination
 
 def test_contamination_hits_flags_overlap(spark):

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED behind import guards — this
-container has no image/audio libraries — but everything Spark-side is
-real and tested: schemas, batch shapes, partitioning, UDF signatures.
-``deterministic_fake=True`` substitutes a seeded fake decoder so the
-distributed plumbing is verifiable end-to-end; installing Pillow/librosa
-on a real cluster replaces one function.
+Decode is REAL for uncompressed formats: PPM (P6), 24-bit BMP, and
+concatenated-P6 "video" parse with numpy alone
+(functions/imagecodec.py) — metadata extraction, nearest-neighbor
+resize, and frame sampling all run end-to-end on actual pixels in this
+container. Compressed formats (JPEG/PNG/WebP) additionally route
+through Pillow when installed and otherwise raise loudly (fail-closed —
+never a silently skipped row). ``deterministic_fake=True`` remains for
+plumbing tests over arbitrary payload bytes.
 
 Design point for 100 TB of media: binary payloads NEVER shuffle — all
 feature extraction is map-side (mapInPandas over the scan), and outputs
@@ -23,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from themis_spark.functions import imagecodec as IC
+
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
 
@@ -36,10 +40,25 @@ MEDIA_META_SCHEMA = (
 
 
 def _decode_real(payload: bytes) -> tuple:
+    """(format, width, height, n_frames) from actual payload bytes:
+    builtin numpy codecs first (PPM/BMP/PPMV — no external libs), then
+    Pillow for compressed formats when available, else a loud error."""
+    fmt = IC.sniff_format(payload)
+    if fmt == "ppm":
+        frames = IC.video_frame_offsets(payload)
+        if len(frames) > 1:  # concatenated-P6 video container
+            _, w, h = frames[0]
+            return ("ppmv", w, h, len(frames))
+        img = IC.decode_ppm(payload)
+        return ("ppm", img.shape[1], img.shape[0], 1)
+    if fmt == "bmp":
+        img = IC.decode_bmp(payload)
+        return ("bmp", img.shape[1], img.shape[0], 1)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "real image decode requires Pillow; run with deterministic_fake=True "
-            "in this sandbox or install PIL on the cluster"
+            f"decode of format={fmt!r} requires Pillow (builtin codecs cover "
+            "ppm/bmp/ppmv); install PIL on the cluster or use "
+            "deterministic_fake=True for plumbing tests"
         )
     import io
 
@@ -118,12 +137,81 @@ def extract_media_meta(
     return full.select(*keys, *wanted)
 
 
+def resize_images(df: DataFrame, payload_col: str = "payload",
+                  key_cols: tuple[str, ...] = ("doc_id",),
+                  target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """REAL image resize for builtin-decodable payloads (PPM/BMP):
+    decode → nearest-neighbor resample → re-encode as P6, one Arrow
+    batch at a time, map-side only (the payload never shuffles; the
+    output is the training-pipeline's fixed-size tensor input).
+
+    Fail-closed: an undecodable payload raises (imagecodec sniffs the
+    container first, so the error names the format) — a silent skip
+    would corrupt a training set's row alignment. Filter by
+    ``sniff_format`` upstream to route JPEG/PNG to a Pillow cluster.
+    """
+    keys = list(key_cols)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = f"{key_schema}, resized binary, out_w int, out_h int, src_format string"
+    tw, th = target
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf[payload_col].to_numpy()]
+            fmts, blobs = [], []
+            for p in payloads:
+                fmt, img = IC.decode_image(p)
+                fmts.append(fmt)
+                blobs.append(IC.encode_ppm(IC.resize_nearest(img, tw, th)))
+            out = {k: pdf[k].to_numpy() for k in keys}
+            out["resized"] = blobs
+            out["out_w"] = tw
+            out["out_h"] = th
+            out["src_format"] = fmts
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, payload_col).mapInPandas(process, out_schema)
+
+
+def frame_sample(df: DataFrame, payload_col: str = "payload",
+                 key_cols: tuple[str, ...] = ("doc_id",),
+                 every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling over the concatenated-P6 container:
+    index the frame offsets (header walk, no pixel copy), decode every
+    ``every_n``-th frame, emit one row per sampled frame with the
+    frame's own pixel sha. Map-side explode inside the Arrow batch —
+    the fan-out shape a video training pipeline runs at scale."""
+    keys = list(key_cols)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = f"{key_schema}, frame_idx int, width int, height int, frame_sha string"
+    step = max(every_n, 1)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            for vals in zip(*key_arrays, pdf[payload_col].to_numpy()):
+                payload = bytes(vals[-1] or b"")
+                offsets = IC.video_frame_offsets(payload)
+                for i in range(0, len(offsets), step):
+                    off, w, h = offsets[i]
+                    frame = IC.decode_video_frame(payload, off)
+                    sha = hashlib.sha256(frame.tobytes()).hexdigest()
+                    rows.append(list(vals[:-1]) + [i, w, h, sha])
+            yield pd.DataFrame(
+                rows, columns=keys + ["frame_idx", "width", "height", "frame_sha"])
+
+    return df.select(*keys, payload_col).mapInPandas(process, out_schema)
+
+
 def resize_stub(df: DataFrame, payload_col: str = "payload",
                 key_cols: tuple[str, ...] = ("doc_id",),
                 target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Resize plumbing: passes payload bytes through the Arrow boundary
-    and back (the real kernel would transform them). Output schema and
-    batch mechanics are production-shaped."""
+    """Resize PLUMBING-ONLY variant: passes payload bytes through the
+    Arrow boundary unchanged — kept for byte-shape tests on arbitrary
+    payloads. The real kernel is ``resize_images`` (decodes and
+    resamples actual pixels for builtin formats)."""
     keys = list(key_cols)
     key_schema = ", ".join(f"{k} bigint" for k in keys)
     out_schema = f"{key_schema}, resized binary, target_w int, target_h int"
@@ -145,8 +233,10 @@ def resize_stub(df: DataFrame, payload_col: str = "payload",
 
 def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
                       key_cols: tuple[str, ...] = ("doc_id",), every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    (explodes inside the Arrow batch — realistic fan-out shape)."""
+    """Frame-sampling PLUMBING-ONLY variant over fake frame counts —
+    kept for fan-out-shape tests on arbitrary payloads. The real kernel
+    is ``frame_sample`` (walks actual PPMV frame offsets and hashes
+    decoded pixels)."""
     keys = list(key_cols)
     key_schema = ", ".join(f"{k} bigint" for k in keys)
     out_schema = f"{key_schema}, frame_idx int, frame_sha string"
@@ -162,6 +252,41 @@ def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
                     sha = hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest()
                     rows.append(list(vals[:-1]) + [i, sha])
             yield pd.DataFrame(rows, columns=keys + ["frame_idx", "frame_sha"])
+
+    return df.select(*keys, payload_col).mapInPandas(process, out_schema)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """REAL audio feature extraction for PCM WAV payloads (builtin numpy
+    codec — functions/audiocodec.py): sample rate, channels, duration,
+    RMS energy, peak, zero-crossing rate. The scalar features a
+    training pipeline filters on (silence/clipping/length gates).
+
+    Map-side mapInPandas like the image kernels: payload bytes never
+    shuffle, output is a narrow typed row. Compressed audio raises
+    (fail-closed); route MP3/OGG to a cluster with the real codecs.
+    """
+    from themis_spark.functions import audiocodec as AC
+
+    keys = list(key_cols)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = (f"{key_schema}, sample_rate int, n_channels int, n_frames int,"
+                  " duration_sec double, rms double, peak double,"
+                  " zero_crossing_rate double")
+    feature_names = ["sample_rate", "n_channels", "n_frames", "duration_sec",
+                     "rms", "peak", "zero_crossing_rate"]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col].to_numpy():
+                sr, samples = AC.decode_wav(bytes(p) if p is not None else b"")
+                feats.append(AC.audio_features(sr, samples))
+            out = {k: pdf[k].to_numpy() for k in keys}
+            for name in feature_names:
+                out[name] = [f[name] for f in feats]
+            yield pd.DataFrame(out)
 
     return df.select(*keys, payload_col).mapInPandas(process, out_schema)
 

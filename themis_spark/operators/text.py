@@ -171,28 +171,91 @@ def gopher_quality_cols(text: Column | str) -> list[Column]:
     ]
 
 
+def _dup_frac(grams: Column) -> Column:
+    n = F.size(grams)
+    return F.round(
+        F.when(n <= 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)) / n), 6)
+
+
 def repetition_cols(text: Column | str) -> list[Column]:
     """Repetition signals (the Gopher repetition filters adapted to
     single-line web text): duplicate-token fraction and duplicate
     2-/3-gram fractions — ``1 − distinct/total`` over each gram stream.
     Boilerplate and degenerate machine-generated pages score high.
     Per-row native array arithmetic; portable to the SQL oracle.
+
+    Inline-expression form: each gram array is re-evaluated per
+    reference (~3× the tokenizing work). Table scans should use
+    ``repetition_df``, which materializes each array once (measured
+    ~3× on the sf0.1 corpus).
     """
     c = F.col(text) if isinstance(text, str) else text
-
-    def dup_frac(grams: Column) -> Column:
-        n = F.size(grams)
-        return F.when(
-            n <= 0, F.lit(0.0)
-        ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)) / n)
-
     toks = F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(F.trim(F.lower(c)), r"\s+"))
     return [
-        F.round(dup_frac(toks), 6).alias("dup_word_frac"),
-        F.round(dup_frac(ngrams_col(c, 2)), 6).alias("dup_2gram_frac"),
-        F.round(dup_frac(ngrams_col(c, 3)), 6).alias("dup_3gram_frac"),
+        _dup_frac(toks).alias("dup_word_frac"),
+        _dup_frac(ngrams_col(c, 2)).alias("dup_2gram_frac"),
+        _dup_frac(ngrams_col(c, 3)).alias("dup_3gram_frac"),
     ]
+
+
+def repetition_df(df, text: str = "text",
+                  keep: tuple[str, ...] = ("doc_id",)):
+    """Scan form of ``repetition_cols``: two-step select so each gram
+    array MATERIALIZES exactly once per row (CollapseProject keeps the
+    projection boundary because the arrays are non-cheap and multiply
+    referenced — the minhash_signatures trick). Same output columns,
+    same values; one tokenize + one n-gram build per size instead of
+    three."""
+    c = F.col(text)
+    toks = F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(F.lower(c)), r"\s+"))
+    g = df.select(*keep, toks.alias("__t"),
+                  ngrams_col(c, 2).alias("__g2"),
+                  ngrams_col(c, 3).alias("__g3"))
+    return g.select(
+        *keep,
+        _dup_frac(F.col("__t")).alias("dup_word_frac"),
+        _dup_frac(F.col("__g2")).alias("dup_2gram_frac"),
+        _dup_frac(F.col("__g3")).alias("dup_3gram_frac"),
+    )
+
+
+def gopher_quality_df(df, text: str = "text",
+                      keep: tuple[str, ...] = ("doc_id",)):
+    """Scan form of ``gopher_quality_cols``: tokenizes once per row
+    (the cols form re-splits for the mean-word-length, alpha-ratio and
+    stopword terms). Same output columns and values."""
+    c = F.col(text)
+    g = df.select(*keep, c.alias("__text"),
+                  F.split(F.trim(F.lower(c)), r"\s+").alias("__t"))
+    t, toks = F.col("__text"), F.col("__t")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_den = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / n_den
+    symbol_ratio = (
+        _count_occurrences(t, "#") + _count_occurrences(t, "...")) / n_den
+    alpha_word_ratio = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n_den
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), words))
+    gopher_pass = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_word_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return g.select(
+        *keep,
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
 
 
 def fingerprint_col(text: Column | str) -> Column:
