@@ -1,0 +1,97 @@
+"""Reference-parity API facade: Themis.validator / validate / registerFormat
+shapes over this engine — single-document reports, multi-schema $ref
+dispatch (both registration orders), anonymous index ids, and the table
+form producing the same triples as the single-document form.
+"""
+
+from __future__ import annotations
+
+import themis_spark as T
+
+
+ADDR = {
+    "id": "http://example.com/address",
+    "type": "object",
+    "required": ["city"],
+    "properties": {"city": {"type": "string"}},
+}
+PERSON = {
+    "id": "http://example.com/person",
+    "type": "object",
+    "properties": {
+        "name": {"type": "string", "minLength": 2},
+        "address": {"$ref": "http://example.com/address"},
+    },
+}
+
+
+def test_single_schema_report_shape():
+    v = T.validator({"type": "object", "required": ["a"],
+                     "properties": {"a": {"type": "integer"}}})
+    ok = v.validate({"a": 1})
+    assert ok == {"valid": True, "errors": []}
+    bad = v.validate({"a": "x"})
+    assert not bad["valid"]
+    [err] = bad["errors"]
+    assert err["keyword"] == "type" and err["instance_path"] == "$.a"
+    # schema paths carry the registry uri prefix — same convention as
+    # the table path's violation rows (anonymous schemas register as "0")
+    assert err["schema_path"].endswith("#/properties/a/type")
+
+
+def test_multi_schema_cross_ref_both_orders():
+    for schemas in ([ADDR, PERSON], [PERSON, ADDR]):
+        v = T.validator(schemas)
+        assert set(v.schema_ids) == {"http://example.com/address",
+                                     "http://example.com/person"}
+        good = {"name": "Jo", "address": {"city": "Berlin"}}
+        assert v.is_valid(good, "http://example.com/person")
+        bad = {"name": "Jo", "address": {}}
+        rep = v.validate(bad, "http://example.com/person")
+        assert not rep["valid"]
+        assert rep["errors"][0]["keyword"] == "required"
+        # engine convention: required reports the MISSING property's path
+        assert rep["errors"][0]["instance_path"] == "$.address.city"
+        assert rep["errors"][0]["schema_path"].startswith(
+            "http://example.com/address")
+
+
+def test_anonymous_schemas_get_index_ids():
+    v = T.validator([{"type": "integer"}, {"type": "string"}])
+    assert v.schema_ids == ["0", "1"]
+    assert v.is_valid(3, "0") and not v.is_valid(3, "1")
+    # first schema is the default
+    assert v.is_valid(3)
+
+
+def test_custom_format_through_facade():
+    v = T.validator({"type": "string", "format": "even-length"},
+                    formats={"even-length": lambda s: len(s) % 2 == 0})
+    assert v.is_valid("ab") and not v.is_valid("abc")
+
+
+def test_validate_table_matches_single_doc_triples(spark):
+    schema = {
+        "id": "pages",
+        "type": "object",
+        "required": ["url", "lang"],
+        "properties": {
+            "url": {"type": "string", "pattern": "^https?://"},
+            "lang": {"enum": ["en", "de"]},
+        },
+    }
+    rows = [
+        ("https://example.com/a", "en"),
+        ("ftp://example.com/b", "de"),
+        ("https://example.com/c", "xx"),
+    ]
+    v = T.validator(schema)
+    df = spark.createDataFrame(rows, "url string, lang string")
+    got = sorted(
+        (r["url"], r["keyword"], r["instance_path"], r["schema_path"])
+        for r in v.validate_table(df, key_col="url").collect())
+    want = []
+    for url, lang in rows:
+        for e in v.validate({"url": url, "lang": lang})["errors"]:
+            want.append((url, e["keyword"], e["instance_path"], e["schema_path"]))
+    assert got == sorted(want) and len(got) == 2

@@ -1,0 +1,106 @@
+"""Reference-parity facade: the entry points a playlyfe/themis user
+calls, re-expressed over this engine.
+
+The reference's public API (SURVEY.md §3.1, reconstructed — the
+checkout is empty) is three calls::
+
+    validator = Themis.validator(schema_or_array, options)
+    report    = validator.validate(document, schema_id)   # {valid, errors}
+    Themis.registerFormat(name, fn)
+
+``validator()`` here mirrors that shape 1:1 for single documents
+(driver-side, the compiled Python closure validator — same triples as
+the distributed path, pinned by the differential tests) and adds the
+table form ``validate_table`` that runs the SAME registered schemas as
+a compiled Spark plan. ``register_format`` is re-exported from
+pyvalidator (it feeds both paths).
+
+Anonymous schemas get ids ``"0", "1", …`` exactly like the reference
+(array index as string).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from themis_spark.plans.parser import SchemaRegistry
+from themis_spark.plans.pyvalidator import (
+    PyValidator,
+    compile_python_validator,
+    register_format,  # noqa: F401  (re-export: EP3 of the reference API)
+)
+
+
+class Validator:
+    """Compiled multi-schema validator — the reference's EP2 object."""
+
+    def __init__(self, by_id: dict[str, PyValidator], default_id: str,
+                 schemas_by_id: dict[str, Any]):
+        self._by_id = by_id
+        self._default_id = default_id
+        self._schemas_by_id = schemas_by_id
+
+    @property
+    def schema_ids(self) -> list[str]:
+        return list(self._by_id)
+
+    def validate(self, document: Any, schema_id: str | None = None) -> dict:
+        """One document → ``{"valid": bool, "errors": [...]}`` with the
+        reference's per-error triple (keyword, instance path, schema
+        path)."""
+        pv = self._by_id[schema_id or self._default_id]
+        errors = [
+            {"keyword": v.keyword, "instance_path": v.instance_path,
+             "schema_path": v.schema_path}
+            for v in pv.validate(document)
+        ]
+        return {"valid": not errors, "errors": errors}
+
+    def is_valid(self, document: Any, schema_id: str | None = None) -> bool:
+        return self.validate(document, schema_id)["valid"]
+
+    def validate_table(self, df, schema_id: str | None = None,
+                       key_col: str = "url"):
+        """The distributed form of ``validate``: compile the registered
+        schema against ``df``'s Spark schema and return the violations
+        DataFrame ``(key, keyword, instance_path, schema_path, detail)``
+        — same triples, evaluated as native Column trees + Arrow batch
+        validators in one fused pass (no per-row Python)."""
+        from themis_spark.operators import validate as V
+        from themis_spark.plans.compiler import compile_plan
+
+        schema = self._schemas_by_id[schema_id or self._default_id]
+        plan = compile_plan(schema, df.schema)
+        ann = V.annotate(df, plan, keep=[key_col])
+        return V.violations_df(ann, key_col=key_col, partition_col=None)
+
+
+def validator(schema_or_list: Any, formats: dict | None = None,
+              validate_formats: bool = True) -> Validator:
+    """Reference EP1: compile one schema or a list of cross-referencing
+    schemas. List entries may carry draft-4 ``id``s (used for $ref
+    resolution and as their schema_id); anonymous entries get their
+    array index as id, like the reference."""
+    from themis_spark.plans.parser import parse_schema
+
+    schemas = schema_or_list if isinstance(schema_or_list, list) else [schema_or_list]
+    if not schemas:
+        raise ValueError("validator() requires at least one schema")
+    registry = SchemaRegistry()
+    # two phases, like the reference's normalize-then-codegen: register
+    # EVERY schema first so a $ref from schema 0 to schema 1's uri
+    # resolves regardless of array order, then compile each
+    uris: list[tuple[str, Any, str]] = []
+    for i, schema in enumerate(schemas):
+        _, root_uri = parse_schema(schema, registry)
+        sid = (schema.get("id") if isinstance(schema, dict) else None) or str(i)
+        uris.append((sid, schema, root_uri))
+    by_id: dict[str, PyValidator] = {}
+    schemas_by_id: dict[str, Any] = {}
+    for sid, schema, root_uri in uris:
+        by_id[sid] = compile_python_validator(
+            schema, registry=registry, formats=formats,
+            validate_formats=validate_formats, base_uri=root_uri)
+        schemas_by_id[sid] = schema
+    default_id = uris[0][0]
+    return Validator(by_id, default_id, schemas_by_id)
