@@ -27,7 +27,9 @@ from themis_spark.operators import constraints as C
 from themis_spark.operators import dedup as D
 from themis_spark.operators import multimodal as M
 from themis_spark.operators import similarity as S
+from themis_spark.operators import stats as ST2
 from themis_spark.operators import text as X
+from themis_spark.operators import web as WB
 from themis_spark.operators import validate as V
 from themis_spark.plans.compiler import compile_plan
 
@@ -526,6 +528,71 @@ def q_stat_hll(spark, sf):
     )
 
 
+# Deterministic URL synthesis from the documents table (the driver's
+# tables carry no URL column): host varies by doc_id and source, the
+# registered domain cycles over 3 values, path depth and query params
+# vary by residue — every branch of the URL parser gets exercised, and
+# the DuckDB oracle rebuilds the identical URLs from the same columns.
+def _urls(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", "n_chars", "lang",
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("."), F.col("source"),
+            F.lit(".example"), (F.col("doc_id") % 3).cast("string"), F.lit(".com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/"))
+             .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/"), F.col("lang")))
+             .otherwise(F.concat(F.lit("/"), F.col("lang"), F.lit("/a/b"))),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?id=1&ref=rss")).otherwise(F.lit("")),
+        ).alias("url"),
+    ).where(F.col("source").isNotNull())
+
+
+def q_web_url_features(spark, sf):
+    return _urls(spark, sf).select("doc_id", *WB.url_features_cols("url"))
+
+
+def q_web_domain_stats(spark, sf):
+    return WB.domain_stats(_urls(spark, sf), "url", n_chars="n_chars", lang="lang")
+
+
+# Chunked "lines" (3-token windows) stand in for newline-split lines —
+# the driver's documents table is single-line word soup; the operator
+# itself splits on the separator, so the query materializes a multi-line
+# text first and the oracle rebuilds the same chunks.
+def _chunked_docs(spark, sf, chunk: int = 3):
+    d = _t(spark, sf, "documents").where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * chunk + 1, chunk)),
+    )
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_dedup_common_lines(spark, sf):
+    return D.common_line_hashes(_chunked_docs(spark, sf), min_docs=3)
+
+
+def q_dedup_line_cleaned(spark, sf):
+    docs = _chunked_docs(spark, sf)
+    common = D.common_line_hashes(docs, min_docs=3)
+    cleaned = D.remove_common_lines(docs, common)
+    return cleaned.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_lines", "n_removed")
+
+
+def q_stat_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ST2.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.2, "fr": 0.1},
+        key="doc_id", seed=42,
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -575,6 +642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_decode": q_mm_decode,
         "mm_resize": q_mm_resize,
+        "web_url_features": q_web_url_features,
+        "web_domain_stats": q_web_domain_stats,
+        "dedup_common_lines": q_dedup_common_lines,
+        "dedup_line_cleaned": q_dedup_line_cleaned,
+        "stat_stratified_sample": q_stat_stratified_sample,
     }
 
 
@@ -912,6 +984,86 @@ def _quality_sql() -> str:
     """
 
 
+# URL synthesis + parse, replayed: same construction as _urls(), same
+# regexes as operators/web.py (RE2-safe by design)
+_URLS_CTE = """
+    u AS (SELECT doc_id, n_chars, lang,
+        'https://w' || (doc_id % 5)::VARCHAR || '.' || source
+        || '.example' || (doc_id % 3)::VARCHAR || '.com'
+        || CASE WHEN doc_id % 3 = 0 THEN '/'
+                WHEN doc_id % 3 = 1 THEN '/' || lang
+                ELSE '/' || lang || '/a/b' END
+        || CASE WHEN doc_id % 2 = 0 THEN '?id=1&ref=rss' ELSE '' END AS url
+      FROM documents WHERE source IS NOT NULL),
+    g AS (SELECT doc_id, n_chars, lang,
+        regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u),
+    gg AS (SELECT *, string_split(host, '.') AS hl FROM g)
+"""
+
+_URL_FEATURES_SQL = f"""
+    WITH {_URLS_CTE}
+    SELECT doc_id, scheme, host,
+      CASE WHEN len(hl) >= 2 THEN hl[len(hl)-1] || '.' || hl[len(hl)]
+           ELSE hl[1] END AS registered_domain,
+      hl[len(hl)] AS tld,
+      len(list_filter(string_split(path, '/'), x -> length(x) > 0)) AS path_depth,
+      len(list_filter(string_split(q, '&'), x -> length(x) > 0)) AS n_query_params
+    FROM gg"""
+
+_DOMAIN_STATS_SQL = f"""
+    WITH {_URLS_CTE}
+    SELECT CASE WHEN len(hl) >= 2 THEN hl[len(hl)-1] || '.' || hl[len(hl)]
+                ELSE hl[1] END AS registered_domain,
+           count(*) AS n_pages,
+           count(DISTINCT host) AS n_hosts,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM gg GROUP BY 1"""
+
+# 3-token chunk "lines" + per-document DISTINCT line hashes — mirrors
+# _chunked_docs() + dedup.lines_col()/common_line_hashes() exactly
+_CHUNK_CTE = """
+    t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    c AS (SELECT doc_id,
+            list_filter(list_transform(
+              list_transform(range(1, ((len(toks)+2)//3)::INT + 1),
+                i -> array_to_string(toks[((i-1)*3+1):((i-1)*3+3)], ' ')),
+              x -> trim(x)), x -> length(x) > 0) AS ls
+          FROM t),
+    l AS (SELECT DISTINCT doc_id, unnest(ls) AS line FROM c),
+    h AS (SELECT ('0x'||substr(md5(line),1,15))::BIGINT AS line_hash FROM l),
+    common AS (SELECT line_hash, count(*) AS n_docs FROM h
+               GROUP BY 1 HAVING count(*) >= 3)
+"""
+
+_COMMON_LINES_SQL = f"WITH {_CHUNK_CTE} SELECT line_hash, n_docs FROM common"
+
+_LINE_CLEANED_SQL = f"""
+    WITH {_CHUNK_CTE},
+    e AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls)+1)) AS pos FROM c),
+    kept AS (SELECT doc_id, pos, line FROM e
+             WHERE ('0x'||substr(md5(line),1,15))::BIGINT NOT IN
+                   (SELECT line_hash FROM common)),
+    agg AS (SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+                   count(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT c.doc_id, md5(coalesce(agg.clean_text, '')) AS clean_md5,
+           len(c.ls) AS n_lines,
+           len(c.ls) - coalesce(agg.n_kept, 0) AS n_removed
+    FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id"""
+
+_STRATIFIED_SQL = """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x'||substr(md5('42:' || doc_id::VARCHAR),1,15))::BIGINT % 1000000
+          < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                           WHEN 'fr' THEN 0.1 ELSE 0.0 END * 1000000 AS BIGINT)"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -1142,4 +1294,9 @@ def oracle_sql() -> dict[str, str]:
                 true AS approx_within_bound FROM lineitem"""
             for p in (0.25, 0.5, 0.75, 0.95)
         ),
+        "web_url_features": _URL_FEATURES_SQL,
+        "web_domain_stats": _DOMAIN_STATS_SQL,
+        "dedup_common_lines": _COMMON_LINES_SQL,
+        "dedup_line_cleaned": _LINE_CLEANED_SQL,
+        "stat_stratified_sample": _STRATIFIED_SQL,
     }

@@ -424,3 +424,86 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
         .where(F.col("jaccard") >= threshold)
         .select("a_key", "b_key", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# -------------------------------------------------- corpus-level line dedup
+
+def lines_col(text: Column | str, splitter: str = "\n") -> Column:
+    """Trimmed non-empty lines of a document as an array column
+    (scan-stage native). ``splitter`` is a literal separator, regex-escaped
+    internally."""
+    import re as _re
+
+    c = F.col(text) if isinstance(text, str) else text
+    parts = F.split(c, _re.escape(splitter))
+    # explicit one-arg lambda: F.trim's optional second parameter would
+    # otherwise make the HOF pass the element INDEX as trim characters
+    return F.filter(F.transform(parts, lambda l: F.trim(l)), lambda l: F.length(l) > 0)
+
+
+def common_line_hashes(
+    df: DataFrame,
+    text: str = "text",
+    splitter: str = "\n",
+    min_docs: int = 2,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """Boilerplate discovery (the CCNet-style corpus line-dedup, phase 1):
+    lines whose DOCUMENT frequency is >= the threshold, as
+    ``(line_hash, n_docs)``.
+
+    Plan: per-document DISTINCT lines (document frequency, not occurrence
+    count) are hashed map-side with the portable 60-bit hash; the only
+    exchange carries (8-byte hash, partial count) rows — O(distinct lines),
+    never the text. With ``min_doc_frac`` the threshold is
+    ``max(min_docs, ceil(frac * total_docs))``; the total-docs count is one
+    metadata-cheap aggregate job on the driver (a scalar, not a collected
+    dataset).
+    """
+    if min_doc_frac is not None:
+        import math
+
+        total = df.count()
+        min_docs = max(min_docs, math.ceil(min_doc_frac * total))
+    per_doc = df.select(
+        F.explode(F.array_distinct(lines_col(F.col(text), splitter))).alias("line")
+    )
+    return (
+        per_doc.select(hash60(F.col("line")).alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_common_lines(
+    df: DataFrame,
+    common: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    splitter: str = "\n",
+) -> DataFrame:
+    """Boilerplate removal (phase 2): drop every line of ``df`` whose hash
+    appears in ``common`` (output of :func:`common_line_hashes`) and
+    reassemble the document — ``(key, clean_text, n_lines, n_removed)``.
+
+    ZERO shuffle of the corpus: the common-line set is aggregated to a
+    single array row and broadcast (the set is small by construction —
+    lines above a document-frequency threshold), then each document is
+    cleaned map-side with a higher-order filter. The membership test is
+    ``array_contains`` on a sorted broadcast array (O(set) per line —
+    fine for the typical 10³–10⁵ boilerplate lines; a bloom-filter
+    column is the drop-in upgrade if the set ever grows past that).
+    """
+    common_set = common.agg(
+        F.sort_array(F.collect_set("line_hash")).alias("__common")
+    )
+    lines = lines_col(F.col(text), splitter)
+    with_set = df.join(F.broadcast(common_set))
+    kept = F.filter(lines, lambda l: ~F.array_contains(F.col("__common"), hash60(l)))
+    return with_set.select(
+        F.col(key),
+        F.array_join(kept, splitter).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_removed"),
+    )

@@ -347,3 +347,30 @@ def ks_statistic(hist_a: list[int], hist_b: list[int]) -> float:
         cb += b / tb
         worst = max(worst, abs(ca - cb))
     return worst
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    rates: dict[str, float],
+    key: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. per-language quotas when
+    mixing a training corpus): keep a row iff the portable seeded hash of
+    its key falls under the stratum's rate.
+
+    Map-side only — a scan-stage filter, zero shuffle, no rand(): the
+    same (key, seed) always samples the same way, so checkpoint-resumed
+    runs and the DuckDB oracle reproduce the sample exactly
+    (``hash60_seeded`` replays as ``('0x'||substr(md5(seed||':'||key),1,15))::BIGINT``).
+    Rates are applied at 1e-6 granularity.
+    """
+    from themis_spark.functions.hashing import hash60_seeded
+
+    bucket = F.pmod(hash60_seeded(F.col(key), seed), F.lit(1_000_000))
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata) == value, F.lit(float(r))).otherwise(rate)
+    return df.where(bucket < (rate * 1_000_000.0).cast("long"))

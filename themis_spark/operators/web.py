@@ -1,0 +1,114 @@
+"""Web-corpus operators: URL feature extraction and per-domain profiling.
+
+Common-Crawl-style pipelines filter, group, and sample by URL structure
+constantly (domain-level quality lists, per-host crawl budgets, TLD
+allowlists). Everything here is a pure native Column expression
+(regexp_extract / split — scan-stage, whole-stage codegen, zero shuffle,
+zero Python) and deliberately SQL-portable so the DuckDB oracle replays
+it exactly.
+
+Reference parity note: the reference (playlyfe/themis, SURVEY.md §2(a))
+has no URL operators — this module belongs to the §2(b)-style dataflow
+layer the north rule adds on top (training-data pipeline ops).
+
+Scale shape: ``url_features_cols`` adds O(1) regex work per row inside
+the scan projection; ``domain_stats`` is one partial+final hash
+aggregation whose exchange carries (domain, partial-agg) rows — O(distinct
+domains), never O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC-3986-ish split, kept simple enough to replay in any regex engine:
+# scheme://host[:port]/path?query#fragment
+_SCHEME_RE = r"^([a-z][a-z0-9+.-]*):"
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def scheme_col(url: Column | str) -> Column:
+    return F.regexp_extract(_c(url), _SCHEME_RE, 1)
+
+
+def host_col(url: Column | str) -> Column:
+    """Hostname (no port, no userinfo handling — crawl URLs don't carry
+    credentials; a row that does simply yields the raw authority)."""
+    return F.regexp_extract(_c(url), _HOST_RE, 1)
+
+
+def registered_domain_col(url: Column | str) -> Column:
+    """Last two host labels — the standard cheap approximation of the
+    registrable domain. A real pipeline swaps in the public-suffix list
+    (a broadcast lookup keyed by the last 1-3 labels); the column
+    signature stays the same.
+    """
+    labels = F.split(host_col(url), r"\.")
+    n = F.size(labels)
+    return F.when(n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))).otherwise(
+        F.element_at(labels, 1)
+    )
+
+
+def tld_col(url: Column | str) -> Column:
+    labels = F.split(host_col(url), r"\.")
+    return F.when(F.size(labels) >= 1, F.element_at(labels, -1)).otherwise(F.lit(""))
+
+
+def path_depth_col(url: Column | str) -> Column:
+    """Number of non-empty path segments (``/a/b/c`` -> 3, ``/`` -> 0)."""
+    path = F.regexp_extract(_c(url), _PATH_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    return F.size(segs)
+
+
+def n_query_params_col(url: Column | str) -> Column:
+    """Count of ``&``-separated non-empty parameters in the query string."""
+    q = F.regexp_extract(_c(url), _QUERY_RE, 1)
+    params = F.filter(F.split(q, "&"), lambda s: F.length(s) > 0)
+    return F.size(params)
+
+
+def url_features_cols(url: Column | str) -> list[Column]:
+    """The full per-URL feature bundle as aliased columns, composable
+    into any scan projection (one pass, codegen)."""
+    return [
+        scheme_col(url).alias("scheme"),
+        host_col(url).alias("host"),
+        registered_domain_col(url).alias("registered_domain"),
+        tld_col(url).alias("tld"),
+        path_depth_col(url).alias("path_depth"),
+        n_query_params_col(url).alias("n_query_params"),
+    ]
+
+
+def domain_stats(
+    df: DataFrame,
+    url: str = "url",
+    n_chars: str | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain corpus profile: page count, host count, and
+    (optionally) mean document length and distinct-language count.
+
+    One partial+final hash aggregation; the exchange carries one row per
+    distinct domain. Skewed mega-domains are safe: Catalyst's partial
+    aggregation combines map-side, so a domain with 10^9 pages still
+    ships one partial row per task, not 10^9 rows.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct(host_col(F.col(url))).alias("n_hosts"),
+    ]
+    if n_chars is not None:
+        aggs.append(F.round(F.avg(F.col(n_chars)), 4).alias("avg_chars"))
+    if lang is not None:
+        aggs.append(F.countDistinct(F.col(lang)).alias("n_langs"))
+    return df.groupBy(registered_domain_col(F.col(url)).alias("registered_domain")).agg(*aggs)
