@@ -585,6 +585,21 @@ def q_dedup_line_cleaned(spark, sf):
         "doc_id", F.md5("clean_text").alias("clean_md5"), "n_lines", "n_removed")
 
 
+def q_infer_profile(spark, sf):
+    # schema inference over a dynamic JSON column synthesized from typed
+    # columns (to_json drops null fields, so presence varies with the
+    # underlying nulls — exactly the draft-4 `required` discovery case)
+    from themis_spark.plans import infer as I
+
+    d = _t(spark, sf, "documents")
+    j = d.select(F.to_json(F.struct(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.struct(F.col("n_chars").alias("n"), F.col("source").alias("src")).alias("meta"),
+    )).alias("props"))
+    return I.json_path_profile(j, "props")
+
+
 def q_stat_stratified_sample(spark, sf):
     d = _t(spark, sf, "documents")
     return ST2.stratified_sample(
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_common_lines": q_dedup_common_lines,
         "dedup_line_cleaned": q_dedup_line_cleaned,
         "stat_stratified_sample": q_stat_stratified_sample,
+        "infer_json_profile": q_infer_profile,
     }
 
 
@@ -1299,4 +1315,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_common_lines": _COMMON_LINES_SQL,
         "dedup_line_cleaned": _LINE_CLEANED_SQL,
         "stat_stratified_sample": _STRATIFIED_SQL,
+        # expected inference profile recomputed from the base columns
+        # (to_json omits nulls -> presence = count(col); no JSON nulls)
+        "infer_json_profile": """
+            SELECT '$' AS path, 'object' AS jtype, count(*) AS n_present,
+                   CAST(0 AS BIGINT) AS n_null FROM documents
+            UNION ALL SELECT '$.doc_id', 'integer', count(doc_id), 0 FROM documents
+            UNION ALL SELECT '$.lang', 'string', count(lang), 0 FROM documents
+            UNION ALL SELECT '$.meta', 'object', count(*), 0 FROM documents
+            UNION ALL SELECT '$.meta.n', 'integer', count(n_chars), 0 FROM documents
+            UNION ALL SELECT '$.meta.src', 'string', count(source), 0 FROM documents""",
     }

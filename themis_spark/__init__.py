@@ -28,6 +28,7 @@ from themis_spark.plans.compiler import (
     UnsupportedSchemaError,
     compile_plan,
 )
+from themis_spark.plans.infer import infer_draft4_schema, json_path_profile
 from themis_spark.sources.tableio import open_table
 
 __version__ = "0.2.0"
@@ -42,5 +43,7 @@ __all__ = [
     "compile_plan",
     "CompiledPlan",
     "UnsupportedSchemaError",
+    "infer_draft4_schema",
+    "json_path_profile",
     "open_table",
 ]
