@@ -585,6 +585,20 @@ def q_dedup_line_cleaned(spark, sf):
         "doc_id", F.md5("clean_text").alias("clean_md5"), "n_lines", "n_removed")
 
 
+def q_web_top_pages(spark, sf):
+    # distinct urls first: synthesized urls can collide, and grouped
+    # top-k tie-breaks on url — dedup makes the ranking fully
+    # deterministic for the oracle replay
+    u = _urls(spark, sf).groupBy("url").agg(F.max("n_chars").alias("n_chars"))
+    return WB.top_pages_per_domain(u, "url", "n_chars", k=3)
+
+
+def q_stat_suggest_constraints(spark, sf):
+    return ST2.suggest_constraints(
+        _t(spark, sf, "documents"),
+        ["doc_id", "lang", "source", "n_chars"], exact=True)
+
+
 def q_infer_profile(spark, sf):
     # schema inference over a dynamic JSON column synthesized from typed
     # columns (to_json drops null fields, so presence varies with the
@@ -663,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_line_cleaned": q_dedup_line_cleaned,
         "stat_stratified_sample": q_stat_stratified_sample,
         "infer_json_profile": q_infer_profile,
+        "web_top_pages": q_web_top_pages,
+        "stat_suggest_constraints": q_stat_suggest_constraints,
     }
 
 
@@ -1011,7 +1027,7 @@ _URLS_CTE = """
                 ELSE '/' || lang || '/a/b' END
         || CASE WHEN doc_id % 2 = 0 THEN '?id=1&ref=rss' ELSE '' END AS url
       FROM documents WHERE source IS NOT NULL),
-    g AS (SELECT doc_id, n_chars, lang,
+    g AS (SELECT doc_id, n_chars, lang, url,
         regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
@@ -1072,6 +1088,37 @@ _LINE_CLEANED_SQL = f"""
            len(c.ls) AS n_lines,
            len(c.ls) - coalesce(agg.n_kept, 0) AS n_removed
     FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id"""
+
+_TOP_PAGES_SQL = f"""
+    WITH {_URLS_CTE},
+    uu AS (SELECT url,
+             CASE WHEN len(hl) >= 2 THEN hl[len(hl)-1] || '.' || hl[len(hl)]
+                  ELSE hl[1] END AS registered_domain,
+             max(n_chars) AS n_chars
+           FROM gg GROUP BY 1, 2),
+    r AS (SELECT registered_domain, url, n_chars,
+            row_number() OVER (PARTITION BY registered_domain
+                               ORDER BY n_chars DESC, url ASC) AS rank
+          FROM uu)
+    SELECT registered_domain, url, n_chars, rank FROM r WHERE rank <= 3"""
+
+
+def _suggest_sql(cols: list[str], enum_max: int = 20) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+            SELECT '{c}' AS column, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   min({c})::VARCHAR AS min_v, max({c})::VARCHAR AS max_v,
+                   (count(*) - count({c})) = 0 AS not_null_candidate,
+                   (count({c}) > 0 AND count(DISTINCT {c}) >= count({c}))
+                     AS unique_candidate,
+                   (count(DISTINCT {c}) > 0 AND count(DISTINCT {c}) <= {enum_max})
+                     AS enum_candidate
+            FROM documents""")
+    return " UNION ALL ".join(parts)
+
 
 _STRATIFIED_SQL = """
     SELECT doc_id, lang FROM documents
@@ -1325,4 +1372,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '$.meta', 'object', count(*), 0 FROM documents
             UNION ALL SELECT '$.meta.n', 'integer', count(n_chars), 0 FROM documents
             UNION ALL SELECT '$.meta.src', 'string', count(source), 0 FROM documents""",
+        "web_top_pages": _TOP_PAGES_SQL,
+        "stat_suggest_constraints": _suggest_sql(
+            ["doc_id", "lang", "source", "n_chars"]),
     }

@@ -59,6 +59,7 @@ HEADLINE = [
     "ann_cosine_topk", "ann_lsh", "ann_ivf", "mm_meta",
     "web_url_features", "web_domain_stats", "dedup_common_lines",
     "dedup_line_cleaned", "stat_stratified_sample", "infer_json_profile",
+    "web_top_pages", "stat_suggest_constraints",
 ]
 
 

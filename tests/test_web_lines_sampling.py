@@ -171,3 +171,62 @@ def test_stratified_sample_exact_bounds_and_native(spark):
     assert kept.count() == 500
     plan = _plan(ST.stratified_sample(df, "lang", {"en": 0.5}, key="doc_id"))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- grouped top-k pages
+
+def test_top_pages_per_domain(spark):
+    rows = []
+    for d in ("aaa.com", "bbb.org"):
+        for i in range(5):
+            rows.append((f"https://www.{d}/p{i}", float(i)))
+    df = spark.createDataFrame(rows, "url string, quality double")
+    got = W.top_pages_per_domain(df, "url", "quality", k=2).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["registered_domain"], []).append((r["rank"], r["url"]))
+    assert len(got) == 4
+    assert sorted(by_dom["aaa.com"]) == [
+        (1, "https://www.aaa.com/p4"), (2, "https://www.aaa.com/p3")]
+    # deterministic tie-break on url
+    tie = spark.createDataFrame(
+        [("https://t.com/b", 1.0), ("https://t.com/a", 1.0)], "url string, quality double")
+    top1 = W.top_pages_per_domain(tie, "url", "quality", k=1).collect()
+    assert top1[0]["url"] == "https://t.com/a"
+
+
+def test_top_pages_uses_window_group_limit(spark):
+    df = spark.createDataFrame(
+        [("https://x.com/a", 1.0)], "url string, quality double")
+    plan = _plan(W.top_pages_per_domain(df, "url", "quality", k=3))
+    assert "WindowGroupLimit" in plan  # per-task top-k before the exchange
+
+
+# ------------------------------------------------------ constraint discovery
+
+def test_suggest_constraints_exact(spark):
+    rows = [(i, f"u{i}", "en" if i % 2 else "de", None if i % 3 == 0 else i * 2)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, key string, lang string, v long")
+    got = {r["column"]: r
+           for r in ST.suggest_constraints(df, ["id", "key", "lang", "v"],
+                                           exact=True).collect()}
+    assert got["id"]["unique_candidate"] and got["id"]["not_null_candidate"]
+    assert got["key"]["unique_candidate"]
+    assert got["lang"]["enum_candidate"] and got["lang"]["n_distinct"] == 2
+    assert not got["lang"]["unique_candidate"]
+    assert not got["v"]["not_null_candidate"] and got["v"]["n_nulls"] == 20
+    assert got["v"]["unique_candidate"]  # distinct among non-null
+    assert got["id"]["min_v"] == "0" and got["id"]["max_v"] == "59"
+
+
+def test_suggest_constraints_hll_band(spark):
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"))
+    got = {r["column"]: r
+           for r in ST.suggest_constraints(df, ["id", "bucket"]).collect()}
+    assert got["id"]["unique_candidate"]          # HLL within the 2% band
+    assert not got["bucket"]["unique_candidate"]
+    assert got["bucket"]["enum_candidate"]
+    plan = _plan(ST.suggest_constraints(df, ["id"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

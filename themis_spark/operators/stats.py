@@ -374,3 +374,62 @@ def stratified_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata) == value, F.lit(float(r))).otherwise(rate)
     return df.where(bucket < (rate * 1_000_000.0).cast("long"))
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: list[str],
+    enum_max_distinct: int = 20,
+    exact: bool = False,
+) -> DataFrame:
+    """Constraint DISCOVERY over typed columns — the table-level
+    complement of plans/infer.py's schema inference: one aggregation pass
+    profiles each column and flags which engine checks it would support,
+    as ``(column, n_rows, n_nulls, n_distinct, min_v, max_v,
+    not_null_candidate, unique_candidate, enum_candidate)``.
+
+    * ``not_null_candidate`` — zero nulls ⇒ draft-4 ``required``.
+    * ``unique_candidate`` — distinct count equals non-null count ⇒ feed
+      to constraints.duplicate_keys as a uniqueness key.
+    * ``enum_candidate`` — ≤ ``enum_max_distinct`` distinct values ⇒
+      draft-4 ``enum`` (fetch the actual values with a follow-up
+      ``frequent_values`` call, bounded by the same threshold).
+
+    ``exact=False`` (default) estimates distinct counts with the
+    mergeable HLL sketch — the only scale-sane choice at 10¹² rows, with
+    ±2% error, so the uniqueness flag compares against a 2% band.
+    ``exact=True`` uses a real distinct aggregation (oracle-replayable;
+    fine at test scale). Either way: ONE job, partial+final aggregation,
+    a single result row crossing the wire.
+    """
+    aggs: list[Column] = []
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact:
+            aggs.append(F.countDistinct(col).alias(f"{c}__nd"))
+        else:
+            aggs.append(
+                F.hll_sketch_estimate(F.hll_sketch_agg(col.cast("string")))
+                .alias(f"{c}__nd"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+
+    tol = 1.0 if exact else 0.98  # HLL ±2% band for the uniqueness flag
+    structs = []
+    for c in columns:
+        n, nulls, nd = F.col(f"{c}__n"), F.col(f"{c}__nulls"), F.col(f"{c}__nd")
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            n.alias("n_rows"),
+            nulls.alias("n_nulls"),
+            nd.cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            (nulls == 0).alias("not_null_candidate"),
+            ((n - nulls > 0) & (nd >= tol * (n - nulls))).alias("unique_candidate"),
+            ((nd > 0) & (nd <= enum_max_distinct)).alias("enum_candidate"),
+        ))
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -112,3 +112,32 @@ def domain_stats(
     if lang is not None:
         aggs.append(F.countDistinct(F.col(lang)).alias("n_langs"))
     return df.groupBy(registered_domain_col(F.col(url)).alias("registered_domain")).agg(*aggs)
+
+
+def top_pages_per_domain(
+    df: DataFrame,
+    url: str = "url",
+    order_by: str = "quality",
+    k: int = 10,
+    descending: bool = True,
+) -> DataFrame:
+    """Grouped top-k: the k best pages per registered domain (crawl-budget
+    / per-domain sampling shape) — ``(registered_domain, url, <order_by>,
+    rank)``.
+
+    A ranking window with a ``rank <= k`` filter, which Spark executes as
+    WindowGroupLimit: each task keeps only its per-group top-k BEFORE the
+    exchange, so the shuffle carries at most k rows per (task, domain),
+    never the corpus — the grouped analogue of TakeOrderedAndProject.
+    Ties break on url for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    dom = registered_domain_col(F.col(url)).alias("registered_domain")
+    o = F.col(order_by).desc() if descending else F.col(order_by).asc()
+    w = Window.partitionBy("registered_domain").orderBy(o, F.col(url).asc())
+    return (
+        df.select(dom, F.col(url), F.col(order_by))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
