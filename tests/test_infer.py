@@ -129,3 +129,38 @@ def test_infer_from_typed_json_of_table(spark):
     assert schema["properties"]["meta"]["properties"]["n"] == {"type": "integer"}
     v = compile_python_validator(schema)
     assert v.is_valid({"doc_id": 1, "src": "s1", "meta": {"n": 2}})
+
+
+def test_infer_bounds_and_enum(spark):
+    rows = [
+        '{"n": 3, "s": "abc", "lang": "en", "flag": true}',
+        '{"n": 10, "s": "abcdef", "lang": "de", "flag": false}',
+        '{"n": 7, "s": "ab", "lang": "en"}',
+        '{"n": 5, "s": "abcd", "lang": null}',
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "j string")
+    schema = I.infer_draft4_schema(df, "j", bounds=True, enum_max=5)
+    p = schema["properties"]
+    assert p["n"]["minimum"] == 3 and p["n"]["maximum"] == 10
+    assert p["s"]["minLength"] == 2 and p["s"]["maxLength"] == 6
+    # JSON null joins the enum so the union type stays satisfiable
+    assert p["lang"]["enum"] == ["de", "en", None]
+    assert p["lang"]["type"] == ["null", "string"]
+    assert p["flag"]["enum"] == [False, True]
+    # bounds/enums stay round-trip-safe on the source rows
+    v = compile_python_validator(schema)
+    for r in rows:
+        assert v.is_valid(json.loads(r)), r
+    assert not v.is_valid({"n": 11, "s": "abc", "lang": "en"})   # > maximum
+    assert not v.is_valid({"n": 3, "s": "a", "lang": "en"})      # < minLength
+    assert not v.is_valid({"n": 3, "s": "ab", "lang": "xx"})     # not in enum
+
+
+def test_infer_enum_cap_respected(spark):
+    df = spark.range(200).select(
+        F.to_json(F.struct((F.col("id") % 50).cast("string").alias("many"),
+                           (F.col("id") % 3).alias("few"))).alias("j"))
+    schema = I.infer_draft4_schema(df, "j", enum_max=5)
+    p = schema["properties"]
+    assert "enum" not in p["many"]  # 50 distinct > cap
+    assert sorted(p["few"]["enum"]) == [0, 1, 2]

@@ -271,11 +271,66 @@ def json_path_profile(
     )
 
 
+_NUMERIC_KINDS = {"BIGINT", "INT", "SMALLINT", "TINYINT", "DECIMAL", "DOUBLE", "FLOAT"}
+_STRING_KINDS = {"STRING", "VARCHAR"}
+
+
+def _enrich_stats(df: DataFrame, col: Column | str,
+                  paths: list[tuple[str, TypeNode]]) -> dict[str, dict]:
+    """Bounds/cardinality enrichment: one more fused native aggregation —
+    per scalar path min/max (exact draft-4 ``minimum``/``maximum``),
+    string-length bounds, and an approximate distinct count that GATES
+    enum discovery (so the later ``collect_set`` can never explode)."""
+    v = _variant_col(col)
+    aggs: list[Column] = []
+    probed: list[str] = []
+    for i, (path, node) in enumerate(paths):
+        if node.kind in _NUMERIC_KINDS:
+            target = "bigint" if _jtype(node) == "integer" else "double"
+            x = F.try_variant_get(v, path, target)
+            lo, hi = F.min(x), F.max(x)
+        elif node.kind in _STRING_KINDS:
+            x = F.try_variant_get(v, path, "string")
+            lo, hi = F.min(F.length(x)), F.max(F.length(x))
+        elif node.kind == "BOOLEAN":
+            x = F.try_variant_get(v, path, "boolean")
+            lo, hi = F.lit(None), F.lit(None)
+        else:
+            continue
+        aggs += [lo.alias(f"lo{i}"), hi.alias(f"hi{i}"),
+                 F.approx_count_distinct(x).alias(f"d{i}")]
+        probed.append(path)
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    return {
+        path: {"lo": row[f"lo{i}"], "hi": row[f"hi{i}"], "nd": row[f"d{i}"]}
+        for i, (path, _node) in enumerate(paths) if path in set(probed)
+    }
+
+
+def _enum_values(df: DataFrame, col: Column | str,
+                 targets: list[tuple[str, str]]) -> dict[str, list]:
+    """Exact distinct value sets for the (pre-gated, low-cardinality)
+    enum-candidate paths — one aggregation of bounded ``collect_set``s."""
+    if not targets:
+        return {}
+    v = _variant_col(col)
+    aggs = [
+        F.sort_array(F.collect_set(F.try_variant_get(v, path, target))).alias(f"e{i}")
+        for i, (path, target) in enumerate(targets)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {path: list(row[f"e{i}"]) for i, (path, _t) in enumerate(targets)}
+
+
 def infer_draft4_schema(
     df: DataFrame,
     col: Column | str,
     schema_id: str = "inferred",
     required_min_frac: float = 1.0,
+    bounds: bool = False,
+    enum_max: int = 0,
 ) -> dict:
     """Infer a draft-4 schema for a dynamic JSON column (two passes, both
     native aggregations — see module docstring).
@@ -283,6 +338,16 @@ def infer_draft4_schema(
     ``required_min_frac``: a property is listed ``required`` when it is
     present in at least this fraction of the rows where its parent object
     is present (1.0 = strictly always, the safe default).
+
+    ``bounds=True`` adds observed ``minimum``/``maximum`` (numerics) and
+    ``minLength``/``maxLength`` (strings) from one extra fused
+    aggregation. ``enum_max=N`` additionally emits ``enum`` for scalar
+    string/integer/boolean paths whose distinct count is ≤ N — gated by
+    an approximate count first, then collected exactly (one bounded
+    ``collect_set`` aggregation), so the driver never receives an
+    unbounded value set. Both stay round-trip-safe: bounds/enums are
+    derived from the data, so the inferred schema still accepts every
+    source row (JSON nulls join the enum when present).
     """
     merged = merged_variant_schema(df, col)
     root = parse_variant_type(merged)
@@ -290,6 +355,23 @@ def infer_draft4_schema(
         r["path"]: (r["n_present"], r["n_null"])
         for r in json_path_profile(df, col, root=root).collect()
     }
+    paths = _walk_paths(root)
+    enrich = _enrich_stats(df, col, paths) if (bounds or enum_max) else {}
+    enums: dict[str, list] = {}
+    if enum_max:
+        node_by_path = dict(paths)
+        targets = []
+        for path, st in enrich.items():
+            node = node_by_path[path]
+            jt = _jtype(node)
+            # approx gate with slack; exact cap re-checked after collection
+            if jt in ("string", "integer", "boolean") and st["nd"] and \
+                    st["nd"] <= enum_max * 1.2:
+                target = {"string": "string", "integer": "bigint",
+                          "boolean": "boolean"}[jt]
+                targets.append((path, target))
+        enums = {p: vs for p, vs in _enum_values(df, col, targets).items()
+                 if len(vs) <= enum_max}
 
     def build(node: TypeNode, path: str) -> dict:
         schema = variant_type_to_draft4(node)
@@ -310,6 +392,18 @@ def infer_draft4_schema(
             ]
             if req:
                 schema["required"] = sorted(req)
+        st = enrich.get(path)
+        has_values = n_present - n_null > 0
+        if bounds and st and has_values and st["lo"] is not None:
+            if node.kind in _NUMERIC_KINDS:
+                schema["minimum"], schema["maximum"] = st["lo"], st["hi"]
+            elif node.kind in _STRING_KINDS:
+                schema["minLength"], schema["maxLength"] = st["lo"], st["hi"]
+        if path in enums and has_values:
+            vals: list = enums[path]
+            if n_null:
+                vals = vals + [None]
+            schema["enum"] = vals
         return schema
 
     out = build(root, "$")
