@@ -95,3 +95,28 @@ def test_validate_table_matches_single_doc_triples(spark):
         for e in v.validate({"url": url, "lang": lang})["errors"]:
             want.append((url, e["keyword"], e["instance_path"], e["schema_path"]))
     assert got == sorted(want) and len(got) == 2
+
+
+def test_validator_from_table_detects_drift(spark):
+    from themis_spark.api import validator_from_table
+
+    healthy = spark.createDataFrame(
+        [(f'{{"lang": "{l}", "n": {n}}}',)
+         for n, l in zip(range(5, 10), ["en", "de", "en", "de", "en"])],
+        "j string")
+    v = validator_from_table(healthy, "j", bounds=True, enum_max=4)
+    assert v.is_valid({"lang": "en", "n": 7})
+    drifted = v.validate({"lang": "xx", "n": 99})
+    assert not drifted["valid"]
+    kws = {e["keyword"] for e in drifted["errors"]}
+    assert "enum" in kws and "maximum" in kws
+
+    # cross-regime: the schema inferred from the JSON column compiles
+    # against a TYPED table and flags the same drift distributedly
+    later = spark.createDataFrame(
+        [(1, "en", 6), (2, "zz", 5), (3, "de", 99)], "url long, lang string, n long")
+    viol = v.validate_table(later, key_col="url").collect()
+    got = {(r["url"], r["keyword"]) for r in viol}
+    assert ("2", "enum") in got or (2, "enum") in got
+    assert ("3", "maximum") in got or (3, "maximum") in got
+    assert not any(u in ("1", 1) for (u, _k) in got)

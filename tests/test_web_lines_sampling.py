@@ -230,3 +230,21 @@ def test_suggest_constraints_hll_band(spark):
     assert got["bucket"]["enum_candidate"]
     plan = _plan(ST.suggest_constraints(df, ["id"]))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_common_lines_join_strategy_matches_map(spark):
+    df = _line_docs(spark)
+    common = D.common_line_hashes(df, min_docs=3)
+    m = {r["doc_id"]: r for r in
+         D.remove_common_lines(df, common, strategy="map").collect()}
+    got = D.remove_common_lines(df, common, strategy="join")
+    j = {r["doc_id"]: r for r in got.collect()}
+    assert set(m) == set(j)
+    for k in m:
+        assert (m[k]["clean_text"], m[k]["n_lines"], m[k]["n_removed"]) == \
+               (j[k]["clean_text"], j[k]["n_lines"], j[k]["n_removed"]), k
+    plan = _plan(got)
+    assert "BroadcastHashJoin" in plan  # O(1) probe per line
+    # auto picks map for tiny sets
+    assert "BroadcastHashJoin" not in _plan(
+        D.remove_common_lines(df, common, strategy="auto"))

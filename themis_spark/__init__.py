@@ -20,7 +20,7 @@ streaming/  Structured Streaming wrapper (foreachBatch validation).
 runner.py   checkpointed, resumable end-to-end validation runs.
 """
 
-from themis_spark.api import Validator, validator
+from themis_spark.api import Validator, validator, validator_from_table
 from themis_spark.plans.parser import SchemaRegistry, parse_schema
 from themis_spark.plans.pyvalidator import compile_python_validator, register_format
 from themis_spark.plans.compiler import (
@@ -36,6 +36,7 @@ __version__ = "0.2.0"
 __all__ = [
     "Validator",
     "validator",
+    "validator_from_table",
     "SchemaRegistry",
     "parse_schema",
     "compile_python_validator",

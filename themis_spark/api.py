@@ -104,3 +104,31 @@ def validator(schema_or_list: Any, formats: dict | None = None,
         schemas_by_id[sid] = schema
     default_id = uris[0][0]
     return Validator(by_id, default_id, schemas_by_id)
+
+
+def validator_from_table(
+    df,
+    col: str,
+    schema_id: str = "inferred",
+    bounds: bool = False,
+    enum_max: int = 0,
+    required_min_frac: float = 1.0,
+    formats: dict | None = None,
+) -> Validator:
+    """The inference-closed loop the reference never had: derive a draft-4
+    schema FROM a healthy corpus (plans/infer.py — two native aggregation
+    passes) and return a compiled :class:`Validator` for it, ready to
+    validate single documents or future crawls via ``validate_table``.
+
+    The inferred schema is round-trip-safe (it accepts every row it was
+    derived from), so violations on a LATER run indicate drift — new
+    keys missing, type changes, out-of-band values — which makes this
+    the schema-level complement of the histogram drift checks in
+    operators/stats.py.
+    """
+    from themis_spark.plans.infer import infer_draft4_schema
+
+    schema = infer_draft4_schema(
+        df, col, schema_id=schema_id, required_min_frac=required_min_frac,
+        bounds=bounds, enum_max=enum_max)
+    return validator(schema, formats=formats)
