@@ -29,6 +29,7 @@ from themis_spark.operators import multimodal as M
 from themis_spark.operators import similarity as S
 from themis_spark.operators import stats as ST2
 from themis_spark.operators import text as X
+from themis_spark.operators import pii as PII
 from themis_spark.operators import web as WB
 from themis_spark.operators import validate as V
 from themis_spark.plans.compiler import compile_plan
@@ -622,6 +623,87 @@ def q_stat_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+# Deterministic PII injection — the driver's documents table is clean
+# word soup, so the query plants every PII kind on residue-selected rows
+# (derived column, no external data) and the oracle rebuilds the same
+# strings before running the same detection regexes.
+def _pii_docs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-010-1234"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 250).cast("string"),
+                        F.lit(".1"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" ssn 123-45-6789"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(" card 4111 1111 1111 1111"))
+         .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", injected.alias("text"))
+
+
+def q_text_pii(spark, sf):
+    return PII.pii_flags(_pii_docs(spark, sf), keep=["doc_id"])
+
+
+def q_text_pii_redact(spark, sf):
+    return PII.redact(_pii_docs(spark, sf)).select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_redacted")
+
+
+# Messy URL synthesis for canonicalization: uppercase scheme+host,
+# default and non-default ports, trailing slashes, tracking params and
+# fragments all vary by doc_id residue so every canonicalization rule
+# fires; the oracle rebuilds identical raw URLs from the same columns.
+def _messy_urls(spark, sf):
+    d = _t(spark, sf, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull())
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.lit("W"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("."), F.col("source"), F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+         .when(F.col("doc_id") % 4 == 1, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/"), F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?utm_source=rss&id="), (F.col("doc_id") % 10).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_web_canonical(spark, sf):
+    u = _messy_urls(spark, sf)
+    return u.select("doc_id", WB.canonical_url_col("url").alias("canonical_url"))
+
+
+def q_web_canonical_dupes(spark, sf):
+    return WB.canonical_duplicates(_messy_urls(spark, sf), "url")
+
+
+def q_stat_outliers(spark, sf):
+    # planted heavy tail: every 97th doc's length ×50 — Tukey fences per
+    # language, exact percentile (oracle-replayable via quantile_cont)
+    d = _t(spark, sf, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+    v = F.when(F.col("doc_id") % 97 == 0, F.col("n_chars") * 50).otherwise(
+        F.col("n_chars")).cast("double")
+    return ST2.outlier_stats(
+        d.select("lang", v.alias("v")), "v", by=["lang"], exact=True)
+
+
+def q_dedup_lsh_verified(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return D.lsh_verified_pairs(d, num_hashes=12, bands=6, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -679,6 +761,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_json_profile": q_infer_profile,
         "web_top_pages": q_web_top_pages,
         "stat_suggest_constraints": q_stat_suggest_constraints,
+        "text_pii": q_text_pii,
+        "text_pii_redact": q_text_pii_redact,
+        "web_canonical": q_web_canonical,
+        "web_canonical_dupes": q_web_canonical_dupes,
+        "stat_outliers": q_stat_outliers,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
     }
 
 
@@ -1127,6 +1215,139 @@ _STRATIFIED_SQL = """
                            WHEN 'fr' THEN 0.1 ELSE 0.0 END * 1000000 AS BIGINT)"""
 
 
+def _pii_inject_sql() -> str:
+    """Rebuild _pii_docs' injected text byte-for-byte in DuckDB."""
+    return """SELECT doc_id, text
+      || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-1234' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || (doc_id % 250)::VARCHAR || '.1' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      || CASE WHEN doc_id % 19 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL"""
+
+
+def _pii_counts_sql() -> str:
+    # patterns come from the live PII_PATTERNS dict, so operator and
+    # oracle can never drift; all patterns are RE2-safe by contract
+    from themis_spark.operators.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items())
+    anyp = " OR ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0" for p in PII_PATTERNS.values())
+    return f"WITH d AS ({_pii_inject_sql()}) SELECT doc_id, {counts}, ({anyp}) AS has_pii FROM d"
+
+
+def _pii_redact_sql() -> str:
+    from themis_spark.operators.pii import PII_PATTERNS
+
+    expr = "text"
+    for k, p in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{p}', '<{k.upper()}>', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values())
+    return (f"WITH d AS ({_pii_inject_sql()}) "
+            f"SELECT doc_id, md5({expr}) AS clean_md5, ({total}) AS n_redacted FROM d")
+
+
+_MESSY_URL_SQL = """SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+  || 'W' || (doc_id % 5)::VARCHAR || '.' || source || '.example.com'
+  || (CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END)
+  || '/' || lang
+  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss&id=' || (doc_id % 10)::VARCHAR ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL"""
+
+# DuckDB replay of web.canonical_url_col, step for step (RE2 patterns,
+# \\1-style replacement backrefs, list_filter for the tracking params)
+_CANONICAL_SQL = rf"""
+  WITH u0 AS ({_MESSY_URL_SQL}),
+  u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+  u2 AS (SELECT doc_id,
+           lower(regexp_extract(u, '^((?i)[a-z][a-z0-9+.-]*://[^/?#]*)', 1))
+           || substr(u, length(regexp_extract(u, '^((?i)[a-z][a-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+         FROM u1),
+  u3 AS (SELECT doc_id,
+           regexp_replace(
+             regexp_replace(u, '^(http://[^/:?#]*):80($|[/?#])', '\1\2'),
+             '^(https://[^/:?#]*):443($|[/?#])', '\1\2') AS u
+         FROM u2),
+  u4 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(u, '\?.*$', ''), '/$', '') AS base,
+           regexp_extract(u, '\?(.*)$', 1) AS q
+         FROM u3),
+  u5 AS (SELECT doc_id, base,
+           array_to_string(list_filter(str_split(q, '&'),
+             x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') AS nq
+         FROM u4)
+  SELECT doc_id,
+         CASE WHEN len(nq) > 0 THEN base || '?' || nq ELSE base END AS canonical_url
+  FROM u5"""
+
+_CANONICAL_DUPES_SQL = f"""
+  WITH c AS ({_CANONICAL_SQL}),
+  raw AS ({_MESSY_URL_SQL})
+  SELECT c.canonical_url,
+         count(DISTINCT raw.url) AS n_variants,
+         count(*) AS n_rows
+  FROM c JOIN raw USING (doc_id)
+  GROUP BY c.canonical_url HAVING count(*) >= 2"""
+
+_OUTLIERS_SQL = """
+  WITH d AS (SELECT lang,
+               (CASE WHEN doc_id % 97 = 0 THEN n_chars * 50 ELSE n_chars END)::DOUBLE AS v
+             FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+  b AS (SELECT lang, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+        FROM d GROUP BY lang),
+  f AS (SELECT lang, q1, q3, q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM b)
+  SELECT f.lang, q1, q3, lo, hi,
+         sum(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+         sum(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+         sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+         count(v) AS n_rows
+  FROM d JOIN f USING (lang)
+  GROUP BY f.lang, q1, q3, lo, hi"""
+
+
+def _lsh_verified_sql(num_hashes: int = 12, bands: int = 6,
+                      limit: int = 200, cap: int = 64,
+                      threshold: float = 0.3) -> str:
+    """dedup_lsh_verified oracle: the candidate CTE from
+    _lsh_candidates_sql plus a signature re-join and the per-component
+    agreement estimate (sum of per-column CASE matches / num_hashes)."""
+    rpb = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        concat = "||'|'||".join(
+            f"minhash_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        bh = _H.format(x=f"({concat})")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bh} AS bh FROM m "
+            f"WHERE minhash_0 IS NOT NULL")
+    bands_sql = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN sa.minhash_{i} = sb.minhash_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    return f"""
+    WITH m AS ({_minhash_sql(num_hashes, limit)}),
+    bands AS ({bands_sql}),
+    capped AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, bh) <= {cap}),
+    cand AS (SELECT DISTINCT a.doc_id AS a_key, b.doc_id AS b_key
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT a_key, b_key,
+           round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+    FROM cand
+    JOIN m sa ON sa.doc_id = a_key
+    JOIN m sb ON sb.doc_id = b_key
+    WHERE round(({matches}) / {float(num_hashes)}, 6) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -1372,6 +1593,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '$.meta', 'object', count(*), 0 FROM documents
             UNION ALL SELECT '$.meta.n', 'integer', count(n_chars), 0 FROM documents
             UNION ALL SELECT '$.meta.src', 'string', count(source), 0 FROM documents""",
+        "text_pii": _pii_counts_sql(),
+        "text_pii_redact": _pii_redact_sql(),
+        "web_canonical": _CANONICAL_SQL,
+        "web_canonical_dupes": _CANONICAL_DUPES_SQL,
+        "stat_outliers": _OUTLIERS_SQL,
+        "dedup_lsh_verified": _lsh_verified_sql(12, 6, 200, 64, 0.3),
         "web_top_pages": _TOP_PAGES_SQL,
         "stat_suggest_constraints": _suggest_sql(
             ["doc_id", "lang", "source", "n_chars"]),

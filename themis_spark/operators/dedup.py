@@ -206,6 +206,72 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """MinHash-LSH end-to-end: candidate pairs VERIFIED by estimated
+    Jaccard — ``(a_key, b_key, est_jaccard)`` for pairs whose signature
+    agreement is ≥ ``threshold``.
+
+    The estimator is the standard one: the fraction of the ``num_hashes``
+    minhash components on which the two docs agree is an unbiased
+    estimate of their shingle-set Jaccard. Verification happens WITHOUT
+    re-joining the corpus: the full signature rides through the band
+    bucket as the pair member (fixed width — num_hashes longs per row),
+    so the whole operator is the same single exchange as
+    ``lsh_candidate_pairs`` plus a codegen zip/aggregate per emitted
+    pair. At 10¹² docs the alternative (join candidates back to a
+    signature table, twice) adds two corpus-scale shuffles; carrying
+    ~100 bytes per banded row is strictly cheaper.
+
+    Same degenerate-bucket cap as lsh_candidate_pairs (skew guard);
+    pairs surviving in several bands dedup via DISTINCT before the
+    estimate is computed once per pair.
+    """
+    sigs = minhash_signatures(df, key, text, num_hashes, shingle_n)
+    sig_arr = F.array(*[F.col(f"minhash_{i}") for i in range(num_hashes)])
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            hash60(F.concat_ws(
+                "|", *[F.col(f"minhash_{b * rows_per_band + r}")
+                       for r in range(rows_per_band)])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    member = F.struct(F.col(key).alias("k"), sig_arr.alias("sig"))
+    exploded = sigs.where(F.col("minhash_0").isNotNull()).select(
+        member.alias("m"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("m", "bb.band", "bb.bh")
+    pairs = (
+        _bucket_pairs(exploded, ["band", "bh"], F.col("m"), max_bucket_size)
+        .select(
+            F.col("a.k").alias("a_key"), F.col("b.k").alias("b_key"),
+            F.col("a.sig").alias("__sa"), F.col("b.sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return (
+        pairs.select(
+            "a_key", "b_key",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 # ----------------------------------------------------------- decontamination
 
 def contamination_hits(

@@ -433,3 +433,97 @@ def suggest_constraints(
             ((nd > 0) & (nd <= enum_max_distinct)).alias("enum_candidate"),
         ))
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def outlier_bounds(
+    df: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    k: float = 1.5,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Tukey-fence outlier bounds for a numeric column, optionally per
+    group: ``(by..., q1, q3, lo, hi)`` with ``lo = q1 − k·IQR`` and
+    ``hi = q3 + k·IQR``.
+
+    ``exact=False`` (default, the 10¹²-row path) uses the mergeable
+    Greenwald-Khanna sketch (percentile_approx): partial+final agg, no
+    sort. ``exact=True`` uses the exact interpolated percentile — it
+    buffers each group's values in the agg state, so reserve it for
+    test scale or low-cardinality groups; DuckDB's ``quantile_cont``
+    replays it exactly (both interpolate at rank (n−1)·p), which is what
+    the oracle gate uses.
+    """
+    probs = F.array(F.lit(0.25), F.lit(0.75))
+    q = (
+        F.percentile(F.col(column), probs) if exact
+        else F.percentile_approx(F.col(column), probs, F.lit(accuracy))
+    ).alias("q")
+    grouped = df.groupBy(*(by or []))
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        grouped.agg(q)
+        .select(
+            *(by or []),
+            F.col("q")[0].cast("double").alias("q1"),
+            F.col("q")[1].cast("double").alias("q3"),
+        )
+        .select(
+            "*",
+            (F.col("q1") - k * iqr).alias("lo"),
+            (F.col("q3") + k * iqr).alias("hi"),
+        )
+    )
+
+
+def outlier_stats(
+    df: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    k: float = 1.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group outlier report: ``(by..., q1, q3, lo, hi, n_low,
+    n_high, n_outliers, n_rows)``.
+
+    Two aggregations over the scan plus one broadcast join: the bounds
+    frame is O(groups) rows (tiny), so Spark broadcasts it and the
+    second pass stays shuffle-free on the fact side — the right plan at
+    any scale. No driver-side collect.
+    """
+    bounds = outlier_bounds(df, column, by=by, k=k, exact=exact)
+    joined = (
+        df.join(F.broadcast(bounds), on=by, how="inner") if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    c = F.col(column)
+    return joined.groupBy(*(by or []), "q1", "q3", "lo", "hi").agg(
+        F.sum((c < F.col("lo")).cast("long")).alias("n_low"),
+        F.sum((c > F.col("hi")).cast("long")).alias("n_high"),
+        F.sum(((c < F.col("lo")) | (c > F.col("hi"))).cast("long")).alias("n_outliers"),
+        F.count(c).alias("n_rows"),
+    )
+
+
+def outlier_rows(
+    df: DataFrame,
+    column: str,
+    key: str,
+    by: list[str] | None = None,
+    k: float = 1.5,
+    exact: bool = False,
+) -> DataFrame:
+    """The offending rows themselves: ``(key, by..., value, lo, hi)``
+    for every row outside the Tukey fences — the violation-row analogue
+    of the engine's constraint checks, same broadcast-join shape as
+    ``outlier_stats``."""
+    bounds = outlier_bounds(df, column, by=by, k=k, exact=exact)
+    joined = (
+        df.join(F.broadcast(bounds), on=by, how="inner") if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    c = F.col(column)
+    return joined.where((c < F.col("lo")) | (c > F.col("hi"))).select(
+        F.col(key), *(by or []), c.cast("double").alias("value"), "lo", "hi"
+    )

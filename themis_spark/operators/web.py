@@ -89,6 +89,67 @@ def url_features_cols(url: Column | str) -> list[Column]:
     ]
 
 
+# Query parameters dropped by canonicalization: tracking/session noise
+# that fragments crawl URLs into spurious variants of the same page.
+_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def canonical_url_col(url: Column | str) -> Column:
+    """Canonical form of a crawl URL — the key for URL-level dedup.
+
+    Contract (each step a native regexp/array expression, replayable in
+    RE2 so the DuckDB oracle matches byte-for-byte — no lookaround, no
+    backrefs in patterns):
+
+    1. drop the ``#fragment``;
+    2. lowercase the scheme+authority (path/query case is preserved —
+       paths are case-sensitive on most origin servers);
+    3. drop default ports ``:80`` (http) and ``:443`` (https);
+    4. drop a single trailing ``/`` from the path (root ``https://h/``
+       normalizes to ``https://h``);
+    5. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref``), preserving the relative order of the rest, and drop the
+       ``?`` when nothing survives.
+
+    Pure scan-stage projection: zero shuffle, zero Python; pair with
+    ``canonical_duplicates`` for the grouping pass.
+    """
+    u = _c(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    head = F.regexp_extract(u, r"^((?i)[a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.concat(F.lower(head), F.substr(u, F.length(head) + F.lit(1)))
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80($|[/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443($|[/?#])", r"$1$2")
+    base = F.regexp_replace(F.regexp_replace(u, r"\?.*$", ""), r"/$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    new_q = F.array_join(kept, "&")
+    return F.when(F.length(new_q) > 0, F.concat(base, F.lit("?"), new_q)).otherwise(base)
+
+
+def canonical_duplicates(df: DataFrame, url: str = "url", min_count: int = 2) -> DataFrame:
+    """URL-level duplicate groups after canonicalization:
+    ``(canonical_url, n_variants, n_rows)`` for every canonical form hit
+    by ``min_count``+ raw rows. One partial+final aggregation keyed on
+    the canonical string — the exchange carries one row per canonical
+    URL, and a hot canonical (front page linked everywhere) combines
+    map-side, so skew cannot flood the shuffle.
+    """
+    canon = canonical_url_col(F.col(url)).alias("canonical_url")
+    return (
+        df.select(canon, F.col(url))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct(url).alias("n_variants"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.col("n_rows") >= min_count)
+    )
+
+
 def domain_stats(
     df: DataFrame,
     url: str = "url",
