@@ -28,6 +28,7 @@ from themis_spark.operators import dedup as D
 from themis_spark.operators import multimodal as M
 from themis_spark.operators import similarity as S
 from themis_spark.operators import stats as ST2
+from themis_spark.operators import sessions as SS
 from themis_spark.operators import text as X
 from themis_spark.operators import pii as PII
 from themis_spark.operators import web as WB
@@ -704,6 +705,18 @@ def q_dedup_lsh_verified(spark, sf):
     return D.lsh_verified_pairs(d, num_hashes=12, bands=6, threshold=0.3)
 
 
+def q_event_sessions(spark, sf):
+    # gap-based sessionization rollup over the events table; integer-
+    # microsecond bounds keep boundaries exact for the DuckDB replay
+    return SS.session_stats(
+        _t(spark, sf, "events"), user="user_id", ts="ts",
+        gap_minutes=30, event_type="event_type")
+
+
+def q_text_vocab(spark, sf):
+    return X.vocabulary(_t(spark, sf, "documents"), k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -767,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_dupes": q_web_canonical_dupes,
         "stat_outliers": q_stat_outliers,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "event_sessions": q_event_sessions,
+        "text_vocab": q_text_vocab,
     }
 
 
@@ -1348,6 +1363,50 @@ def _lsh_verified_sql(num_hashes: int = 12, bands: int = 6,
     """
 
 
+# Gap-based sessionization replay: same two-window formulation (lag to
+# flag starts, running sum to number sessions) in exact integer
+# microseconds, same (ts, event_id) tie-break as the Spark operator.
+_SESSIONS_SQL = """
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT user_id, event_type, us,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(us) AS start_us,
+           max(us) AS end_us,
+           max(us) - min(us) AS duration_us,
+           count(DISTINCT event_type) AS n_event_types
+    FROM numbered
+    GROUP BY user_id, session_seq"""
+
+# Corpus vocabulary replay: identical whitespace tokenization, tf/df
+# aggregation, and (tf DESC, token ASC) total order for the top-k cut.
+_VOCAB_SQL = """
+    WITH toks AS (
+        SELECT doc_id, t.token AS token
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+        WHERE text IS NOT NULL AND length(t.token) > 0
+    )
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY token
+    ORDER BY tf DESC, token ASC LIMIT 100"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -1602,4 +1661,6 @@ def oracle_sql() -> dict[str, str]:
         "web_top_pages": _TOP_PAGES_SQL,
         "stat_suggest_constraints": _suggest_sql(
             ["doc_id", "lang", "source", "n_chars"]),
+        "event_sessions": _SESSIONS_SQL,
+        "text_vocab": _VOCAB_SQL,
     }

@@ -60,6 +60,8 @@ HEADLINE = [
     "web_url_features", "web_domain_stats", "dedup_common_lines",
     "dedup_line_cleaned", "stat_stratified_sample", "infer_json_profile",
     "web_top_pages", "stat_suggest_constraints",
+    "text_pii", "text_pii_redact", "web_canonical", "web_canonical_dupes",
+    "stat_outliers", "dedup_lsh_verified", "event_sessions", "text_vocab",
 ]
 
 

@@ -282,3 +282,31 @@ def winnow_fingerprint_col(text: Column | str, gram: int = 8, keep: int = 4) -> 
     short = F.length(norm) < F.lit(gram)
     return F.when(short, F.array().cast("array<long>")) \
             .otherwise(F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep))
+
+
+def vocabulary(df, key: str = "doc_id", text: str = "text", k: int = 1000):
+    """Corpus vocabulary with term and document frequencies: the top-k
+    tokens by total occurrences — ``(token, tf, df)`` — the build step
+    for IDF weighting, stopword discovery, and tokenizer audits.
+
+    Plan shape: explode tokens (the inverted-index expansion — output
+    rows = total token count, the irreducible cost of the op), then one
+    partial+final aggregation per token (count combines map-side;
+    countDistinct adds the standard two-phase distinct expansion on
+    (token, doc)), then distributed top-k via orderBy+limit which Spark
+    executes as TakeOrderedAndProject — per-task k-row heaps, no global
+    sort, even over a 10¹²-row corpus' vocabulary. Ordering ties break
+    on token ascending (total order — token is the group key), so the
+    result is deterministic and oracle-replayable.
+    """
+    c = F.col(text)
+    toks = (
+        df.where(c.isNotNull())
+        .select(F.col(key), F.explode(F.split(F.trim(F.lower(c)), r"\s+")).alias("token"))
+        .where(F.length("token") > 0)
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(key).alias("df"),
+    )
+    return counts.orderBy(F.desc("tf"), F.asc("token")).limit(k)
