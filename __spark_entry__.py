@@ -717,6 +717,47 @@ def q_text_vocab(spark, sf):
     return X.vocabulary(_t(spark, sf, "documents"), k=100)
 
 
+def q_text_unigram(spark, sf):
+    # corpus-self-trained unigram LM quality score (KenLM-perplexity proxy)
+    return X.unigram_logprob(_t(spark, sf, "documents"))
+
+
+MIX_PARTS = {"en": 5, "de": 3, "fr": 2}
+MIX_BUDGET = 1_000_000
+
+
+def q_stat_mixture_plan(spark, sf):
+    return ST2.mixture_plan(
+        _t(spark, sf, "documents"), "lang", MIX_PARTS, MIX_BUDGET,
+        size_col="n_chars")
+
+
+def q_stat_mixture_take(spark, sf):
+    d = _t(spark, sf, "documents")
+    plan = ST2.mixture_plan(d, "lang", MIX_PARTS, MIX_BUDGET,
+                            size_col="n_chars")
+    return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
+
+
+def q_infer_profile_diff(spark, sf):
+    # schema drift between two producer versions derived from the same
+    # typed columns: v2 drops `meta`, adds `flag`, and ships n_chars as
+    # a string — exercising removed/added/type_changed/unchanged
+    from themis_spark.plans.infer import json_path_profile, profile_diff
+
+    d = _t(spark, sf, "documents")
+    base = json_path_profile(d.select(F.to_json(F.struct(
+        F.col("doc_id"), F.col("lang"), F.col("n_chars"),
+        F.struct(F.col("source").alias("src")).alias("meta"),
+    )).alias("j")), "j")
+    cur = json_path_profile(d.select(F.to_json(F.struct(
+        F.col("doc_id"), F.col("lang"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+        F.lit(True).alias("flag"),
+    )).alias("j")), "j")
+    return profile_diff(base, cur)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -782,6 +823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "event_sessions": q_event_sessions,
         "text_vocab": q_text_vocab,
+        "text_unigram": q_text_unigram,
+        "stat_mixture_plan": q_stat_mixture_plan,
+        "stat_mixture_take": q_stat_mixture_take,
+        "infer_profile_diff": q_infer_profile_diff,
     }
 
 
@@ -1407,6 +1452,67 @@ _VOCAB_SQL = """
     ORDER BY tf DESC, token ASC LIMIT 100"""
 
 
+# Unigram LM replay: same tokenization, ln(count/total) scored per doc;
+# avg rounded to 6 dp to absorb float summation-order differences.
+_UNIGRAM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, t.token AS token
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+        WHERE text IS NOT NULL AND length(t.token) > 0
+    ), vocab AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt) - ln(total)), 6) AS mean_logprob
+    FROM toks JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id"""
+
+# Mixture plan replay: all-integer arithmetic (targets by floor division
+# of parts, rates in ppm by floor division on BIGINT) — bit-exact.
+_MIX_CASE = "(CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 3 ELSE 2 END)"
+_MIX_PLAN_SQL = f"""
+    WITH avail AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
+        FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+    ), t AS (
+        SELECT lang, avail,
+               CAST(1000000 * {_MIX_CASE} // 10 AS BIGINT) AS target
+        FROM avail
+    )
+    SELECT lang, avail, target,
+           least(1000000, CAST(target * 1000000 // avail AS BIGINT)) AS rate_ppm
+    FROM t"""
+
+_MIX_TAKE_SQL = f"""
+    WITH plan AS ({_MIX_PLAN_SQL})
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN plan p ON d.lang = p.lang
+    WHERE ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < p.rate_ppm"""
+
+# Profile-diff replay: expected drift rows recomputed from the typed
+# base columns (to_json omits nulls -> presence = count(col)).
+_PROFILE_DIFF_SQL = """
+    SELECT '$' AS path, 'unchanged' AS status,
+           'object' AS base_jtype, 'object' AS cur_jtype,
+           count(*) AS base_present, count(*) AS cur_present FROM documents
+    UNION ALL SELECT '$.doc_id', 'unchanged', 'integer', 'integer',
+           count(doc_id), count(doc_id) FROM documents
+    UNION ALL SELECT '$.lang', 'unchanged', 'string', 'string',
+           count(lang), count(lang) FROM documents
+    UNION ALL SELECT '$.n_chars', 'type_changed', 'integer', 'string',
+           count(n_chars), count(n_chars) FROM documents
+    UNION ALL SELECT '$.meta', 'removed', 'object', CAST(NULL AS VARCHAR),
+           count(*), CAST(NULL AS BIGINT) FROM documents
+    UNION ALL SELECT '$.meta.src', 'removed', 'string', CAST(NULL AS VARCHAR),
+           count(source), CAST(NULL AS BIGINT) FROM documents
+    UNION ALL SELECT '$.flag', 'added', CAST(NULL AS VARCHAR), 'boolean',
+           CAST(NULL AS BIGINT), count(*) FROM documents"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -1663,4 +1769,8 @@ def oracle_sql() -> dict[str, str]:
             ["doc_id", "lang", "source", "n_chars"]),
         "event_sessions": _SESSIONS_SQL,
         "text_vocab": _VOCAB_SQL,
+        "text_unigram": _UNIGRAM_SQL,
+        "stat_mixture_plan": _MIX_PLAN_SQL,
+        "stat_mixture_take": _MIX_TAKE_SQL,
+        "infer_profile_diff": _PROFILE_DIFF_SQL,
     }

@@ -1,0 +1,146 @@
+"""Tests for unigram LM scoring, mixture planning/sampling, and
+schema-profile drift diff."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_spark.operators import stats as ST
+from themis_spark.operators import text as X
+from themis_spark.plans.infer import json_path_profile, profile_diff
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- unigram
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: a:2, b:2, c:1, total=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.unigram_logprob(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_logprob"] == pytest.approx(math.log(2 / 5), abs=1e-6)
+    assert got[2]["n_tokens"] == 2
+    expect2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got[2]["mean_logprob"] == pytest.approx(expect2, abs=1e-6)
+
+
+def test_unigram_rare_tokens_score_lower(spark):
+    rows = [(i, "common words repeated here") for i in range(20)]
+    rows.append((99, "zxqv jkwp bbnm qqrr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in X.unigram_logprob(df).collect()}
+    assert out[99] < out[0]
+
+
+def test_unigram_no_python_in_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(X.unigram_logprob(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- mixture
+
+def _docs(spark):
+    # lang a: 10 docs x 100 chars; lang b: 5 docs x 100; lang c: 2 x 100
+    rows = [(i, "a", 100) for i in range(10)]
+    rows += [(100 + i, "b", 100) for i in range(5)]
+    rows += [(200 + i, "c", 100) for i in range(2)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_mixture_plan_targets_and_rates(spark):
+    d = _docs(spark)
+    plan = {r["lang"]: r for r in ST.mixture_plan(
+        d, "lang", {"a": 1, "b": 1}, budget=600, size_col="n_chars").collect()}
+    assert set(plan) == {"a", "b"}  # 'c' not in parts -> excluded
+    assert plan["a"]["avail"] == 1000 and plan["a"]["target"] == 300
+    assert plan["a"]["rate_ppm"] == 300_000
+    assert plan["b"]["avail"] == 500 and plan["b"]["target"] == 300
+    # target > avail -> capped at 1e6 (take everything)
+    assert plan["b"]["rate_ppm"] == 600_000
+
+
+def test_mixture_plan_rate_caps_at_one(spark):
+    d = _docs(spark)
+    plan = {r["lang"]: r for r in ST.mixture_plan(
+        d, "lang", {"c": 1}, budget=10_000, size_col="n_chars").collect()}
+    assert plan["c"]["avail"] == 200
+    assert plan["c"]["rate_ppm"] == 1_000_000
+
+
+def test_mixture_plan_rows_mode_and_bad_parts(spark):
+    d = _docs(spark)
+    plan = {r["lang"]: r for r in ST.mixture_plan(
+        d, "lang", {"a": 3, "b": 1}, budget=8).collect()}
+    assert plan["a"]["avail"] == 10 and plan["a"]["target"] == 6
+    assert plan["b"]["target"] == 2
+    with pytest.raises(ValueError):
+        ST.mixture_plan(d, "lang", {}, budget=8)
+
+
+def test_mixture_take_deterministic_and_bounded(spark):
+    d = _docs(spark)
+    plan = ST.mixture_plan(d, "lang", {"a": 1, "b": 1}, budget=1200,
+                           size_col="n_chars")
+    take1 = sorted(r["doc_id"] for r in
+                   ST.mixture_take(d, plan, "lang", "doc_id").collect())
+    take2 = sorted(r["doc_id"] for r in
+                   ST.mixture_take(d, plan, "lang", "doc_id").collect())
+    assert take1 == take2 and len(take1) > 0
+    # full-rate plan keeps every row of planned strata
+    full = ST.mixture_plan(d, "lang", {"a": 1, "b": 1}, budget=10**9,
+                           size_col="n_chars")
+    assert ST.mixture_take(d, full, "lang", "doc_id").count() == 15
+
+
+def test_mixture_take_no_corpus_shuffle(spark):
+    d = _docs(spark)
+    plan = ST.mixture_plan(d, "lang", {"a": 1}, budget=500, size_col="n_chars")
+    p = _plan(ST.mixture_take(d, plan, "lang", "doc_id"))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+# ------------------------------------------------------------ profile diff
+
+def test_profile_diff_statuses(spark):
+    base = spark.createDataFrame(
+        [("$", "object", 10, 0), ("$.a", "integer", 10, 0),
+         ("$.gone", "string", 4, 0), ("$.t", "integer", 9, 0)],
+        "path string, jtype string, n_present long, n_null long")
+    cur = spark.createDataFrame(
+        [("$", "object", 12, 0), ("$.a", "integer", 12, 0),
+         ("$.new", "boolean", 3, 0), ("$.t", "string", 11, 0)],
+        "path string, jtype string, n_present long, n_null long")
+    got = {r["path"]: r for r in profile_diff(base, cur).collect()}
+    assert got["$.a"]["status"] == "unchanged"
+    assert got["$.gone"]["status"] == "removed"
+    assert got["$.new"]["status"] == "added"
+    assert got["$.t"]["status"] == "type_changed"
+    assert got["$.t"]["base_jtype"] == "integer"
+    assert got["$.t"]["cur_jtype"] == "string"
+    assert got["$.new"]["base_present"] is None
+    assert got["$.new"]["cur_present"] == 3
+
+
+def test_profile_diff_end_to_end_via_variant(spark):
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    base = json_path_profile(
+        df.select(F.to_json(F.struct("doc_id")).alias("j")), "j")
+    cur = json_path_profile(
+        df.select(F.to_json(F.struct(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(True).alias("flag"))).alias("j")), "j")
+    got = {r["path"]: r["status"] for r in profile_diff(base, cur).collect()}
+    assert got["$.doc_id"] == "type_changed"
+    assert got["$.flag"] == "added"
+    assert got["$"] == "unchanged"

@@ -376,6 +376,80 @@ def stratified_sample(
     return df.where(bucket < (rate * 1_000_000.0).cast("long"))
 
 
+def mixture_plan(
+    df: DataFrame,
+    strata: str,
+    parts: dict[str, int],
+    budget: int,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Training-mixture planning: given integer mixture ``parts`` (e.g.
+    ``{"en": 5, "de": 3, "fr": 2}``) and a total ``budget`` (rows, or
+    ``size_col`` units such as chars/tokens), compute per-stratum
+    availability, target, and the deterministic sampling rate that
+    :func:`mixture_take` applies.
+
+    All arithmetic is integer (targets via ``budget*part//total_parts``,
+    rates in ppm via decimal floor-division) so the plan is exact and
+    bit-identical in the DuckDB oracle — no float rounding can move a
+    row across the sample boundary. Rates cap at 1e6 ppm: a stratum
+    with less data than its target contributes everything it has
+    (callers detect shortfall via ``target > avail``).
+
+    ONE aggregation on the strata key (map-side combined; #groups =
+    #languages/sources, tiny) — the plan output is one row per stratum.
+    """
+    total_parts = sum(parts.values())
+    if total_parts <= 0:
+        raise ValueError("parts must sum to a positive integer")
+    size = F.lit(1) if size_col is None else F.col(size_col)
+    avail = (
+        df.where(F.col(strata).isin(*parts.keys()))
+        .groupBy(strata)
+        .agg(F.sum(size).cast("long").alias("avail"))
+    )
+    part = F.lit(0)
+    for value, p in sorted(parts.items()):
+        part = F.when(F.col(strata) == value, F.lit(int(p))).otherwise(part)
+    target = F.floor(F.lit(int(budget)).cast("decimal(38,0)") * part
+                     / F.lit(int(total_parts))).cast("long")
+    rate = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(F.col("target").cast("decimal(38,0)") * 1_000_000
+                / F.col("avail")).cast("long"),
+    )
+    return (
+        avail.withColumn("target", target)
+        .withColumn("rate_ppm", rate)
+        .select(strata, "avail", "target", "rate_ppm")
+    )
+
+
+def mixture_take(
+    df: DataFrame,
+    plan: DataFrame,
+    strata: str,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`: keep a row iff the portable seeded
+    hash of its key falls under its stratum's ``rate_ppm``.
+
+    The plan is one row per stratum — broadcast join, so the take is a
+    scan-stage filter with zero shuffle of the corpus, deterministic
+    across reruns/resumes (no ``rand()``), and DuckDB-replayable via
+    the md5-based hash.
+    """
+    from themis_spark.functions.hashing import hash60_seeded
+
+    bucket = F.pmod(hash60_seeded(F.col(key), seed), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(plan.select(strata, "rate_ppm")), strata)
+        .where(bucket < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
 def suggest_constraints(
     df: DataFrame,
     columns: list[str],

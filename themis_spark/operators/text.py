@@ -299,14 +299,52 @@ def vocabulary(df, key: str = "doc_id", text: str = "text", k: int = 1000):
     on token ascending (total order — token is the group key), so the
     result is deterministic and oracle-replayable.
     """
-    c = F.col(text)
-    toks = (
-        df.where(c.isNotNull())
-        .select(F.col(key), F.explode(F.split(F.trim(F.lower(c)), r"\s+")).alias("token"))
-        .where(F.length("token") > 0)
-    )
-    counts = toks.groupBy("token").agg(
+    counts = _doc_tokens(df, key, text).groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct(key).alias("df"),
     )
     return counts.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+
+
+def _doc_tokens(df, key: str, text: str):
+    """(key, token) exploded whitespace tokens — the shared inverted-
+    index expansion behind vocabulary() and unigram_logprob()."""
+    c = F.col(text)
+    return (
+        df.where(c.isNotNull())
+        .select(F.col(key),
+                F.explode(F.split(F.trim(F.lower(c)), r"\s+")).alias("token"))
+        .where(F.length("token") > 0)
+    )
+
+
+def unigram_logprob(df, key: str = "doc_id", text: str = "text",
+                    round_to: int = 6):
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram model — the CCNet-style fluency/quality signal (a KenLM
+    perplexity proxy that needs no external model: train and score in
+    one plan). Low scores = rare-token-heavy docs (gibberish, boiler-
+    plate IDs, OCR noise); filters typically drop the bottom tail.
+
+    Returns ``(key, n_tokens, mean_logprob)`` with the mean rounded so
+    the DuckDB oracle replays it despite float summation order.
+
+    Plan shape (exact scoring): token explode → vocab aggregation
+    (shuffle on token, map-side combined) → token⋈vocab equi-join on
+    token (AQE broadcasts the vocab side when it fits; web-scale vocabs
+    shuffle — both sides already hash on token so the join reuses the
+    vocab exchange) → per-doc aggregation (shuffle on key). The corpus
+    total enters as a broadcast single-row cross join, not a collect.
+    Self-scoring means no OOV: every token has corpus count >= 1.
+    """
+    toks = _doc_tokens(df, key, text)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = F.log(F.col("cnt")) - F.log(F.col("total"))
+    return (
+        toks.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.round(F.avg(lp), round_to).alias("mean_logprob"))
+    )

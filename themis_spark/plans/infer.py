@@ -409,3 +409,42 @@ def infer_draft4_schema(
     out = build(root, "$")
     out["id"] = schema_id
     return out
+
+
+def profile_diff(base: DataFrame, current: DataFrame) -> DataFrame:
+    """Schema-drift report between two :func:`json_path_profile` frames
+    (e.g. last week's crawl vs today's): per path, whether it was
+    ``added``, ``removed``, ``type_changed``, or ``unchanged``, with
+    presence counts from both sides.
+
+    This is the schema-space complement of the value-space drift checks
+    (KS/PSI in operators/stats.py): upstream producers silently adding
+    fields or changing ``integer`` -> ``string`` shows up here before it
+    shows up as validation failures.
+
+    Profiles are one row per JSON path (tiny, bounded by schema width,
+    not data size), so the full-outer join is trivially broadcast-able;
+    the expensive part — profiling the corpus — already happened in the
+    two input aggregations.
+    """
+    b = base.select(
+        F.col("path"),
+        F.col("jtype").alias("base_jtype"),
+        F.col("n_present").alias("base_present"),
+    )
+    c = current.select(
+        F.col("path"),
+        F.col("jtype").alias("cur_jtype"),
+        F.col("n_present").alias("cur_present"),
+    )
+    j = b.join(c, "path", "full_outer")
+    status = (
+        F.when(F.col("base_jtype").isNull(), F.lit("added"))
+        .when(F.col("cur_jtype").isNull(), F.lit("removed"))
+        .when(F.col("base_jtype") != F.col("cur_jtype"), F.lit("type_changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "path", status.alias("status"),
+        "base_jtype", "cur_jtype", "base_present", "cur_present",
+    )
