@@ -739,6 +739,41 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_temporal_asof(spark, sf):
+    # attribute each click to the user's most recent prior view (right
+    # side pre-aggregated to unique (user, ts) so the match is total-
+    # ordered and the DuckDB ASOF JOIN replays it exactly)
+    from themis_spark.operators import temporal as T
+
+    e = _t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = (e.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return T.asof_join(clicks, views, on="user_id").select(
+        "event_id", "user_id", "value_r", "matched_ts_us")
+
+
+def q_temporal_range(spark, sf):
+    from themis_spark.operators import temporal as T
+
+    d = _t(spark, sf, "documents").where(F.col("n_chars").isNotNull())
+    bands = spark.createDataFrame(
+        [(0, 200, "xs"), (200, 500, "s"), (500, 2000, "m"),
+         (2000, 10**9, "l")],
+        "lo long, hi long, band string")
+    return T.range_join(d.select("doc_id", "n_chars"), bands, "n_chars",
+                        bucket_width=256).select("doc_id", "band")
+
+
+def q_events_hourly(spark, sf):
+    from themis_spark.operators import temporal as T
+
+    return T.tumbling_agg(
+        _t(spark, sf, "events"), by=["event_type"],
+        aggs=[F.round(F.sum("value"), 4).alias("sum_value")])
+
+
 def q_infer_profile_diff(spark, sf):
     # schema drift between two producer versions derived from the same
     # typed columns: v2 drops `meta`, adds `flag`, and ships n_chars as
@@ -827,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_mixture_plan": q_stat_mixture_plan,
         "stat_mixture_take": q_stat_mixture_take,
         "infer_profile_diff": q_infer_profile_diff,
+        "temporal_asof": q_temporal_asof,
+        "temporal_range": q_temporal_range,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -1493,6 +1531,40 @@ _MIX_TAKE_SQL = f"""
     WHERE ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
           % 1000000 < p.rate_ppm"""
 
+# As-of replay: DuckDB's native ASOF LEFT JOIN (backward, inclusive) —
+# the right side is pre-aggregated to unique (user, ts) in both engines
+# so the "latest prior view" is well-defined.
+_ASOF_SQL = """
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, epoch_us(ts) AS us, max(value) AS value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT l.event_id, l.user_id, r.value AS value_r,
+           r.us AS matched_ts_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us"""
+
+_RANGE_SQL = """
+    WITH bands(lo, hi, band) AS (VALUES
+        (0, 200, 'xs'), (200, 500, 's'), (500, 2000, 'm'),
+        (2000, 1000000000, 'l'))
+    SELECT doc_id, band
+    FROM documents JOIN bands ON n_chars >= lo AND n_chars < hi
+    WHERE n_chars IS NOT NULL"""
+
+# Tumbling-window replay: hour buckets are midnight-aligned in both
+# engines (Spark window origin 1970, DuckDB time_bucket origin 2000 —
+# identical for whole-hour widths).
+_HOURLY_SQL = """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2"""
+
 # Profile-diff replay: expected drift rows recomputed from the typed
 # base columns (to_json omits nulls -> presence = count(col)).
 _PROFILE_DIFF_SQL = """
@@ -1773,4 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "stat_mixture_plan": _MIX_PLAN_SQL,
         "stat_mixture_take": _MIX_TAKE_SQL,
         "infer_profile_diff": _PROFILE_DIFF_SQL,
+        "temporal_asof": _ASOF_SQL,
+        "temporal_range": _RANGE_SQL,
+        "events_hourly": _HOURLY_SQL,
     }

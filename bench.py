@@ -63,7 +63,8 @@ HEADLINE = [
     "text_pii", "text_pii_redact", "web_canonical", "web_canonical_dupes",
     "stat_outliers", "dedup_lsh_verified", "event_sessions", "text_vocab",
     "text_unigram", "stat_mixture_plan", "stat_mixture_take",
-    "infer_profile_diff",
+    "infer_profile_diff", "temporal_asof", "temporal_range",
+    "events_hourly",
 ]
 
 
