@@ -739,6 +739,16 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_dedup_cross_corpus(spark, sf):
+    # two-corpus near-dup: even doc_ids are the "existing corpus", odd
+    # the "incoming crawl" — deterministic split of the driver table
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    left = d.where(F.col("doc_id") % 2 == 0)
+    right = d.where(F.col("doc_id") % 2 == 1)
+    return D.cross_corpus_duplicates(left, right, num_hashes=12, bands=6,
+                                     threshold=0.3)
+
+
 def q_temporal_asof(spark, sf):
     # attribute each click to the user's most recent prior view (right
     # side pre-aggregated to unique (user, ts) so the match is total-
@@ -865,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof": q_temporal_asof,
         "temporal_range": q_temporal_range,
         "events_hourly": q_events_hourly,
+        "dedup_cross_corpus": q_dedup_cross_corpus,
     }
 
 
@@ -1446,6 +1457,43 @@ def _lsh_verified_sql(num_hashes: int = 12, bands: int = 6,
     """
 
 
+def _cross_corpus_sql(num_hashes: int = 12, bands: int = 6,
+                      limit: int = 400, cap: int = 64,
+                      threshold: float = 0.3) -> str:
+    """dedup_cross_corpus oracle: same signature/band pipeline as
+    _lsh_verified_sql, but the candidate join is left-bands × right-
+    bands (parity split) — never within a side."""
+    rpb = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        concat = "||'|'||".join(
+            f"minhash_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        bh = _H.format(x=f"({concat})")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bh} AS bh FROM m "
+            f"WHERE minhash_0 IS NOT NULL")
+    bands_sql = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN sa.minhash_{i} = sb.minhash_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    return f"""
+    WITH m AS ({_minhash_sql(num_hashes, limit)}),
+    bands AS ({bands_sql}),
+    lcap AS (SELECT * FROM bands WHERE doc_id % 2 = 0
+             QUALIFY count(*) OVER (PARTITION BY band, bh) <= {cap}),
+    rcap AS (SELECT * FROM bands WHERE doc_id % 2 = 1
+             QUALIFY count(*) OVER (PARTITION BY band, bh) <= {cap}),
+    cand AS (SELECT DISTINCT l.doc_id AS a_key, r.doc_id AS b_key
+             FROM lcap l JOIN rcap r ON l.band = r.band AND l.bh = r.bh)
+    SELECT a_key, b_key,
+           round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+    FROM cand
+    JOIN m sa ON sa.doc_id = a_key
+    JOIN m sb ON sb.doc_id = b_key
+    WHERE round(({matches}) / {float(num_hashes)}, 6) >= {threshold}
+    """
+
+
 # Gap-based sessionization replay: same two-window formulation (lag to
 # flag starts, running sum to number sessions) in exact integer
 # microseconds, same (ts, event_id) tie-break as the Spark operator.
@@ -1848,4 +1896,5 @@ def oracle_sql() -> dict[str, str]:
         "temporal_asof": _ASOF_SQL,
         "temporal_range": _RANGE_SQL,
         "events_hourly": _HOURLY_SQL,
+        "dedup_cross_corpus": _cross_corpus_sql(12, 6, 400, 64, 0.3),
     }

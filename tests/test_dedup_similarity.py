@@ -249,3 +249,67 @@ def test_duplicate_clusters_long_chain_converges(spark):
     got = D.duplicate_clusters(pairs).collect()
     assert {r["cluster"] for r in got} == {0}
     assert len(got) == 13
+
+
+# ------------------------------------------------------- cross-corpus dedup
+
+def test_cross_corpus_duplicates_finds_near_dup(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the river runs past the old mill every single day")
+    left = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated words about database engines "
+                        "and distributed shuffles with columnar formats")],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(10, base + " extra"), (11, "other corpus text entirely different "
+                                     "topic cooking recipes and baking bread")],
+        "doc_id long, text string")
+    from themis_spark.operators.dedup import cross_corpus_duplicates
+
+    got = cross_corpus_duplicates(left, right, num_hashes=12, bands=6,
+                                  threshold=0.3).collect()
+    assert {(r["a_key"], r["b_key"]) for r in got} == {(1, 10)}
+    assert all(0 <= r["est_jaccard"] <= 1 for r in got)
+
+
+def test_cross_corpus_never_pairs_within_a_side(spark):
+    # identical docs on the SAME side must not pair with each other
+    txt = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    left = spark.createDataFrame([(1, txt), (2, txt)], "doc_id long, text string")
+    right = spark.createDataFrame([(9, "nothing in common here at all "
+                                       "with the left corpus documents")],
+                                  "doc_id long, text string")
+    from themis_spark.operators.dedup import cross_corpus_duplicates
+
+    got = cross_corpus_duplicates(left, right, num_hashes=12, bands=6,
+                                  threshold=0.1).collect()
+    assert got == []
+
+
+def test_dedup_against_filters_matches(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the river runs past the old mill every single day")
+    left = spark.createDataFrame(
+        [(1, base), (2, "fresh unique content with no counterpart in the "
+                        "reference corpus so it must survive the filter")],
+        "doc_id long, text string")
+    right = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    from themis_spark.operators.dedup import dedup_against
+
+    kept = [r["doc_id"] for r in
+            dedup_against(left, right, num_hashes=12, bands=6,
+                          threshold=0.3).collect()]
+    assert kept == [2]
+
+
+def test_cross_corpus_single_bucket_exchange(spark):
+    left = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                 "doc_id long, text string")
+    right = spark.createDataFrame([(2, "a b c d e f g h i j")],
+                                  "doc_id long, text string")
+    from themis_spark.operators.dedup import cross_corpus_duplicates
+
+    plan = (cross_corpus_duplicates(left, right)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan and "BatchEvalPython" not in plan

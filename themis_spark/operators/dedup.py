@@ -272,6 +272,114 @@ def lsh_verified_pairs(
     )
 
 
+def cross_corpus_duplicates(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Left docs near-duplicating any RIGHT doc — the two-corpus form of
+    MinHash-LSH (dedupe a fresh crawl against the existing training
+    set; document-level train-vs-eval decontamination). Returns
+    ``(a_key, b_key, est_jaccard)`` with ``a_key`` from the left.
+
+    Plan shape: both sides compute signatures map-side, band-explode
+    with a side tag, and UNION — so one groupBy(band, bucket) exchange
+    serves both corpora. Each bucket aggregates a left list and a right
+    list; pairs are the in-bucket left×right product (never left×left),
+    output-bounded by the per-side cap exactly like _bucket_pairs. No
+    corpus-scale join anywhere: only (key, signature, band) rows — a
+    few hundred bytes per doc — ever shuffle, once.
+
+    Keys may collide across corpora (both sides numbering docs from 0
+    is fine) — sides never mix because the left/right lists are
+    collected separately.
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, side: int) -> DataFrame:
+        sigs = minhash_signatures(df, key, text, num_hashes, shingle_n)
+        sig_arr = F.array(*[F.col(f"minhash_{i}") for i in range(num_hashes)])
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(F.concat_ws(
+                    "|", *[F.col(f"minhash_{b * rows_per_band + r}")
+                           for r in range(rows_per_band)])).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        member = F.struct(F.col(key).alias("k"), sig_arr.alias("sig"))
+        return (
+            sigs.where(F.col("minhash_0").isNotNull())
+            .select(member.alias("m"), F.lit(side).alias("side"),
+                    F.explode(F.array(*band_structs)).alias("bb"))
+            .select("m", "side", "bb.band", "bb.bh")
+        )
+
+    u = banded(left, 0).unionByName(banded(right, 1))
+    bucketed = (
+        u.groupBy("band", "bh")
+        .agg(
+            F.array_distinct(F.sort_array(F.collect_list(
+                F.when(F.col("side") == 0, F.col("m"))))).alias("__la"),
+            F.array_distinct(F.sort_array(F.collect_list(
+                F.when(F.col("side") == 1, F.col("m"))))).alias("__ra"),
+        )
+        .where((F.size("__la") >= 1) & (F.size("__ra") >= 1))
+    )
+    if max_bucket_size is not None:
+        bucketed = bucketed.where(
+            (F.size("__la") <= max_bucket_size)
+            & (F.size("__ra") <= max_bucket_size))
+    cross = F.flatten(F.transform(
+        "__la",
+        lambda x: F.transform(
+            "__ra", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+    ))
+    pairs = (
+        bucketed.select(F.explode(cross).alias("__p"))
+        .select(
+            F.col("__p.a.k").alias("a_key"), F.col("__p.b.k").alias("b_key"),
+            F.col("__p.a.sig").alias("__sa"), F.col("__p.b.sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return (
+        pairs.select(
+            "a_key", "b_key",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_against(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Left rows that do NOT near-duplicate any right doc: the incoming-
+    crawl filter. Matched keys (tiny relative to the corpus) anti-join
+    back — left itself shuffles only for that anti-join's build side
+    lookup (broadcast when the matched set is small, which it is by
+    construction: it's the duplicates)."""
+    hit = (cross_corpus_duplicates(left, right, key, text, **kwargs)
+           .select(F.col("a_key").alias(key)).distinct())
+    return left.join(F.broadcast(hit), key, "left_anti")
+
+
 # ----------------------------------------------------------- decontamination
 
 def contamination_hits(
