@@ -739,6 +739,12 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_stat_group_sample(spark, sf):
+    return ST2.group_sample(
+        _t(spark, sf, "documents"), "lang", 20, "doc_id"
+    ).select("doc_id", "lang")
+
+
 def q_dedup_cross_corpus(spark, sf):
     # two-corpus near-dup: even doc_ids are the "existing corpus", odd
     # the "incoming crawl" — deterministic split of the driver table
@@ -876,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_range": q_temporal_range,
         "events_hourly": q_events_hourly,
         "dedup_cross_corpus": q_dedup_cross_corpus,
+        "stat_group_sample": q_stat_group_sample,
     }
 
 
@@ -1538,6 +1545,20 @@ _VOCAB_SQL = """
     ORDER BY tf DESC, token ASC LIMIT 100"""
 
 
+# Group-sample replay: identical portable-hash ranking inside each
+# group, ties on the key — a total order, so the k-cut is exact.
+_GROUP_SAMPLE_SQL = """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('0:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                            doc_id ASC) AS rn
+        FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+    ) t WHERE rn <= 20"""
+
+
 # Unigram LM replay: same tokenization, ln(count/total) scored per doc;
 # avg rounded to 6 dp to absorb float summation-order differences.
 _UNIGRAM_SQL = """
@@ -1897,4 +1918,5 @@ def oracle_sql() -> dict[str, str]:
         "temporal_range": _RANGE_SQL,
         "events_hourly": _HOURLY_SQL,
         "dedup_cross_corpus": _cross_corpus_sql(12, 6, 400, 64, 0.3),
+        "stat_group_sample": _GROUP_SAMPLE_SQL,
     }

@@ -64,7 +64,7 @@ HEADLINE = [
     "stat_outliers", "dedup_lsh_verified", "event_sessions", "text_vocab",
     "text_unigram", "stat_mixture_plan", "stat_mixture_take",
     "infer_profile_diff", "temporal_asof", "temporal_range",
-    "events_hourly", "dedup_cross_corpus",
+    "events_hourly", "dedup_cross_corpus", "stat_group_sample",
 ]
 
 

@@ -144,3 +144,42 @@ def test_profile_diff_end_to_end_via_variant(spark):
     assert got["$.doc_id"] == "type_changed"
     assert got["$.flag"] == "added"
     assert got["$"] == "unchanged"
+
+
+# ------------------------------------------------------------ group sample
+
+def test_group_sample_exact_k_and_deterministic(spark):
+    rows = [(i, "a" if i < 40 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = sorted(r["doc_id"] for r in
+                ST.group_sample(df, "lang", 5, "doc_id").collect())
+    s2 = sorted(r["doc_id"] for r in
+                ST.group_sample(df, "lang", 5, "doc_id").collect())
+    assert s1 == s2 and len(s1) == 10
+    by_lang = {}
+    for r in ST.group_sample(df, "lang", 5, "doc_id").collect():
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["a"]) == 5 and len(by_lang["b"]) == 5
+
+
+def test_group_sample_small_group_keeps_all(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, None)],
+                               "doc_id long, lang string")
+    out = ST.group_sample(df, "lang", 10, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]  # null group dropped
+
+
+def test_group_sample_seed_changes_selection(spark):
+    rows = [(i, "a") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r["doc_id"] for r in ST.group_sample(df, "lang", 20, "doc_id", seed=1).collect()}
+    b = {r["doc_id"] for r in ST.group_sample(df, "lang", 20, "doc_id", seed=2).collect()}
+    assert a != b and len(a) == len(b) == 20
+
+
+def test_group_sample_window_group_limit_plan(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(100)],
+                               "doc_id long, lang string")
+    plan = _plan(ST.group_sample(df, "lang", 3, "doc_id"))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan

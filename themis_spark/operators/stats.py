@@ -376,6 +376,41 @@ def stratified_sample(
     return df.where(bucket < (rate * 1_000_000.0).cast("long"))
 
 
+def group_sample(
+    df: DataFrame,
+    by: str,
+    k: int,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, deterministically:
+    rank rows inside each group by the portable seeded hash of their
+    key (ties broken by the key itself — a total order) and keep the
+    first k. The fixed-size counterpart of rate-based sampling
+    (:func:`stratified_sample`): eval-set construction, per-language
+    spot-check samples, debugging slices.
+
+    No ``rand()`` — the same (key, seed) always selects the same rows,
+    so resumed runs and the DuckDB oracle reproduce the sample exactly.
+    ONE exchange on the group key; Spark's rank-limit pushdown
+    (WindowGroupLimit) prunes each task to its local top-k BEFORE the
+    shuffle, so the exchange carries O(tasks×k) rows per group, not
+    the whole corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from themis_spark.functions.hashing import hash60_seeded
+
+    w = Window.partitionBy(by).orderBy(
+        hash60_seeded(F.col(key), seed).asc(), F.col(key).asc())
+    return (
+        df.where(F.col(by).isNotNull() & F.col(key).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def mixture_plan(
     df: DataFrame,
     strata: str,
