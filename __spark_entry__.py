@@ -739,6 +739,43 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+# Deterministic dirt for the repair pass: every 7th doc's n_chars is an
+# uncoercible string, every 5th doc's lang is missing; bounds 100..400
+# sit inside the corpus range so clamping demonstrably fires.
+REPAIR_SCHEMA = {
+    "id": "repair_docs", "type": "object",
+    "properties": {
+        "n_chars": {"type": "integer", "minimum": 100, "maximum": 400},
+        "lang": {"type": "string", "default": "en"},
+    },
+}
+
+
+def _dirty_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    n_str = F.when(F.col("doc_id") % 7 == 0, F.lit("oops")) \
+             .otherwise(F.col("n_chars").cast("string"))
+    lang = F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")) \
+            .otherwise(F.col("lang"))
+    return d.select("doc_id", n_str.alias("n_chars"), lang.alias("lang"))
+
+
+def q_repair_table(spark, sf):
+    from themis_spark.operators.repair import repair_table
+
+    return repair_table(_dirty_docs(spark, sf), REPAIR_SCHEMA, clamp=True)
+
+
+def q_repair_report(spark, sf):
+    from themis_spark.operators.repair import repair_report
+
+    return repair_report(_dirty_docs(spark, sf), REPAIR_SCHEMA, clamp=True)
+
+
+def q_text_tfidf(spark, sf):
+    return X.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
 def q_stat_group_sample(spark, sf):
     return ST2.group_sample(
         _t(spark, sf, "documents"), "lang", 20, "doc_id"
@@ -883,6 +920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "stat_group_sample": q_stat_group_sample,
+        "text_tfidf": q_text_tfidf,
+        "repair_table": q_repair_table,
+        "repair_report": q_repair_report,
     }
 
 
@@ -1545,6 +1585,66 @@ _VOCAB_SQL = """
     ORDER BY tf DESC, token ASC LIMIT 100"""
 
 
+# Repair replay: identical dirt synthesis, TRY_CAST coercion, default
+# fill, and bound clamping (NULL comparisons fall through to the value
+# in both engines' CASE semantics).
+_DIRTY_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'oops'
+                    ELSE CAST(n_chars AS VARCHAR) END AS n_chars,
+               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
+        FROM documents"""
+
+_REPAIR_TABLE_SQL = f"""
+    WITH dirty AS ({_DIRTY_SQL}),
+    cast_ AS (SELECT doc_id, TRY_CAST(n_chars AS BIGINT) AS c, lang FROM dirty)
+    SELECT doc_id,
+           CASE WHEN c < 100 THEN 100
+                WHEN c > 400 THEN 400 ELSE c END AS n_chars,
+           coalesce(lang, 'en') AS lang
+    FROM cast_"""
+
+_REPAIR_REPORT_SQL = f"""
+    WITH dirty AS ({_DIRTY_SQL}),
+    cast_ AS (SELECT doc_id, n_chars AS raw, TRY_CAST(n_chars AS BIGINT) AS c,
+                     lang FROM dirty)
+    SELECT 'n_chars' AS column, 'coerced' AS remedy,
+           count(*) FILTER (raw IS NOT NULL AND c IS NOT NULL) AS n FROM cast_
+    UNION ALL SELECT 'n_chars', 'uncoercible',
+           count(*) FILTER (raw IS NOT NULL AND c IS NULL) FROM cast_
+    UNION ALL SELECT 'n_chars', 'clamped_lo',
+           count(*) FILTER (c < 100) FROM cast_
+    UNION ALL SELECT 'n_chars', 'clamped_hi',
+           count(*) FILTER (c > 400) FROM cast_
+    UNION ALL SELECT 'lang', 'defaulted',
+           count(*) FILTER (lang IS NULL) FROM cast_"""
+
+
+# TF-IDF replay: same tokenization, tf·ln(N/df) scoring, and
+# (score DESC, token ASC) total order for the per-doc top-k.
+_TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, t.token AS token
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+        WHERE text IS NOT NULL AND length(t.token) > 0
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dfq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf
+    ), scored AS (
+        SELECT doc_id, token, round(tf * ln(n / df), 6) AS score
+        FROM tf JOIN dfq USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+        FROM scored) t
+    WHERE rank <= 3"""
+
+
 # Group-sample replay: identical portable-hash ranking inside each
 # group, ties on the key — a total order, so the k-cut is exact.
 _GROUP_SAMPLE_SQL = """
@@ -1919,4 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _HOURLY_SQL,
         "dedup_cross_corpus": _cross_corpus_sql(12, 6, 400, 64, 0.3),
         "stat_group_sample": _GROUP_SAMPLE_SQL,
+        "text_tfidf": _TFIDF_SQL,
+        "repair_table": _REPAIR_TABLE_SQL,
+        "repair_report": _REPAIR_REPORT_SQL,
     }

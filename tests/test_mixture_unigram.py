@@ -183,3 +183,33 @@ def test_group_sample_window_group_limit_plan(spark):
     plan = _plan(ST.group_sample(df, "lang", 3, "doc_id"))
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------------------- tf-idf
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+    # doc 1: "apple apple pie", doc 2: "pie crust", doc 3: "banana split"
+    # N=3; df: apple 1, pie 2, crust 1, banana 1, split 1
+    df = spark.createDataFrame(
+        [(1, "apple apple pie"), (2, "pie crust"), (3, "banana split")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): r for r in
+           X.tfidf_top_terms(df, k=2).collect()}
+    assert got[(1, 1)]["token"] == "apple"
+    assert got[(1, 1)]["score"] == pytest.approx(2 * math.log(3 / 1), abs=1e-6)
+    assert got[(1, 2)]["token"] == "pie"
+    assert got[(1, 2)]["score"] == pytest.approx(1 * math.log(3 / 2), abs=1e-6)
+    # doc 2 ties crust(ln3) > pie(ln1.5); doc 3 ties banana/split on token asc
+    assert got[(2, 1)]["token"] == "crust"
+    assert got[(3, 1)]["token"] == "banana"
+    assert got[(3, 2)]["token"] == "split"
+
+
+def test_tfidf_no_python_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id long, text string")
+    plan = _plan(X.tfidf_top_terms(df))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan

@@ -318,6 +318,44 @@ def _doc_tokens(df, key: str, text: str):
     )
 
 
+def tfidf_top_terms(df, key: str = "doc_id", text: str = "text",
+                    k: int = 3, round_to: int = 6):
+    """Top-k characteristic terms per document by tf·idf — keyword
+    extraction / topic tagging over the corpus's own statistics.
+
+    ``score = tf_in_doc * ln(N / df)`` (raw idf: rare-across-corpus,
+    frequent-in-doc terms win). Returns ``(key, token, score, rank)``
+    with rank 1..k, ties broken on token ascending (total order —
+    deterministic, oracle-replayable).
+
+    Plan shape: token explode → per-(doc, token) tf agg → token⋈df
+    equi-join (document frequencies aggregate from the tf frame, so
+    tokenization runs ONCE; AQE broadcasts the df side when small) →
+    per-doc rank window. The rank's doc-key exchange is the only
+    corpus-scale shuffle not already required by the tf aggregation;
+    WindowGroupLimit prunes to per-task top-k before it.
+    """
+    from pyspark.sql.window import Window
+
+    toks = _doc_tokens(df, key, text)
+    tf = toks.groupBy(key, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size rides in as a broadcast single-row frame — no
+    # driver-side count() during plan construction
+    n_docs = tf.agg(F.countDistinct(key).alias("__n"))
+    scored = tf.join(dfreq, "token").join(F.broadcast(n_docs)).select(
+        F.col(key), F.col("token"),
+        F.round(F.col("tf") * F.log(F.col("__n").cast("double")
+                                    / F.col("df")),
+                round_to).alias("score"),
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def unigram_logprob(df, key: str = "doc_id", text: str = "text",
                     round_to: int = 6):
     """Per-document mean unigram log-probability under the corpus's OWN
