@@ -739,6 +739,14 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_ann_centroids(spark, sf):
+    return S.centroid_components(_t(spark, sf, "embeddings"), by="label")
+
+
+def q_ann_centroid_stats(spark, sf):
+    return S.centroid_cosine_stats(_t(spark, sf, "embeddings"), by="label")
+
+
 # Deterministic dirt for the repair pass: every 7th doc's n_chars is an
 # uncoercible string, every 5th doc's lang is missing; bounds 100..400
 # sit inside the corpus range so clamping demonstrably fires.
@@ -923,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "repair_table": q_repair_table,
         "repair_report": q_repair_report,
+        "ann_centroids": q_ann_centroids,
+        "ann_centroid_stats": q_ann_centroid_stats,
     }
 
 
@@ -1585,6 +1595,36 @@ _VOCAB_SQL = """
     ORDER BY tf DESC, token ASC LIMIT 100"""
 
 
+# Embedding-audit replays: element-wise centroid means via parallel
+# unnest/generate_subscripts, then per-row cosine against the (6 dp
+# rounded) centroid — identical rounding on both engines.
+_CENTROID_E = """
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL"""
+
+_CENTROID_COMP_SQL = f"""
+    WITH e AS ({_CENTROID_E})
+    SELECT label, pos, round(avg(val), 6) AS m, count(*) AS n
+    FROM e GROUP BY label, pos"""
+
+_CENTROID_STATS_SQL = f"""
+    WITH e AS ({_CENTROID_E}),
+    comp AS (SELECT label, pos, round(avg(val), 6) AS m
+             FROM e GROUP BY label, pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+             FROM comp GROUP BY label),
+    rc AS (SELECT emb.label,
+                  round(list_cosine_similarity(
+                      emb.embedding::DOUBLE[], c.centroid), 6) AS c6
+           FROM embeddings emb JOIN cent c USING (label)
+           WHERE emb.embedding IS NOT NULL)
+    SELECT label, count(*) AS n,
+           round(avg(c6), 6) AS mean_cos, min(c6) AS min_cos
+    FROM rc GROUP BY label"""
+
+
 # Repair replay: identical dirt synthesis, TRY_CAST coercion, default
 # fill, and bound clamping (NULL comparisons fall through to the value
 # in both engines' CASE semantics).
@@ -2022,4 +2062,6 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": _TFIDF_SQL,
         "repair_table": _REPAIR_TABLE_SQL,
         "repair_report": _REPAIR_REPORT_SQL,
+        "ann_centroids": _CENTROID_COMP_SQL,
+        "ann_centroid_stats": _CENTROID_STATS_SQL,
     }

@@ -65,7 +65,8 @@ HEADLINE = [
     "text_unigram", "stat_mixture_plan", "stat_mixture_take",
     "infer_profile_diff", "temporal_asof", "temporal_range",
     "events_hourly", "dedup_cross_corpus", "stat_group_sample",
-    "text_tfidf", "repair_table", "repair_report",
+    "text_tfidf", "repair_table", "repair_report", "ann_centroids",
+    "ann_centroid_stats",
 ]
 
 

@@ -313,3 +313,48 @@ def test_cross_corpus_single_bucket_exchange(spark):
     plan = (cross_corpus_duplicates(left, right)
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------- embedding audit
+
+def test_centroid_components_and_array(spark):
+    from themis_spark.operators.similarity import (
+        centroid_components, group_centroids,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "a", [3.0, 2.0]), (3, "b", [0.0, 4.0]),
+         (4, None, [9.0, 9.0]), (5, "b", None)],
+        "vec_id long, label string, embedding array<float>")
+    comp = {(r["label"], r["pos"]): (r["m"], r["n"])
+            for r in centroid_components(df).collect()}
+    assert comp[("a", 0)] == (2.0, 2) and comp[("a", 1)] == (1.0, 2)
+    assert comp[("b", 0)] == (0.0, 1) and comp[("b", 1)] == (4.0, 1)
+    cents = {r["label"]: (list(r["centroid"]), r["n"])
+             for r in group_centroids(df).collect()}
+    assert cents["a"] == ([2.0, 1.0], 2)
+    assert cents["b"] == ([0.0, 4.0], 1)
+
+
+def test_centroid_cosine_stats(spark):
+    from themis_spark.operators.similarity import centroid_cosine_stats
+    # tight group: identical directions -> mean_cos = 1; loose group:
+    # orthogonal pair -> cos(v, centroid) = cos45 = ~0.7071 each
+    df = spark.createDataFrame(
+        [(1, "tight", [1.0, 0.0]), (2, "tight", [2.0, 0.0]),
+         (3, "loose", [1.0, 0.0]), (4, "loose", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<float>")
+    got = {r["label"]: r for r in centroid_cosine_stats(df).collect()}
+    assert got["tight"]["mean_cos"] == 1.0 and got["tight"]["n"] == 2
+    assert abs(got["loose"]["mean_cos"] - 0.707107) < 1e-6
+    assert got["loose"]["min_cos"] == got["loose"]["mean_cos"]
+
+
+def test_centroid_stats_broadcast_no_python(spark):
+    from themis_spark.operators.similarity import centroid_cosine_stats
+    df = spark.createDataFrame(
+        [(i, f"l{i % 3}", [float(i), 1.0]) for i in range(30)],
+        "vec_id long, label string, embedding array<float>")
+    plan = (centroid_cosine_stats(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "SortMergeJoin" not in plan

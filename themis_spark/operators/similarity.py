@@ -308,3 +308,70 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------------- embedding audit
+
+def centroid_components(df: DataFrame, by: str = "label",
+                        vec: str = "embedding",
+                        round_to: int = 6) -> DataFrame:
+    """Per-group centroid, one row per (group, dimension): ``(by, pos,
+    m, n)`` — the element-wise mean and the group size. The audit /
+    oracle-friendly flat form of :func:`group_centroids`.
+
+    posexplode expands to rows×dim entries, but the aggregation on
+    (group, pos) combines map-side, so the exchange carries only
+    O(groups × dim) rows — for 10⁴ groups × 1k dims that's 10⁷ tiny
+    rows regardless of corpus size. Means round to ``round_to`` so two
+    engines' summation orders agree.
+    """
+    e = (
+        df.where(F.col(by).isNotNull() & F.col(vec).isNotNull())
+        .select(F.col(by), F.posexplode(F.col(vec)).alias("pos", "val"))
+    )
+    return e.groupBy(by, "pos").agg(
+        F.round(F.avg("val"), round_to).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def group_centroids(df: DataFrame, by: str = "label",
+                    vec: str = "embedding",
+                    round_to: int = 6) -> DataFrame:
+    """Per-group centroid as an array column: ``(by, centroid, n)``."""
+    comp = centroid_components(df, by, vec, round_to)
+    return comp.groupBy(by).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+        F.max("n").alias("n"),
+    )
+
+
+def centroid_cosine_stats(df: DataFrame, by: str = "label",
+                          vec: str = "embedding",
+                          round_to: int = 6) -> DataFrame:
+    """Embedding-quality audit: per group, how tightly its vectors
+    cluster around their own centroid — ``(by, n, mean_cos, min_cos)``.
+    Collapsed clusters (duplicate embeddings) show mean_cos ≈ 1;
+    polluted groups (mislabeled / corrupted vectors) drag min_cos down.
+
+    The centroids frame is O(groups) and broadcasts; the corpus never
+    shuffles for the join — the only exchanges are the centroid
+    aggregation's O(groups×dim) and the final per-group stats.
+    """
+    cents = group_centroids(df, by, vec, round_to)
+    cos6 = F.round(
+        cosine_col(F.col(vec), F.col("centroid")), round_to)
+    return (
+        df.where(F.col(by).isNotNull() & F.col(vec).isNotNull())
+        .join(F.broadcast(cents), by)
+        .select(F.col(by), cos6.alias("__c"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__c"), round_to).alias("mean_cos"),
+            F.min("__c").alias("min_cos"),
+        )
+    )
