@@ -739,6 +739,10 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_con_fd(spark, sf):
+    return C.fd_violations(_t(spark, sf, "documents"), "source", "lang")
+
+
 def q_ann_centroids(spark, sf):
     return S.centroid_components(_t(spark, sf, "embeddings"), by="label")
 
@@ -933,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_report": q_repair_report,
         "ann_centroids": q_ann_centroids,
         "ann_centroid_stats": q_ann_centroid_stats,
+        "con_fd": q_con_fd,
     }
 
 
@@ -2064,4 +2069,8 @@ def oracle_sql() -> dict[str, str]:
         "repair_report": _REPAIR_REPORT_SQL,
         "ann_centroids": _CENTROID_COMP_SQL,
         "ann_centroid_stats": _CENTROID_STATS_SQL,
+        "con_fd": """
+            SELECT source, count(DISTINCT lang) AS n_rhs, count(*) AS n_rows
+            FROM documents WHERE source IS NOT NULL
+            GROUP BY source HAVING count(DISTINCT lang) > 1""",
     }

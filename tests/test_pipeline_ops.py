@@ -159,3 +159,26 @@ def test_frequent_values_uses_distributed_topk(spark):
     # TakeOrderedAndProject = per-task k-row heaps, no global Sort of
     # the full distinct-value set
     assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+# ------------------------------------------------------ functional deps
+
+def test_fd_violations(spark):
+    from themis_spark.operators.constraints import fd_violations
+    df = spark.createDataFrame(
+        [("a.com", "en"), ("a.com", "en"), ("b.com", "en"), ("b.com", "de"),
+         ("c.com", None), ("c.com", "fr"), (None, "en")],
+        "domain string, lang string")
+    got = {r["domain"]: (r["n_rhs"], r["n_rows"])
+           for r in fd_violations(df, "domain", "lang").collect()}
+    # b.com violates (en+de); c.com does NOT (null ignored); a.com holds
+    assert got == {"b.com": (2, 2)}
+
+
+def test_fd_violations_multi_lhs(spark):
+    from themis_spark.operators.constraints import fd_violations
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x")],
+        "s string, v long, out string")
+    got = fd_violations(df, ["s", "v"], "out").collect()
+    assert len(got) == 1 and got[0]["s"] == "a" and got[0]["v"] == 1

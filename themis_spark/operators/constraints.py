@@ -235,3 +235,29 @@ def drift_check(metrics_now: DataFrame, metrics_baseline: DataFrame, column: str
         raise ValueError(f"unknown drift metric {metric!r} (ks|psi)")
     return {"column": column, "metric": metric, metric: stat,
             "drifted": stat > threshold, "threshold": threshold}
+
+
+def fd_violations(df: DataFrame, lhs: str | list[str], rhs: str) -> DataFrame:
+    """Functional-dependency check: does ``lhs`` determine ``rhs``?
+    (one language per registered domain, one schema version per source,
+    one canonical url per content digest…). Returns the violating lhs
+    groups — ``(lhs…, n_rhs, n_rows)`` where ``n_rhs > 1`` — the
+    discovery/monitoring counterpart to the row-level checks.
+
+    ONE aggregation on the lhs key: countDistinct expands to the
+    standard two-phase distinct (partial sets combine map-side), so the
+    exchange carries (lhs, rhs) pairs, not rows. NULL rhs values are
+    ignored (a missing value can't contradict a dependency — the
+    presence rules are `required`'s job).
+    """
+    keys = [lhs] if isinstance(lhs, str) else list(lhs)
+    cond = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return (
+        df.where(cond)
+        .groupBy(*keys)
+        .agg(F.countDistinct(rhs).alias("n_rhs"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rhs") > 1)
+    )
