@@ -739,6 +739,10 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_stat_skew(spark, sf):
+    return ST2.key_skew_report(_t(spark, sf, "events"), "user_id", k=10)
+
+
 def q_con_fd(spark, sf):
     return C.fd_violations(_t(spark, sf, "documents"), "source", "lang")
 
@@ -938,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_centroids": q_ann_centroids,
         "ann_centroid_stats": q_ann_centroid_stats,
         "con_fd": q_con_fd,
+        "stat_skew": q_stat_skew,
     }
 
 
@@ -2073,4 +2078,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT lang) AS n_rhs, count(*) AS n_rows
             FROM documents WHERE source IS NOT NULL
             GROUP BY source HAVING count(DISTINCT lang) > 1""",
+        # floor() mirrors Spark's cast-to-long truncation (both compute
+        # the share as IEEE double first, so the floors agree)
+        "stat_skew": """
+            WITH counts AS (
+                SELECT user_id, count(*) AS cnt FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id
+            ), tot AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                       count(*) AS n_keys FROM counts
+            ), tk AS (
+                SELECT max(cnt) AS max_cnt,
+                       CAST(sum(cnt) AS BIGINT) AS topk_cnt
+                FROM (SELECT user_id, cnt FROM counts
+                      ORDER BY cnt DESC, user_id ASC LIMIT 10)
+            )
+            SELECT n_rows, n_keys, max_cnt,
+                   CAST(floor(max_cnt * 1000000 / n_rows) AS BIGINT)
+                       AS top1_share_ppm,
+                   CAST(floor(topk_cnt * 1000000 / n_rows) AS BIGINT)
+                       AS topk_share_ppm
+            FROM tot, tk""",
     }

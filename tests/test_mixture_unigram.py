@@ -213,3 +213,31 @@ def test_tfidf_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+# -------------------------------------------------------------- key skew
+
+def test_key_skew_report_values(spark):
+    rows = [(i, "hot") for i in range(80)] + [(100 + i, f"k{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    r = ST.key_skew_report(df, "key", k=3).collect()[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 21
+    assert r["max_cnt"] == 80
+    assert r["top1_share_ppm"] == 800_000
+    assert r["topk_share_ppm"] == 820_000  # hot(80) + two singletons
+
+
+def test_key_skew_report_null_keys_ignored(spark):
+    df = spark.createDataFrame([(1, None), (2, "a"), (3, "a")],
+                               "id long, key string")
+    r = ST.key_skew_report(df, "key").collect()[0]
+    assert r["n_rows"] == 2 and r["n_keys"] == 1
+    assert r["top1_share_ppm"] == 1_000_000
+
+
+def test_key_skew_plan_top_k_no_global_sort(spark):
+    df = spark.createDataFrame([(i, f"k{i % 7}") for i in range(70)],
+                               "id long, key string")
+    plan = _plan(ST.key_skew_report(df, "key"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

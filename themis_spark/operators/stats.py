@@ -636,3 +636,43 @@ def outlier_rows(
     return joined.where((c < F.col("lo")) | (c > F.col("hi"))).select(
         F.col(key), *(by or []), c.cast("double").alias("value"), "lo", "hi"
     )
+
+
+def key_skew_report(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostics: one row — ``(n_rows, n_keys,
+    max_cnt, top1_share_ppm, topk_share_ppm)`` — quantifying how much
+    of the table the hottest key(s) hold. The operational pre-check
+    behind every salting/broadcast decision in this engine (uniqueness
+    salting, LSH bucket caps, AQE skew joins): a top1_share in the
+    percents means a plain shuffle on this key will straggle.
+
+    Plan shape: per-key counts (map-side combined — the exchange
+    carries one row per key), then two tiny rollups over that frame:
+    global totals, and the k largest counts via orderBy+limit (executed
+    as ``TakeOrderedAndProject`` — per-task k-row heaps, no global
+    sort) reduced to one row and broadcast back. Shares are integer
+    ppm (truncated) — exact, oracle-replayable.
+    """
+    counts = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded top-k: sort_array over collect_list would be O(n_keys) per
+    # row-group; instead take the k largest via a global sort limited to
+    # k rows (TakeOrderedAndProject — per-task heaps) and cross join the
+    # tiny result back with the global totals
+    topk = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(k).agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("topk_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return totals.join(F.broadcast(topk)).select(
+        "n_rows", "n_keys", "max_cnt",
+        (F.col("max_cnt") * 1_000_000 / F.col("n_rows"))
+        .cast("long").alias("top1_share_ppm"),
+        (F.col("topk_cnt") * 1_000_000 / F.col("n_rows"))
+        .cast("long").alias("topk_share_ppm"),
+    )
