@@ -739,6 +739,13 @@ def q_stat_mixture_take(spark, sf):
     return ST2.mixture_take(d, plan, "lang", "doc_id").select("doc_id", "lang")
 
 
+def q_text_vocab_drift(spark, sf):
+    # last-crawl vs this-crawl proxy: even/odd doc_id slices
+    d = _t(spark, sf, "documents")
+    return X.vocab_drift(d.where(F.col("doc_id") % 2 == 0),
+                         d.where(F.col("doc_id") % 2 == 1), k=50)
+
+
 def q_stat_skew(spark, sf):
     return ST2.key_skew_report(_t(spark, sf, "events"), "user_id", k=10)
 
@@ -943,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_centroid_stats": q_ann_centroid_stats,
         "con_fd": q_con_fd,
         "stat_skew": q_stat_skew,
+        "text_vocab_drift": q_text_vocab_drift,
     }
 
 
@@ -1709,6 +1717,36 @@ _GROUP_SAMPLE_SQL = """
     ) t WHERE rn <= 20"""
 
 
+# Vocab-drift replay: same tokenization, same top-k cut on the base
+# slice, same eps-floored PSI contribution.
+_VOCAB_DRIFT_SQL = """
+    WITH bt AS (
+        SELECT t.token AS token
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+        WHERE text IS NOT NULL AND length(t.token) > 0 AND doc_id % 2 = 0
+    ), ct AS (
+        SELECT t.token AS token
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+        WHERE text IS NOT NULL AND length(t.token) > 0 AND doc_id % 2 = 1
+    ), vb AS (
+        SELECT token, count(*) AS tf FROM bt GROUP BY token
+        ORDER BY tf DESC, token ASC LIMIT 50
+    ), tc AS (
+        SELECT token, count(*) AS tf_cur FROM ct GROUP BY token
+    ), nb AS (SELECT CAST(sum(tf) AS DOUBLE) AS nbt FROM vb),
+    nc AS (SELECT CAST(sum(tf_cur) AS DOUBLE) AS nct FROM tc)
+    SELECT token,
+           round(tf / nbt, 6) AS p_base,
+           round(greatest(coalesce(tf_cur, 0) / nct, 1e-9), 6) AS p_cur,
+           round((tf / nbt - greatest(coalesce(tf_cur, 0) / nct, 1e-9))
+                 * ln((tf / nbt)
+                      / greatest(coalesce(tf_cur, 0) / nct, 1e-9)), 6)
+               AS psi_contrib
+    FROM vb LEFT JOIN tc USING (token), nb, nc"""
+
+
 # Unigram LM replay: same tokenization, ln(count/total) scored per doc;
 # avg rounded to 6 dp to absorb float summation-order differences.
 _UNIGRAM_SQL = """
@@ -2099,4 +2137,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(topk_cnt * 1000000 / n_rows) AS BIGINT)
                        AS topk_share_ppm
             FROM tot, tk""",
+        "text_vocab_drift": _VOCAB_DRIFT_SQL,
     }

@@ -241,3 +241,29 @@ def test_key_skew_plan_top_k_no_global_sort(spark):
     plan = _plan(ST.key_skew_report(df, "key"))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------ vocab drift
+
+def test_vocab_drift_detects_shift(spark):
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string")
+    cur = spark.createDataFrame(
+        [(i, "alpha alpha spamword") for i in range(10)],
+        "doc_id long, text string")
+    got = {r["token"]: r for r in X.vocab_drift(base, cur, k=3).collect()}
+    assert set(got) == {"alpha", "beta", "gamma"}
+    # beta/gamma vanished -> large positive contribution; alpha grew
+    assert got["beta"]["psi_contrib"] > 1.0
+    assert got["beta"]["p_cur"] == 0.0  # eps floor rounds away at 6 dp
+    assert got["alpha"]["p_cur"] > got["alpha"]["p_base"]
+    assert got["alpha"]["psi_contrib"] > 0  # (p-q)ln(p/q) >= 0 always
+
+
+def test_vocab_drift_identical_slices_zero(spark):
+    df = spark.createDataFrame(
+        [(i, "one two three") for i in range(5)], "doc_id long, text string")
+    got = X.vocab_drift(df, df, k=3).collect()
+    assert all(abs(r["psi_contrib"]) < 1e-6 for r in got)
+    assert all(r["p_base"] == r["p_cur"] for r in got)

@@ -386,3 +386,40 @@ def unigram_logprob(df, key: str = "doc_id", text: str = "text",
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.round(F.avg(lp), round_to).alias("mean_logprob"))
     )
+
+
+def vocab_drift(base, cur, key: str = "doc_id", text: str = "text",
+                k: int = 100, eps: float = 1e-9, round_to: int = 6):
+    """Token-distribution drift between two corpus slices (last crawl vs
+    this one): for each of the base slice's top-k tokens, its share in
+    both slices and its PSI contribution ``(p - q) * ln(p / q)`` — the
+    textual counterpart of the numeric KS/PSI drift checks. A vocabulary
+    whose hot tokens shift (template change, language mix shift, spam
+    influx) shows up here before quality scores move.
+
+    Shares are computed against each slice's total token count (entering
+    as broadcast single-row frames, no driver-side count); tokens absent
+    from the current slice get share eps so the contribution is finite
+    and the DuckDB oracle replays it exactly. Plan: two vocabulary
+    aggregations + a broadcast-size top-k join — the corpora shuffle
+    only for their own token aggs.
+    """
+    vb = vocabulary(base, key, text, k)
+    tc = _doc_tokens(cur, key, text).groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_cur"))
+    nb = vb.agg(F.sum("tf").alias("__nb"))  # base top-k mass as reference
+    nc = tc.agg(F.sum("tf_cur").alias("__nc"))
+    j = (
+        vb.join(tc, "token", "left")
+        .join(F.broadcast(nb)).join(F.broadcast(nc))
+    )
+    p = F.col("tf") / F.col("__nb")
+    q = F.greatest(F.coalesce(F.col("tf_cur"), F.lit(0)) / F.col("__nc"),
+                   F.lit(float(eps)))
+    contrib = (p - q) * F.log(p / q)
+    return j.select(
+        "token",
+        F.round(p, round_to).alias("p_base"),
+        F.round(q, round_to).alias("p_cur"),
+        F.round(contrib, round_to).alias("psi_contrib"),
+    )
