@@ -83,21 +83,21 @@ def tokens_col(text: Column | str) -> Column:
 
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (native
-    higher-order fns — computed in the scan stage, no Python).
+    """Distinct word n-gram shingles as an array column (native,
+    computed in the scan stage, no Python) — shifted-zip formulation
+    (text.grams_zip): the transform(sequence, slice)-in-a-lambda form
+    re-evaluates the tokenizer per gram position (no subexpression
+    elimination inside HOF lambdas → O(tokens²) chars per doc).
 
-    Guarded for < n tokens: ``sequence(1, 0)`` would otherwise generate
-    the DESCENDING array [1, 0] (Spark defaults to step -1 when start >
-    stop) and ``slice(toks, 0, n)`` raises on the 0 index.
+    Short docs (< n tokens) yield the empty array; the when-guard also
+    keeps the zip slice length positive (CaseWhen is lazy per row).
     """
+    from themis_spark.operators.text import grams_zip
+
     toks = tokens_col(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
     short = F.size(toks) < F.lit(n)
     return F.when(short, F.array().cast("array<string>")) \
-            .otherwise(F.array_distinct(grams))
+            .otherwise(F.array_distinct(grams_zip(toks, n)))
 
 
 # --------------------------------------------------------------- exact dedup

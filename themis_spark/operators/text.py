@@ -102,20 +102,44 @@ def extracted_text_col(html: Column | str, encoding: str = "UTF-8") -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
-def ngrams_col(text: Column | str, n: int, distinct: bool = False) -> Column:
-    """Word n-grams as an array column (native higher-order fns, scan
-    stage, no Python). ``distinct=False`` keeps every occurrence — the
-    repetition stats need multiplicity; dedup shingling wants the set.
+def grams_zip(toks: Column, n: int) -> Column:
+    """Word n-grams from a token array via the shifted-zip formulation:
+    n slices + (n−1) ``zip_with`` concats. The textbook form —
+    ``transform(sequence(1, m), i -> concat_ws(' ', slice(toks, i, n)))``
+    — re-evaluates the ``toks`` EXPRESSION once per gram position,
+    because Catalyst does no subexpression elimination inside
+    higher-order-function lambda bodies; with ``toks`` = split(trim(
+    lower(text))) that is O(tokens²) characters per document (measured
+    8.2 s → ~1 s for the 3 repetition fractions on the 5k-doc sf0.1
+    corpus). ``zip_with``'s ARRAY arguments, by contrast, are evaluated
+    once per row — the lambda touches only the paired elements — so
+    here the tokenizer runs a bounded number of times regardless of
+    document length (and ordinary-projection CSE usually collapses
+    those copies to one).
 
-    Guarded for < n tokens: ``sequence(1, 0)`` counts DOWN in Spark
-    (default step -1 when start > stop), so short docs explicitly yield
-    the empty array instead of bogus partial windows.
+    Caller must guard short inputs (< n tokens): the slice length would
+    be ≤ 0.
+    """
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def ngrams_col(text: Column | str, n: int, distinct: bool = False) -> Column:
+    """Word n-grams as an array column (native, scan stage, no Python).
+    ``distinct=False`` keeps every occurrence — the repetition stats
+    need multiplicity; dedup shingling wants the set.
+
+    Short docs (< n tokens) explicitly yield the empty array instead of
+    bogus partial windows (the when-guard also keeps the slice length
+    in :func:`grams_zip` positive — CaseWhen branches evaluate lazily).
     """
     toks = F.split(F.trim(F.lower(F.col(text) if isinstance(text, str) else text)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = grams_zip(toks, n)
     out = F.array_distinct(grams) if distinct else grams
     short = F.size(toks) < F.lit(n)
     return F.when(short, F.array().cast("array<string>")).otherwise(out)
@@ -272,13 +296,18 @@ def winnow_fingerprint_col(text: Column | str, gram: int = 8, keep: int = 4) -> 
     substring/transform/array_sort — per-row, shuffle-free."""
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.length(norm) - (gram - 1)),
-        lambda i: hash60(F.substr(norm, i, F.lit(gram))),
-    )
-    # guard texts shorter than one window: sequence(1, n<=0) would count
-    # DOWN (Spark defaults to step -1 when start > stop) and hash bogus
-    # partial windows instead of producing the empty sketch
+    # shifted-zip windows (see grams_zip): substr(norm, i, gram) inside a
+    # transform lambda would re-run the normalizing regexp once per
+    # CHARACTER position — O(len²) regex work per document
+    chars = F.split(norm, "")
+    m = F.length(norm) - (gram - 1)
+    parts = [F.slice(chars, i + 1, m) for i in range(gram)]
+    wins = parts[0]
+    for p in parts[1:]:
+        wins = F.zip_with(wins, p, lambda a, b: F.concat(a, b))
+    hashes = F.transform(wins, lambda w: hash60(w))
+    # guard texts shorter than one window (also keeps the slice length
+    # positive — CaseWhen branches evaluate lazily per row)
     short = F.length(norm) < F.lit(gram)
     return F.when(short, F.array().cast("array<long>")) \
             .otherwise(F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep))
