@@ -564,15 +564,15 @@ def q_web_domain_stats(spark, sf):
 # itself splits on the separator, so the query materializes a multi-line
 # text first and the oracle rebuilds the same chunks.
 def _chunked_docs(spark, sf, chunk: int = 3):
+    # groups of `chunk` tokens per line via two O(len) regex passes —
+    # the transform(sequence, slice) form re-splits the text per chunk
+    # position (no CSE inside HOF lambdas; see text.grams_zip)
     d = _t(spark, sf, "documents").where(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * chunk + 1, chunk)),
-    )
-    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    group = " ".join([r"\S+"] * chunk)
+    chunked = F.regexp_replace(norm, f"({group}) ", "$1\n")
+    return d.select("doc_id", chunked.alias("text"))
 
 
 def q_dedup_common_lines(spark, sf):

@@ -688,13 +688,27 @@ def remove_common_lines(
         common_set = common.agg(
             F.sort_array(F.collect_set("line_hash")).alias("__common")
         )
-        with_set = df.join(F.broadcast(common_set))
-        kept = F.filter(lines, lambda l: ~F.array_contains(F.col("__common"), hash60(l)))
-        return with_set.select(
+        # staged selects so the line array and the filtered array each
+        # MATERIALIZE once per row (the minhash_signatures trick —
+        # CollapseProject keeps the boundary for multiply-referenced
+        # non-cheap arrays); inlined, `lines` re-evaluates the whole
+        # split/trim/filter chain 3x and `kept` re-runs the md5-per-line
+        # membership filter twice
+        staged = (
+            df.join(F.broadcast(common_set))
+            .select(F.col(key), lines.alias("__lines"), F.col("__common"))
+        )
+        kept = F.filter(
+            F.col("__lines"),
+            lambda l: ~F.array_contains(F.col("__common"), hash60(l)))
+        staged2 = staged.select(
+            F.col(key), F.col("__lines"), kept.alias("__kept"))
+        return staged2.select(
             F.col(key),
-            F.array_join(kept, splitter).alias("clean_text"),
-            F.size(lines).alias("n_lines"),
-            (F.size(lines) - F.size(kept)).alias("n_removed"),
+            F.array_join(F.col("__kept"), splitter).alias("clean_text"),
+            F.size(F.col("__lines")).alias("n_lines"),
+            (F.size(F.col("__lines")) - F.size(F.col("__kept")))
+            .alias("n_removed"),
         )
 
     if strategy != "join":
