@@ -746,6 +746,13 @@ def q_text_vocab_drift(spark, sf):
                          d.where(F.col("doc_id") % 2 == 1), k=50)
 
 
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_stat_corr(spark, sf):
+    return ST2.correlation_matrix(_t(spark, sf, "lineitem"), CORR_COLS)
+
+
 def q_stat_skew(spark, sf):
     return ST2.key_skew_report(_t(spark, sf, "events"), "user_id", k=10)
 
@@ -951,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "con_fd": q_con_fd,
         "stat_skew": q_stat_skew,
         "text_vocab_drift": q_text_vocab_drift,
+        "stat_corr": q_stat_corr,
     }
 
 
@@ -2138,4 +2146,9 @@ def oracle_sql() -> dict[str, str]:
                        AS topk_share_ppm
             FROM tot, tk""",
         "text_vocab_drift": _VOCAB_DRIFT_SQL,
+        "stat_corr": " UNION ALL ".join(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                round(corr({a}, {b}), 6) AS corr FROM lineitem"""
+            for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
+        ),
     }

@@ -267,3 +267,25 @@ def test_vocab_drift_identical_slices_zero(spark):
     got = X.vocab_drift(df, df, k=3).collect()
     assert all(abs(r["psi_contrib"]) < 1e-6 for r in got)
     assert all(r["p_base"] == r["p_cur"] for r in got)
+
+
+# ------------------------------------------------------------- correlation
+
+def test_correlation_matrix_values(spark):
+    import pytest as _pt
+    # y = 2x (corr 1); z = -x (corr -1); w independent-ish
+    rows = [(float(i), 2.0 * i, -float(i), float((i * 7) % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in ST.correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert len(got) == 6
+    assert got[("x", "y")] == _pt.approx(1.0, abs=1e-6)
+    assert got[("x", "z")] == _pt.approx(-1.0, abs=1e-6)
+    assert abs(got[("x", "w")]) < 0.5
+
+
+def test_correlation_matrix_requires_two(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError):
+        ST.correlation_matrix(df, ["x"])

@@ -676,3 +676,30 @@ def key_skew_report(df: DataFrame, key: str, k: int = 10) -> DataFrame:
         (F.col("topk_cnt") * 1_000_000 / F.col("n_rows"))
         .cast("long").alias("topk_share_ppm"),
     )
+
+
+def correlation_matrix(df: DataFrame, columns: list[str],
+                       round_to: int = 6) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns —
+    ``(col_a, col_b, corr)`` for every a < b pair — the standard
+    profiling step before feature selection / redundancy pruning.
+
+    ONE aggregation computes all |cols|·(|cols|−1)/2 coefficients
+    (``F.corr`` partials combine map-side: each pair contributes six
+    running sums, so the exchange is one tiny row regardless of table
+    size); the wide single row reshapes to rows via ``stack``. Rounded
+    so the DuckDB oracle replays despite summation order.
+    """
+    pairs = [(a, b) for i, a in enumerate(columns) for b in columns[i + 1:]]
+    if not pairs:
+        raise ValueError("need at least two columns")
+    aggs = [
+        F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")),
+                round_to).alias(f"c{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs))
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
