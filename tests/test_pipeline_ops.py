@@ -107,12 +107,19 @@ def test_df_forms_match_cols_forms(spark):
 
 
 def test_repetition_df_single_gram_build(spark):
-    """The optimized plan must keep the projection boundary: each gram
-    array built once (one transform per n), not once per reference."""
-    df = spark.range(10).select(F.lit(GOOD).alias("text"), F.col("id").alias("doc_id"))
+    """The optimized plan must tokenize once and build grams via the
+    shifted-zip form: no per-element lambda touches the tokenizer (the
+    transform(sequence, slice)-form re-evaluates it per gram position —
+    the HOF-lambda CSE gap), and the split expression appears exactly
+    once (tokens materialize in the staged select; grams reference the
+    attribute)."""
+    df = spark.range(10).select(
+        F.concat(F.lit(GOOD), F.col("id").cast("string")).alias("text"),
+        F.col("id").alias("doc_id"))
     plan = X.repetition_df(df)._jdf.queryExecution().optimizedPlan().toString()
-    # 2 transforms (bigram+trigram builders); the collapsed form has 6
-    assert plan.count("transform(") == 2, plan
+    assert plan.count("transform(") == 0, plan
+    assert plan.count("zip_with(") == 3, plan  # 1 (bigram) + 2 (trigram)
+    assert plan.count("split(") == 1, plan
 
 
 # ------------------------------------------------------------ decontamination

@@ -235,10 +235,19 @@ def repetition_df(df, text: str = "text",
     c = F.col(text)
     toks = F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(F.trim(F.lower(c)), r"\s+"))
-    g = df.select(*keep, toks.alias("__t"),
-                  ngrams_col(c, 2).alias("__g2"),
-                  ngrams_col(c, 3).alias("__g3"))
-    return g.select(
+    s1 = df.select(*keep, toks.alias("__t"))
+    t = F.col("__t")
+
+    def grams(n: int):
+        # built FROM the materialized token column, so every slice /
+        # size / guard references a cheap attribute, never the
+        # tokenizer expression (empty text -> [] -> short guard fires,
+        # same result as ngrams_col's own guard)
+        return F.when(F.size(t) < n, F.array().cast("array<string>")) \
+                .otherwise(grams_zip(t, n))
+
+    s2 = s1.select(*keep, t, grams(2).alias("__g2"), grams(3).alias("__g3"))
+    return s2.select(
         *keep,
         _dup_frac(F.col("__t")).alias("dup_word_frac"),
         _dup_frac(F.col("__g2")).alias("dup_2gram_frac"),
