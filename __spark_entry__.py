@@ -753,6 +753,21 @@ def q_stat_corr(spark, sf):
     return ST2.correlation_matrix(_t(spark, sf, "lineitem"), CORR_COLS)
 
 
+def q_stat_clip(spark, sf):
+    # winsorize the same planted heavy tail as stat_outliers (every 97th
+    # doc's length x50) into per-language Tukey fences
+    d = _t(spark, sf, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+    v = F.when(F.col("doc_id") % 97 == 0, F.col("n_chars") * 50).otherwise(
+        F.col("n_chars")).cast("double")
+    out = ST2.clip_outliers(
+        d.select("doc_id", "lang", v.alias("v")), "v", by=["lang"],
+        exact=True)
+    return out.select(
+        "doc_id", "lang", F.round("v_clipped", 6).alias("v_clipped"),
+        "v_was_clipped")
+
+
 def q_stat_skew(spark, sf):
     return ST2.key_skew_report(_t(spark, sf, "events"), "user_id", k=10)
 
@@ -959,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_skew": q_stat_skew,
         "text_vocab_drift": q_text_vocab_drift,
         "stat_corr": q_stat_corr,
+        "stat_clip": q_stat_clip,
     }
 
 
@@ -2146,6 +2162,25 @@ def oracle_sql() -> dict[str, str]:
                        AS topk_share_ppm
             FROM tot, tk""",
         "text_vocab_drift": _VOCAB_DRIFT_SQL,
+        "stat_clip": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       CAST(CASE WHEN doc_id % 97 = 0 THEN n_chars * 50
+                            ELSE n_chars END AS DOUBLE) AS v
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ), b AS (
+                SELECT lang, quantile_cont(v, 0.25) AS q1,
+                       quantile_cont(v, 0.75) AS q3
+                FROM d GROUP BY lang
+            ), f AS (
+                SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
+                       q3 + 1.5 * (q3 - q1) AS hi FROM b
+            )
+            SELECT d.doc_id, d.lang,
+                   round(least(greatest(v, lo), hi), 6) AS v_clipped,
+                   (v < lo OR v > hi) AS v_was_clipped
+            FROM d JOIN f USING (lang)""",
         "stat_corr": " UNION ALL ".join(
             f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
                 round(corr({a}, {b}), 6) AS corr FROM lineitem"""

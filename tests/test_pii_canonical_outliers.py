@@ -207,3 +207,28 @@ def test_lsh_verified_single_exchange(spark):
     # never re-joined for verification
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ------------------------------------------------------------ winsorize
+
+def test_clip_outliers_values(spark):
+    from themis_spark.operators.stats import clip_outliers
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r for r in
+           clip_outliers(df, "v", by=["g"], exact=True).collect()}
+    # q1=2, q3=4, iqr=2 -> fences [-1, 7]: only 100 clips (to 7.0)
+    assert out[4]["v_clipped"] == 7.0 and out[4]["v_was_clipped"]
+    assert out[0]["v_clipped"] == 1.0 and not out[0]["v_was_clipped"]
+    assert out[4]["v"] == 100.0  # original untouched
+
+
+def test_clip_outliers_null_and_plan(spark):
+    from themis_spark.operators.stats import clip_outliers
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    res = clip_outliers(df, "v", by=["g"], exact=True)
+    out = {r["id"]: r for r in res.collect()}
+    assert out[3]["v_clipped"] is None and not out[3]["v_was_clipped"]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan

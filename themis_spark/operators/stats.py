@@ -586,6 +586,42 @@ def outlier_bounds(
     )
 
 
+def clip_outliers(
+    df: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    k: float = 1.5,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Winsorize: clamp ``column`` into its (optionally per-group) Tukey
+    fences — the standard heavy-tail taming step before averaging or
+    model fitting. Adds ``<column>_clipped`` and ``<column>_was_clipped``
+    next to the original (never mutates it — same contract as the
+    repair pass).
+
+    The bounds frame from :func:`outlier_bounds` is O(groups) and
+    broadcasts; the corpus never shuffles (bounds are the only
+    aggregation — the clip itself is a scan-stage projection after the
+    broadcast join).
+    """
+    bounds = outlier_bounds(df, column, by, k, exact, accuracy).select(
+        *(by or []), "lo", "hi")
+    j = (df.join(F.broadcast(bounds), by) if by
+         else df.join(F.broadcast(bounds)))
+    c = F.col(column).cast("double")
+    # explicit NULL guard: Spark's greatest/least SKIP nulls, so an
+    # unguarded clamp would rewrite NULL values to the lower fence
+    clipped = F.when(
+        c.isNotNull(), F.least(F.greatest(c, F.col("lo")), F.col("hi")))
+    return j.select(
+        *df.columns,
+        clipped.alias(f"{column}_clipped"),
+        (c.isNotNull() & ((c < F.col("lo")) | (c > F.col("hi"))))
+        .alias(f"{column}_was_clipped"),
+    )
+
+
 def outlier_stats(
     df: DataFrame,
     column: str,
