@@ -749,6 +749,11 @@ def q_text_vocab_drift(spark, sf):
 CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+def q_event_funnel(spark, sf):
+    return SS.funnel(_t(spark, sf, "events"),
+                     ["view", "click", "purchase"])
+
+
 def q_stat_corr(spark, sf):
     return ST2.correlation_matrix(_t(spark, sf, "lineitem"), CORR_COLS)
 
@@ -975,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_drift": q_text_vocab_drift,
         "stat_corr": q_stat_corr,
         "stat_clip": q_stat_clip,
+        "event_funnel": q_event_funnel,
     }
 
 
@@ -1741,6 +1747,42 @@ _GROUP_SAMPLE_SQL = """
     ) t WHERE rn <= 20"""
 
 
+# Funnel replay: the greedy fold ("first next-step event after the
+# previous reach, strictly later") equals k chained min-after-previous
+# aggregations — u1 = first view, u2 = first click > u1, u3 = first
+# purchase > u2.
+_FUNNEL_SQL = """
+    WITH base AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('view', 'click', 'purchase')
+    ), t1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS u1 FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+        GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS u2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.u1
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS u3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.u2
+        GROUP BY e.user_id
+    )
+    SELECT b.user_id,
+           CASE WHEN u3 IS NOT NULL THEN 3
+                WHEN u2 IS NOT NULL THEN 2
+                WHEN u1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+           u1 AS reach_1_us, u2 AS reach_2_us, u3 AS reach_3_us
+    FROM base b
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)"""
+
+
 # Vocab-drift replay: same tokenization, same top-k cut on the base
 # slice, same eps-floored PSI contribution.
 _VOCAB_DRIFT_SQL = """
@@ -2162,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
                        AS topk_share_ppm
             FROM tot, tk""",
         "text_vocab_drift": _VOCAB_DRIFT_SQL,
+        "event_funnel": _FUNNEL_SQL,
         "stat_clip": """
             WITH d AS (
                 SELECT doc_id, lang,

@@ -90,3 +90,45 @@ def test_vocabulary_topk_no_global_sort(spark):
         "doc_id long, text string")
     plan = _plan(X.vocabulary(df, k=2))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------- funnel
+
+def test_funnel_stages(spark):
+    rows = [
+        # user 1 completes view(0) -> click(10) -> purchase(20)
+        (1, 1, _ts(0), "view"), (2, 1, _ts(10), "click"),
+        (3, 1, _ts(20), "purchase"),
+        # user 2: click BEFORE any view never counts; view(5)->click(8)
+        (4, 2, _ts(1), "click"), (5, 2, _ts(5), "view"),
+        (6, 2, _ts(8), "click"),
+        # user 3: only purchase -> stage 0
+        (7, 3, _ts(2), "purchase"),
+        # user 4: view then SAME-microsecond click -> strict > excludes
+        (8, 4, _ts(3), "view"), (9, 4, _ts(3), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r for r in
+           SS.funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got[1]["stage"] == 3
+    assert got[1]["reach_1_us"] < got[1]["reach_2_us"] < got[1]["reach_3_us"]
+    assert got[2]["stage"] == 2 and got[2]["reach_3_us"] is None
+    assert got[3]["stage"] == 0 and got[3]["reach_1_us"] is None
+    assert got[4]["stage"] == 1  # same-us click does not advance
+
+
+def test_funnel_single_exchange_no_python(spark):
+    rows = [(i, i % 3, _ts(i), "view") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    plan = _plan(SS.funnel(df, ["view", "click"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_empty_steps_raises(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, event_type string")
+    with _pt.raises(ValueError):
+        SS.funnel(df, [])

@@ -77,3 +77,74 @@ def session_stats(
     if event_type is not None:
         aggs.append(F.countDistinct(F.col(event_type)).alias("n_event_types"))
     return s.groupBy(F.col(user), F.col("session_seq")).agg(*aggs)
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    ts: str = "ts",
+    event_type: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis: how far each user progresses through
+    ``steps`` (e.g. view → click → purchase), advancing only on events
+    STRICTLY later than the previous step's reach time. Returns
+    ``(user, stage, reach_1_us … reach_k_us)`` — stage = completed
+    steps, reach columns NULL past it.
+
+    Plan shape: filter to funnel event types (scan-stage; usually a
+    small fraction), ONE groupBy(user) collecting the sorted
+    (time, type) events, then a native array fold (``F.aggregate``)
+    that walks each user's timeline once — state is (stage, reach
+    times), advanced when the next step's type appears after the
+    current reach time. One exchange total, no window, no Python;
+    per-user state is bounded by that user's funnel events (same
+    inherent per-key ordering as sessionization).
+
+    The strict ``>`` advance rule makes results independent of how
+    same-microsecond events tie-break, so two engines (and two runs)
+    agree exactly — the DuckDB oracle replays it as k chained
+    min-after-previous aggregations.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    evs = (
+        df.where(F.col(user).isNotNull() & F.col(ts).isNotNull()
+                 & F.col(event_type).isin(*steps))
+        .select(F.col(user), F.struct(
+            us.alias("u"),
+            F.col(tiebreak).alias("tb"),
+            F.col(event_type).alias("t"),
+        ).alias("e"))
+    )
+    per_user = evs.groupBy(user).agg(
+        F.array_sort(F.collect_list("e")).alias("__evs"))
+
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.array().cast("array<long>").alias("reach"),
+    )
+    fold = F.aggregate(
+        F.col("__evs"), init,
+        lambda st, e: F.when(
+            (st["stage"] < k)
+            & (e["t"] == F.try_element_at(step_arr, st["stage"] + 1))
+            & ((st["stage"] == 0)
+               | (e["u"] > F.try_element_at(st["reach"], st["stage"]))),
+            F.struct(
+                (st["stage"] + 1).cast("int").alias("stage"),
+                F.array_append(st["reach"], e["u"]).alias("reach"),
+            ),
+        ).otherwise(st),
+    )
+    staged = per_user.select(F.col(user), fold.alias("__f"))
+    return staged.select(
+        F.col(user),
+        F.col("__f.stage").alias("stage"),
+        *[F.try_element_at(F.col("__f.reach"), F.lit(i + 1)).alias(f"reach_{i + 1}_us")
+          for i in range(k)],
+    )
