@@ -120,3 +120,22 @@ def test_validator_from_table_detects_drift(spark):
     assert ("2", "enum") in got or (2, "enum") in got
     assert ("3", "maximum") in got or (3, "maximum") in got
     assert not any(u in ("1", 1) for (u, _k) in got)
+
+
+def test_facade_repair_table(spark):
+    from themis_spark.api import validator
+
+    v = validator({
+        "id": "r", "type": "object",
+        "properties": {"n": {"type": "integer", "minimum": 0},
+                       "lang": {"type": "string", "default": "en"}},
+    })
+    df = spark.createDataFrame([(1, "5", None), (2, "bad", "de")],
+                               "doc_id long, n string, lang string")
+    out = {r["doc_id"]: r for r in v.repair_table(df).collect()}
+    assert out[1]["n"] == 5 and out[1]["lang"] == "en"
+    assert out[2]["n"] is None and out[2]["lang"] == "de"
+    rep = {(r["column"], r["remedy"]): r["n"]
+           for r in v.repair_report(df).collect()}
+    assert rep[("n", "coerced")] == 1 and rep[("n", "uncoercible")] == 1
+    assert rep[("lang", "defaulted")] == 1

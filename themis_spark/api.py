@@ -74,6 +74,24 @@ class Validator:
         ann = V.annotate(df, plan, keep=[key_col])
         return V.violations_df(ann, key_col=key_col, partition_col=None)
 
+    def repair_table(self, df, schema_id: str | None = None,
+                     clamp: bool = False):
+        """The fix-up counterpart of ``validate_table`` from the SAME
+        registered schema: try_cast coercion, default fill, optional
+        bound clamping (operators/repair.py) — returns the repaired
+        projection; pair with ``repair_report`` for the audit counts."""
+        from themis_spark.operators.repair import repair_table
+
+        schema = self._schemas_by_id[schema_id or self._default_id]
+        return repair_table(df, schema, clamp=clamp)
+
+    def repair_report(self, df, schema_id: str | None = None,
+                      clamp: bool = False):
+        from themis_spark.operators.repair import repair_report
+
+        schema = self._schemas_by_id[schema_id or self._default_id]
+        return repair_report(df, schema, clamp=clamp)
+
 
 def validator(schema_or_list: Any, formats: dict | None = None,
               validate_formats: bool = True) -> Validator:
