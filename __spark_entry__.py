@@ -277,6 +277,11 @@ def q_dedup_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.05)
 
 
+def q_dedup_containment(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    return D.ngram_containment_pairs(d, shingle_n=3, threshold=0.1)
+
+
 def q_text_tokens(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id",
@@ -981,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_corr": q_stat_corr,
         "stat_clip": q_stat_clip,
         "event_funnel": q_event_funnel,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -2005,6 +2011,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_key, b_key,
                    round(inter::DOUBLE / (a_n + b_n - inter), 6) AS jaccard
             FROM inter WHERE inter::DOUBLE / (a_n + b_n - inter) >= 0.05""",
+        "dedup_containment": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 60),
+            s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+            sized AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sized),
+            inter AS (
+              SELECT a.doc_id AS a_key, b.doc_id AS b_key, a.nsh AS a_n, b.nsh AS b_n,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT a_key, b_key, a_n, b_n,
+                   round(inter::DOUBLE / least(a_n, b_n), 6) AS containment
+            FROM inter WHERE inter::DOUBLE / least(a_n, b_n) >= 0.1""",
         "text_tokens": f"""
             SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN 0

@@ -67,7 +67,7 @@ HEADLINE = [
     "events_hourly", "dedup_cross_corpus", "stat_group_sample",
     "text_tfidf", "repair_table", "repair_report", "ann_centroids",
     "ann_centroid_stats", "con_fd", "stat_skew", "text_vocab_drift",
-    "stat_corr", "stat_clip", "event_funnel",
+    "stat_corr", "stat_clip", "event_funnel", "dedup_containment",
 ]
 
 

@@ -358,3 +358,30 @@ def test_centroid_stats_broadcast_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------ containment
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    page = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    df = spark.createDataFrame([(1, quote), (2, page)],
+                               "doc_id long, text string")
+    from themis_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["a_key"] == 1 and cont[0]["b_key"] == 2
+    assert cont[0]["containment"] >= 0.9
+    # symmetric Jaccard misses the same pair at any reasonable threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert jac == []
+
+
+def test_containment_threshold_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u")], "doc_id long, text string")
+    from themis_spark.operators.dedup import ngram_containment_pairs
+
+    assert ngram_containment_pairs(df, threshold=0.1).collect() == []

@@ -540,32 +540,15 @@ def duplicate_clusters(pairs: DataFrame, a: str = "a_key", b: str = "b_key",
 
 # ----------------------------------------------------------- n-gram Jaccard
 
-def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
-                        shingle_n: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = 1000) -> DataFrame:
-    """N-gram Jaccard similarity via inverted-index join.
-
-    Explode distinct shingles → ONE groupBy-shingle exchange building the
-    inverted index as capped posting lists (a shingle in
-    ``max_shingle_df``+ docs — boilerplate n-grams like "all rights
-    reserved" — would alone generate O(df²) index pairs; standard prefix
-    filtering drops it from the INDEX and from both set sizes, so the
-    Jaccard is exact over the surviving discriminative shingles).
-    Surviving set sizes |A| re-aggregate from the SAME index exchange
-    (ReusedExchange — singleton postings still count toward |A|);
-    intersection counts come from the in-list pair explode (bounded by
-    the cap, never O(df²)); |A∪B| = |A|+|B|−|A∩B|. Compared to the
-    window-cap + self-equi-join formulation this evaluates the shingle
-    explode once instead of twice and shuffles it once instead of three
-    times. At 10¹² docs this runs AFTER an LSH prefilter; standalone
-    it's still the right corpus-scale plan.
-    """
+def _overlap_counts(df: DataFrame, key: str, text: str,
+                    shingle_n: int, max_shingle_df: int | None) -> DataFrame:
+    """Shared inverted-index overlap core for Jaccard AND containment:
+    ``(a_key, b_key, inter, a_n, b_n)`` per candidate pair. See
+    ngram_jaccard_pairs for the plan-shape discussion (one shingle
+    exchange, capped posting lists, ReusedExchange set sizes)."""
     rows = df.select(
         F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("shingle")
     )
-    # array_distinct: duplicate input keys collapse to one posting (a
-    # key's shingle set is a set — two rows with the same key merge to
-    # their union), keeping pairs strictly a < b like the oracle self-join
     index = rows.groupBy("shingle").agg(
         F.array_distinct(F.sort_array(F.collect_list(key))).alias("ks"))
     if max_shingle_df is not None:
@@ -587,16 +570,62 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
         .groupBy(F.col("p.a").alias("a_key"), F.col("p.b").alias("b_key"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    joined = (
+    return (
         inter
         .join(nsh.select(F.col(key).alias("a_key"), F.col("nsh").alias("a_n")), "a_key")
         .join(nsh.select(F.col(key).alias("b_key"), F.col("nsh").alias("b_n")), "b_key")
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """N-gram Jaccard similarity via inverted-index join.
+
+    Explode distinct shingles -> ONE groupBy-shingle exchange building the
+    inverted index as capped posting lists (a shingle in
+    ``max_shingle_df``+ docs -- boilerplate n-grams like "all rights
+    reserved" -- would alone generate O(df^2) index pairs; standard prefix
+    filtering drops it from the INDEX and from both set sizes, so the
+    Jaccard is exact over the surviving discriminative shingles).
+    Surviving set sizes |A| re-aggregate from the SAME index exchange
+    (ReusedExchange -- singleton postings still count toward |A|);
+    intersection counts come from the in-list pair explode (bounded by
+    the cap, never O(df^2)); |A u B| = |A|+|B|-|A n B|. Compared to the
+    window-cap + self-equi-join formulation this evaluates the shingle
+    explode once instead of twice and shuffles it once instead of three
+    times. At 10^12 docs this runs AFTER an LSH prefilter; standalone
+    it's still the right corpus-scale plan. Core shared with
+    ngram_containment_pairs via _overlap_counts.
+    """
+    joined = _overlap_counts(df, key, text, shingle_n, max_shingle_df)
     jac = F.col("inter") / (F.col("a_n") + F.col("b_n") - F.col("inter"))
     return (
         joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a_key", "b_key", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(df: DataFrame, key: str = "doc_id",
+                            text: str = "text", shingle_n: int = 3,
+                            threshold: float = 0.5,
+                            max_shingle_df: int | None = 1000) -> DataFrame:
+    """Asymmetric near-containment: ``|A n B| / min(|A|, |B|)`` over
+    shingle sets -- catches quotes, excerpt pages, and page-in-page
+    duplication that symmetric Jaccard misses (a 50-word quote inside a
+    5000-word page has tiny Jaccard but containment ~1 for the quote
+    side). Same single-exchange inverted-index plan as Jaccard
+    (_overlap_counts); returns ``(a_key, b_key, a_n, b_n,
+    containment)``, a < b, sizes included so the caller can tell which
+    side is the contained one (the smaller set).
+    """
+    joined = _overlap_counts(df, key, text, shingle_n, max_shingle_df)
+    cont = F.col("inter") / F.least(F.col("a_n"), F.col("b_n"))
+    return (
+        joined.withColumn("containment", F.round(cont, 6))
+        .where(F.col("containment") >= threshold)
+        .select("a_key", "b_key", "a_n", "b_n", "containment")
     )
 
 
