@@ -847,6 +847,16 @@ def q_dedup_cross_corpus(spark, sf):
                                      threshold=0.3)
 
 
+def q_dedup_against(spark, sf):
+    # the incoming-crawl filter: odd doc_ids (the "new crawl") that do
+    # NOT near-duplicate any even doc (the "existing corpus")
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    left = d.where(F.col("doc_id") % 2 == 1)
+    right = d.where(F.col("doc_id") % 2 == 0)
+    return D.dedup_against(left, right, num_hashes=12, bands=6,
+                           threshold=0.3).select("doc_id", "lang")
+
+
 def q_temporal_asof(spark, sf):
     # attribute each click to the user's most recent prior view (right
     # side pre-aggregated to unique (user, ts) so the match is total-
@@ -987,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_clip": q_stat_clip,
         "event_funnel": q_event_funnel,
         "dedup_containment": q_dedup_containment,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -1570,7 +1581,8 @@ def _lsh_verified_sql(num_hashes: int = 12, bands: int = 6,
 
 def _cross_corpus_sql(num_hashes: int = 12, bands: int = 6,
                       limit: int = 400, cap: int = 64,
-                      threshold: float = 0.3) -> str:
+                      threshold: float = 0.3,
+                      left_parity: int = 0) -> str:
     """dedup_cross_corpus oracle: same signature/band pipeline as
     _lsh_verified_sql, but the candidate join is left-bands × right-
     bands (parity split) — never within a side."""
@@ -1590,9 +1602,9 @@ def _cross_corpus_sql(num_hashes: int = 12, bands: int = 6,
     return f"""
     WITH m AS ({_minhash_sql(num_hashes, limit)}),
     bands AS ({bands_sql}),
-    lcap AS (SELECT * FROM bands WHERE doc_id % 2 = 0
+    lcap AS (SELECT * FROM bands WHERE doc_id % 2 = {left_parity}
              QUALIFY count(*) OVER (PARTITION BY band, bh) <= {cap}),
-    rcap AS (SELECT * FROM bands WHERE doc_id % 2 = 1
+    rcap AS (SELECT * FROM bands WHERE doc_id % 2 = {1 - left_parity}
              QUALIFY count(*) OVER (PARTITION BY band, bh) <= {cap}),
     cand AS (SELECT DISTINCT l.doc_id AS a_key, r.doc_id AS b_key
              FROM lcap l JOIN rcap r ON l.band = r.band AND l.bh = r.bh)
@@ -2191,6 +2203,12 @@ def oracle_sql() -> dict[str, str]:
         "temporal_range": _RANGE_SQL,
         "events_hourly": _HOURLY_SQL,
         "dedup_cross_corpus": _cross_corpus_sql(12, 6, 400, 64, 0.3),
+        "dedup_against": f"""
+            WITH hits AS ({_cross_corpus_sql(12, 6, 400, 64, 0.3,
+                                             left_parity=1)})
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id < 400 AND d.doc_id % 2 = 1
+              AND d.doc_id NOT IN (SELECT a_key FROM hits)""",
         "stat_group_sample": _GROUP_SAMPLE_SQL,
         "text_tfidf": _TFIDF_SQL,
         "repair_table": _REPAIR_TABLE_SQL,
