@@ -236,6 +236,45 @@ def q_kw_allof_items_deps(spark, sf):
     return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
 
 
+# map-native patternProperties / additionalProperties / max-minProperties
+# plus max/minItems VIOLATION detection (kw_allof_items_deps compiles the
+# item-count keywords but its arrays never violate them).
+PROPS_COUNT_SCHEMA = {
+    "id": "kw_extra3",
+    "type": "object",
+    "properties": {
+        "m": {"patternProperties": {"^k": {"minimum": 0}},
+              "additionalProperties": False,
+              "maxProperties": 3, "minProperties": 1},
+        "vals": {"maxItems": 2, "minItems": 1},
+    },
+}
+
+
+def q_kw_props_items_counts(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id")
+    v = (F.pmod("doc_id", F.lit(9)) - 1).cast("long")
+    d = d.withColumn(
+        "m",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.create_map(F.lit("k1"), v,
+                            F.lit("x9"), F.lit(1).cast("long"),
+                            F.lit("k2"), F.lit(2).cast("long"),
+                            F.lit("k3"), F.lit(3).cast("long")))
+        .otherwise(F.create_map(F.lit("k1"), v)),
+    ).withColumn(
+        "vals",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.array(F.lit(1).cast("long"), F.lit(2).cast("long"),
+                       F.lit(3).cast("long")))
+        .when(F.col("doc_id") % 17 == 0, F.array().cast("array<long>"))
+        .otherwise(F.array(F.lit(1).cast("long"), F.lit(2).cast("long"))),
+    )
+    plan = compile_plan(PROPS_COUNT_SCHEMA, d.schema)
+    ann = V.annotate(d, plan, keep=["doc_id"])
+    return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
+
+
 def q_stat_basic(spark, sf):
     return _t(spark, sf, "lineitem").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -993,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_dependencies": q_kw_dependencies,
         "kw_ref_format_items": q_kw_ref_format_items,
         "kw_allof_items_deps": q_kw_allof_items_deps,
+        "kw_props_items_counts": q_kw_props_items_counts,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2087,6 +2127,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '0', 'r0', 'maximum', '$.score',
                    'kw_extra2#/dependencies/source/properties/score/maximum'
             FROM documents WHERE doc_id % 120 > 110 AND source IS NOT NULL""",
+        "kw_props_items_counts": """
+            SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
+                   'additionalProperties' AS keyword, '$.m' AS instance_path,
+                   'kw_extra3#/properties/m/additionalProperties' AS schema_path
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'maxProperties', '$.m',
+                   'kw_extra3#/properties/m/maxProperties'
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'patternProperties', '$.m',
+                   'kw_extra3#/properties/m/patternProperties/^k'
+            FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'maxItems', '$.vals',
+                   'kw_extra3#/properties/vals/maxItems'
+            FROM documents WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'minItems', '$.vals',
+                   'kw_extra3#/properties/vals/minItems'
+            FROM documents WHERE doc_id % 17 = 0 AND doc_id % 13 <> 0""",
         "stat_basic": """SELECT count(*) AS cnt, round(min(l_extendedprice), 4) AS min_p,
                          round(max(l_extendedprice), 4) AS max_p,
                          round(sum(l_extendedprice), 2) AS sum_p FROM lineitem""",
