@@ -160,3 +160,22 @@ def test_hashed_uniqueness_shuffles_hashes_not_keys(spark, pages_table):
     a = {(r["url"], r["cnt"]) for r in C.duplicate_keys(df, "url").collect()}
     b = {(r["url"], r["cnt"]) for r in C.duplicate_keys_hashed(df, "url").collect()}
     assert a == b and a  # pages generator plants dup urls
+
+
+def test_new_keyword_queries_compile_pure_native(spark):
+    """The round-2 oracle queries for $ref/format/tuple-items, allOf/
+    items-schema/dependencies, and map property-count keywords must stay
+    fully JVM-side: zero Arrow specs, zero Python eval nodes — these are
+    exactly the keyword families round 1 flagged as silently-dropped or
+    Arrow-only on typed columns."""
+    import __spark_entry__ as e
+
+    for schema, build in [
+        (e.REF_FMT_ITEMS_SCHEMA, e.q_kw_ref_format_items),
+        (e.ALLOF_ITEMS_DEPS_SCHEMA, e.q_kw_allof_items_deps),
+        (e.PROPS_COUNT_SCHEMA, e.q_kw_props_items_counts),
+    ]:
+        df = build(spark, "/root/testdata/sf0.001")
+        plan_str = _plan(df)
+        assert "ArrowEvalPython" not in plan_str, (schema["id"], plan_str)
+        assert "BatchEvalPython" not in plan_str, (schema["id"], plan_str)
