@@ -254,6 +254,8 @@ PROPS_COUNT_SCHEMA = {
 def q_kw_props_items_counts(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id")
     v = (F.pmod("doc_id", F.lit(9)) - 1).cast("long")
+    empty_map = F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<long>"))
     d = d.withColumn(
         "m",
         F.when(F.col("doc_id") % 4 == 0,
@@ -261,6 +263,7 @@ def q_kw_props_items_counts(spark, sf):
                             F.lit("x9"), F.lit(1).cast("long"),
                             F.lit("k2"), F.lit(2).cast("long"),
                             F.lit("k3"), F.lit(3).cast("long")))
+        .when(F.col("doc_id") % 19 == 0, empty_map)
         .otherwise(F.create_map(F.lit("k1"), v)),
     ).withColumn(
         "vals",
@@ -2137,9 +2140,15 @@ def oracle_sql() -> dict[str, str]:
                    'kw_extra3#/properties/m/maxProperties'
             FROM documents WHERE doc_id % 4 = 0
             UNION ALL
+            SELECT doc_id, '0', 'r0', 'minProperties', '$.m',
+                   'kw_extra3#/properties/m/minProperties'
+            FROM documents WHERE doc_id % 19 = 0 AND doc_id % 4 <> 0
+            UNION ALL
+            -- %9=0 rows diverted to the empty-map branch have no k1 key
             SELECT doc_id, '0', 'r0', 'patternProperties', '$.m',
                    'kw_extra3#/properties/m/patternProperties/^k'
             FROM documents WHERE doc_id % 9 = 0
+              AND NOT (doc_id % 19 = 0 AND doc_id % 4 <> 0)
             UNION ALL
             SELECT doc_id, '0', 'r0', 'maxItems', '$.vals',
                    'kw_extra3#/properties/vals/maxItems'
