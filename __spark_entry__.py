@@ -181,6 +181,10 @@ REF_FMT_ITEMS_SCHEMA = {
     "properties": {
         "ip": {"format": "ipv4"},
         "contact": {"format": "email"},
+        "host": {"format": "hostname"},
+        "link": {"format": "uri"},
+        "dt": {"format": "date-time"},
+        "ip6": {"format": "ipv6"},
         "pair": {"items": [{"type": "string", "maxLength": 2},
                            {"enum": ["x", "y"]}],
                  "additionalItems": False},
@@ -206,6 +210,28 @@ def q_kw_ref_format_items(spark, sf):
                F.array(F.lit("abc"), F.lit("z"), F.lit("q")))
         .otherwise(F.array(F.lit("ab"), F.lit("x"))),
     ).withColumn("n_chars", F.pmod("doc_id", F.lit(40)).cast("long"))
+    did = F.col("doc_id").cast("string")
+    d = (
+        d.withColumn(
+            "host",
+            F.when(F.col("doc_id") % 11 == 0, F.lit("-bad-.example.com"))
+            .otherwise(F.concat(F.lit("w"), did, F.lit(".example.com"))))
+        .withColumn(
+            "link",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("no-scheme-here"))
+            .otherwise(F.concat(F.lit("https://example.com/"), did)))
+        .withColumn(
+            "dt",
+            # regex-shaped but unparseable: exercises the try_to_timestamp
+            # component of the native date-time check, not just the regex
+            F.when(F.col("doc_id") % 17 == 0, F.lit("2024-13-45T99:99:99Z"))
+            .otherwise(F.lit("2024-06-01T12:30:00Z")))
+        .withColumn(
+            "ip6",
+            F.when(F.col("doc_id") % 23 == 0, F.lit("12345::1"))
+            .otherwise(F.concat(F.lit("2001:db8::"),
+                                F.pmod("doc_id", F.lit(9999)).cast("string"))))
+    )
     plan = compile_plan(REF_FMT_ITEMS_SCHEMA, d.schema)
     ann = V.annotate(d, plan, keep=["doc_id"])
     return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
@@ -2097,6 +2123,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '0', 'r0', 'format', '$.contact',
                    'kw_extra#/properties/contact/format'
             FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'format', '$.host',
+                   'kw_extra#/properties/host/format'
+            FROM documents WHERE doc_id % 11 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'format', '$.link',
+                   'kw_extra#/properties/link/format'
+            FROM documents WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'format', '$.dt',
+                   'kw_extra#/properties/dt/format'
+            FROM documents WHERE doc_id % 17 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'format', '$.ip6',
+                   'kw_extra#/properties/ip6/format'
+            FROM documents WHERE doc_id % 23 = 0
             UNION ALL
             SELECT doc_id, '0', 'r0', 'maxLength', '$.pair[0]',
                    'kw_extra#/properties/pair/items/0/maxLength'
