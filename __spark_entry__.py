@@ -304,6 +304,16 @@ def q_kw_props_items_counts(spark, sf):
     return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
 
 
+def q_validate_verdicts(spark, sf):
+    # per-partition pass/fail verdict — the north rule's second output
+    # contract beside the violation rows; lang stands in for the Iceberg
+    # partition key at sandbox scale
+    docs = _t(spark, sf, "documents")
+    plan = compile_plan(DOCS_SCHEMA, docs.schema)
+    ann = V.annotate(docs, plan, keep=["doc_id", "lang"])
+    return V.verdicts_df(ann, partition_col="lang")
+
+
 def q_stat_basic(spark, sf):
     return _t(spark, sf, "lineitem").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -1062,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_ref_format_items": q_kw_ref_format_items,
         "kw_allof_items_deps": q_kw_allof_items_deps,
         "kw_props_items_counts": q_kw_props_items_counts,
+        "validate_verdicts": q_validate_verdicts,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2068,6 +2079,26 @@ def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
         "validate_documents": _validate_documents_sql(),
+        # per-lang verdict replay: per-row violation count re-derived from
+        # the same DOCS_SCHEMA conditions as the violations oracle
+        "validate_verdicts": """
+            WITH v AS (SELECT lang,
+                (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN text IS NOT NULL AND length(text) < 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN text IS NOT NULL AND length(text) > 20000 THEN 1 ELSE 0 END)
+              + (CASE WHEN lang IS NOT NULL
+                      AND lang NOT IN ('en','zh','es','de','fr') THEN 1 ELSE 0 END)
+              + (CASE WHEN source IS NOT NULL
+                      AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars IS NOT NULL AND n_chars < 1 THEN 1 ELSE 0 END)
+                AS nv FROM documents)
+            SELECT lang AS partition_id, 'r0' AS run_id,
+                   count(*) AS "rows", CAST(sum(nv) AS BIGINT) AS violation_rows,
+                   CAST(sum(nv) AS BIGINT) = 0 AS passed
+            FROM v GROUP BY lang""",
         "kw_pattern": "SELECT doc_id, CASE WHEN regexp_matches(text, 'join') THEN 1 ELSE 0 END AS ok FROM documents",
         "kw_enum": "SELECT event_id, CASE WHEN event_type IN ('error','signup','purchase') THEN 1 ELSE 0 END AS ok FROM events",
         "kw_required": """SELECT count(*) - count(text) AS text_nulls,
