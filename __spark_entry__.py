@@ -304,6 +304,24 @@ def q_kw_props_items_counts(spark, sf):
     return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
 
 
+def q_kw_defaults(spark, sf):
+    # native `default` insertion (Themis enable_defaults): nulls planted
+    # deterministically, filled by the defaults projection pre-validation
+    from themis_spark.plans.compiler import defaults_projection
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    d = d.withColumn(
+        "lang", F.when(F.col("doc_id") % 6 == 0, F.lit(None).cast("string"))
+                 .otherwise(F.col("lang"))
+    ).withColumn(
+        "n_chars", F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("long"))
+                    .otherwise(F.col("n_chars")))
+    schema = {"id": "docs_defaults", "type": "object",
+              "properties": {"lang": {"default": "und"},
+                             "n_chars": {"default": 0}}}
+    return d.select(*defaults_projection(schema, d.columns))
+
+
 def q_validate_verdicts(spark, sf):
     # per-partition pass/fail verdict — the north rule's second output
     # contract beside the violation rows; lang stands in for the Iceberg
@@ -1073,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_allof_items_deps": q_kw_allof_items_deps,
         "kw_props_items_counts": q_kw_props_items_counts,
         "validate_verdicts": q_validate_verdicts,
+        "kw_defaults": q_kw_defaults,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2142,6 +2161,13 @@ def oracle_sql() -> dict[str, str]:
                    'dependencies' AS keyword, '$.n_chars' AS instance_path,
                    'docs_dep#/dependencies' AS schema_path
             FROM d WHERE source IS NOT NULL AND n_chars IS NULL""",
+        "kw_defaults": """
+            SELECT doc_id,
+                   coalesce(CASE WHEN doc_id % 6 = 0 THEN NULL ELSE lang END,
+                            'und') AS lang,
+                   coalesce(CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n_chars END,
+                            0) AS n_chars
+            FROM documents""",
         # validity is re-derived from the row constructions (doc_id mod
         # classes), NOT by running the engine's regexes in DuckDB — so the
         # oracle checks the ipv4/email semantics, not regex-vs-itself
