@@ -322,6 +322,22 @@ def q_kw_defaults(spark, sf):
     return d.select(*defaults_projection(schema, d.columns))
 
 
+def q_kw_custom_format(spark, sf):
+    # registerFormat extension point (Themis EP3): a custom format is a
+    # Python callable, so it compiles to the ARROW path — this oracle
+    # exercises the vectorized fallback end-to-end, not the native regex
+    from themis_spark.plans.pyvalidator import register_format
+
+    register_format("even-len", lambda s: len(s) % 2 == 0)
+    d = _t(spark, sf, "documents").select("doc_id").withColumn(
+        "code", F.concat(F.lit("c"), F.col("doc_id").cast("string")))
+    schema = {"id": "fmt_custom", "type": "object",
+              "properties": {"code": {"format": "even-len"}}}
+    plan = compile_plan(schema, d.schema)
+    ann = V.annotate(d, plan, keep=["doc_id"])
+    return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
+
+
 def q_validate_verdicts(spark, sf):
     # per-partition pass/fail verdict — the north rule's second output
     # contract beside the violation rows; lang stands in for the Iceberg
@@ -1092,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_props_items_counts": q_kw_props_items_counts,
         "validate_verdicts": q_validate_verdicts,
         "kw_defaults": q_kw_defaults,
+        "kw_custom_format": q_kw_custom_format,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2161,6 +2178,12 @@ def oracle_sql() -> dict[str, str]:
                    'dependencies' AS keyword, '$.n_chars' AS instance_path,
                    'docs_dep#/dependencies' AS schema_path
             FROM d WHERE source IS NOT NULL AND n_chars IS NULL""",
+        "kw_custom_format": """
+            SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
+                   'format' AS keyword, '$.code' AS instance_path,
+                   'fmt_custom#/properties/code/format' AS schema_path
+            FROM documents
+            WHERE length('c' || CAST(doc_id AS VARCHAR)) % 2 = 1""",
         "kw_defaults": """
             SELECT doc_id,
                    coalesce(CASE WHEN doc_id % 6 = 0 THEN NULL ELSE lang END,
