@@ -338,6 +338,33 @@ def q_kw_custom_format(spark, sf):
     return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
 
 
+CYCLE_SCHEMA = {
+    "id": "cyc",
+    "type": "object",
+    "definitions": {"node": {"type": "object",
+                             "properties": {"val": {"minimum": 0},
+                                            "next": {"$ref": "#/definitions/node"}}}},
+    "properties": {"chain": {"$ref": "#/definitions/node"}},
+}
+
+
+def q_kw_ref_cycle(spark, sf):
+    # CYCLIC $ref over a dynamic-JSON column — the binding-spec keyword
+    # ("$ref resolution with cycle detection", BASELINE.json north_star):
+    # a linked-list schema validated at every materialized depth
+    d = _t(spark, sf, "documents").select("doc_id")
+    v1 = (F.pmod("doc_id", F.lit(5)) - 1).cast("long")
+    v2 = (F.pmod("doc_id", F.lit(7)) - 1).cast("long")
+    v3 = (F.pmod("doc_id", F.lit(11)) - 1).cast("long")
+    depth = F.pmod("doc_id", F.lit(3))
+    lvl3 = F.when(depth >= 2, F.struct(v3.alias("val")))
+    lvl2 = F.when(depth >= 1, F.struct(v2.alias("val"), lvl3.alias("next")))
+    d = d.withColumn("chain", F.to_json(F.struct(v1.alias("val"), lvl2.alias("next"))))
+    plan = compile_plan(CYCLE_SCHEMA, d.schema)
+    ann = V.annotate(d, plan, keep=["doc_id"])
+    return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
+
+
 def q_validate_verdicts(spark, sf):
     # per-partition pass/fail verdict — the north rule's second output
     # contract beside the violation rows; lang stands in for the Iceberg
@@ -1109,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_verdicts": q_validate_verdicts,
         "kw_defaults": q_kw_defaults,
         "kw_custom_format": q_kw_custom_format,
+        "kw_ref_cycle": q_kw_ref_cycle,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2178,6 +2206,19 @@ def oracle_sql() -> dict[str, str]:
                    'dependencies' AS keyword, '$.n_chars' AS instance_path,
                    'docs_dep#/dependencies' AS schema_path
             FROM d WHERE source IS NOT NULL AND n_chars IS NULL""",
+        "kw_ref_cycle": """
+            SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
+                   'minimum' AS keyword, '$.chain.val' AS instance_path,
+                   'cyc#/definitions/node/properties/val/minimum' AS schema_path
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'minimum', '$.chain.next.val',
+                   'cyc#/definitions/node/properties/val/minimum'
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id, '0', 'r0', 'minimum', '$.chain.next.next.val',
+                   'cyc#/definitions/node/properties/val/minimum'
+            FROM documents WHERE doc_id % 11 = 0 AND doc_id % 3 = 2""",
         "kw_custom_format": """
             SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
                    'format' AS keyword, '$.code' AS instance_path,
