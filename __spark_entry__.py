@@ -365,6 +365,25 @@ def q_kw_ref_cycle(spark, sf):
     return V.violations_df(ann, key_col="doc_id", partition_col=None).drop("detail")
 
 
+def q_kw_ref_registry(spark, sf):
+    # multi-schema registry: a $ref from the page schema into a separately
+    # registered common schema, resolved on the TABLE path via the facade
+    from themis_spark.api import validator
+
+    common = {"id": "common",
+              "definitions": {"pos": {"minimum": 1},
+                              "short": {"maxLength": 12}}}
+    page = {"id": "page", "type": "object",
+            "properties": {"n_chars": {"$ref": "common#/definitions/pos"},
+                           "lang": {"$ref": "common#/definitions/short"}}}
+    v = validator([page, common])
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), "lang",
+        F.when(F.col("doc_id") % 8 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("n_chars")).alias("n_chars"))
+    return v.validate_table(d, "page").drop("detail")
+
+
 def q_validate_verdicts(spark, sf):
     # per-partition pass/fail verdict — the north rule's second output
     # contract beside the violation rows; lang stands in for the Iceberg
@@ -1137,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_defaults": q_kw_defaults,
         "kw_custom_format": q_kw_custom_format,
         "kw_ref_cycle": q_kw_ref_cycle,
+        "kw_ref_registry": q_kw_ref_registry,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2206,6 +2226,13 @@ def oracle_sql() -> dict[str, str]:
                    'dependencies' AS keyword, '$.n_chars' AS instance_path,
                    'docs_dep#/dependencies' AS schema_path
             FROM d WHERE source IS NOT NULL AND n_chars IS NULL""",
+        "kw_ref_registry": """
+            SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
+                   'minimum' AS keyword, '$.n_chars' AS instance_path,
+                   'common#/definitions/pos/minimum' AS schema_path
+            FROM documents
+            WHERE (CASE WHEN doc_id % 8 = 0 THEN 0 ELSE n_chars END) < 1
+              AND (CASE WHEN doc_id % 8 = 0 THEN 0 ELSE n_chars END) IS NOT NULL""",
         "kw_ref_cycle": """
             SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
                    'minimum' AS keyword, '$.chain.val' AS instance_path,

@@ -139,3 +139,40 @@ def test_facade_repair_table(spark):
            for r in v.repair_report(df).collect()}
     assert rep[("n", "coerced")] == 1 and rep[("n", "uncoercible")] == 1
     assert rep[("lang", "defaulted")] == 1
+
+
+def test_validate_table_resolves_cross_schema_refs(spark):
+    """A $ref from schema A into schema B must resolve on the TABLE path
+    exactly like the single-document path — validate_table used to compile
+    against a fresh registry that only knew schema A."""
+    from themis_spark.api import validator
+
+    common = {"id": "common", "definitions": {"pos": {"minimum": 1}}}
+    page = {"id": "page", "type": "object",
+            "properties": {"n": {"$ref": "common#/definitions/pos"}}}
+    v = validator([page, common])
+
+    # single-document path
+    assert v.is_valid({"n": 3}, "page")
+    bad = v.validate({"n": 0}, "page")
+    assert not bad["valid"]
+    triple = (bad["errors"][0]["keyword"], bad["errors"][0]["schema_path"])
+
+    # table path: same rows, same triples
+    df = spark.createDataFrame([(1, 3), (2, 0)], "url long, n long")
+    rows = v.validate_table(df, "page").collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == 2
+    assert (rows[0]["keyword"], rows[0]["schema_path"]) == triple
+
+
+def test_validate_table_anonymous_schema_stable_paths(spark):
+    """Anonymous schemas keep their index-derived uri on re-compile: the
+    table path's schema_path prefix must match the single-doc path."""
+    from themis_spark.api import validator
+
+    v = validator([{"type": "object", "properties": {"n": {"minimum": 1}}}])
+    doc_err = v.validate({"n": 0})["errors"][0]["schema_path"]
+    df = spark.createDataFrame([(1, 0)], "url long, n long")
+    rows = v.validate_table(df).collect()
+    assert rows[0]["schema_path"] == doc_err

@@ -35,10 +35,15 @@ class Validator:
     """Compiled multi-schema validator — the reference's EP2 object."""
 
     def __init__(self, by_id: dict[str, PyValidator], default_id: str,
-                 schemas_by_id: dict[str, Any]):
+                 schemas_by_id: dict[str, Any],
+                 registry: SchemaRegistry | None = None):
         self._by_id = by_id
         self._default_id = default_id
         self._schemas_by_id = schemas_by_id
+        # the shared multi-schema registry: validate_table must compile
+        # against it or cross-schema $refs that the single-document path
+        # resolves would fail on the table path
+        self._registry = registry
 
     @property
     def schema_ids(self) -> list[str]:
@@ -70,7 +75,7 @@ class Validator:
         from themis_spark.plans.compiler import compile_plan
 
         schema = self._schemas_by_id[schema_id or self._default_id]
-        plan = compile_plan(schema, df.schema)
+        plan = compile_plan(schema, df.schema, registry=self._registry)
         ann = V.annotate(df, plan, keep=[key_col])
         return V.violations_df(ann, key_col=key_col, partition_col=None)
 
@@ -121,7 +126,7 @@ def validator(schema_or_list: Any, formats: dict | None = None,
             validate_formats=validate_formats, base_uri=root_uri)
         schemas_by_id[sid] = schema
     default_id = uris[0][0]
-    return Validator(by_id, default_id, schemas_by_id)
+    return Validator(by_id, default_id, schemas_by_id, registry=registry)
 
 
 def validator_from_table(

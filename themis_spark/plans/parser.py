@@ -65,6 +65,14 @@ class SchemaRegistry:
     def add(self, schema: Any, uri: str | None = None) -> str:
         if uri is None:
             declared = schema.get("id") if isinstance(schema, dict) else None
+            if not (isinstance(declared, str) and declared):
+                # anonymous re-registration must be idempotent: compiling
+                # a table plan against a shared registry re-adds the root
+                # schema, and a fresh counter uri would shift its
+                # schema_path prefix vs the single-document path
+                for known_uri, known in self.schemas.items():
+                    if known is schema:
+                        return known_uri
             uri = declared if isinstance(declared, str) and declared else str(len(self.schemas))
         doc_uri = uri.split("#", 1)[0] or uri
         self.schemas[doc_uri] = schema
