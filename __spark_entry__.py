@@ -384,6 +384,24 @@ def q_kw_ref_registry(spark, sf):
     return v.validate_table(d, "page").drop("detail")
 
 
+def _curation_rules():
+    return [
+        ("min_len", F.length("text") >= 100),
+        ("lang_known", F.col("lang").isin(*LANGS5)),
+        ("source_ok", F.regexp_like("source", F.lit(r"^src[0-9]+$"))),
+        ("max_len", F.length("text") <= 20000),
+    ]
+
+
+def q_text_filter_funnel(spark, sf):
+    return X.filter_funnel(_t(spark, sf, "documents"), _curation_rules())
+
+
+def q_text_filtered(spark, sf):
+    return X.apply_filters(_t(spark, sf, "documents"),
+                           _curation_rules()).select("doc_id")
+
+
 def q_validate_verdicts(spark, sf):
     # per-partition pass/fail verdict — the north rule's second output
     # contract beside the violation rows; lang stands in for the Iceberg
@@ -1157,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_custom_format": q_kw_custom_format,
         "kw_ref_cycle": q_kw_ref_cycle,
         "kw_ref_registry": q_kw_ref_registry,
+        "text_filter_funnel": q_text_filter_funnel,
+        "text_filtered": q_text_filtered,
         "stat_basic": q_stat_basic,
         "stat_hist": q_stat_hist,
         "stat_distinct": q_stat_distinct,
@@ -2226,6 +2246,33 @@ def oracle_sql() -> dict[str, str]:
                    'dependencies' AS keyword, '$.n_chars' AS instance_path,
                    'docs_dep#/dependencies' AS schema_path
             FROM d WHERE source IS NOT NULL AND n_chars IS NULL""",
+        "text_filter_funnel": """
+            WITH f AS (SELECT CASE
+                WHEN NOT coalesce(length(text) >= 100, FALSE) THEN 0
+                WHEN NOT coalesce(lang IN ('en','zh','es','de','fr'), FALSE) THEN 1
+                WHEN NOT coalesce(regexp_matches(source, '^src[0-9]+$'), FALSE) THEN 2
+                WHEN NOT coalesce(length(text) <= 20000, FALSE) THEN 3
+                ELSE -1 END AS ff FROM documents),
+            c AS (SELECT ff, count(*) AS n FROM f GROUP BY ff),
+            s(stage, rule) AS (VALUES (0, 'min_len'), (1, 'lang_known'),
+                                      (2, 'source_ok'), (3, 'max_len')),
+            j AS (SELECT s.stage, s.rule, coalesce(c.n, 0) AS n_dropped
+                  FROM s LEFT JOIN c ON c.ff = s.stage)
+            SELECT j.stage, j.rule,
+                   CAST((SELECT count(*) FROM documents)
+                        - coalesce(sum(n_dropped) OVER (ORDER BY j.stage
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_in,
+                   CAST(n_dropped AS BIGINT) AS n_dropped,
+                   CAST((SELECT count(*) FROM documents)
+                        - sum(n_dropped) OVER (ORDER BY j.stage) AS BIGINT) AS n_out
+            FROM j""",
+        "text_filtered": """
+            SELECT doc_id FROM documents
+            WHERE coalesce(length(text) >= 100, FALSE)
+              AND coalesce(lang IN ('en','zh','es','de','fr'), FALSE)
+              AND coalesce(regexp_matches(source, '^src[0-9]+$'), FALSE)
+              AND coalesce(length(text) <= 20000, FALSE)""",
         "kw_ref_registry": """
             SELECT doc_id AS url, '0' AS partition_id, 'r0' AS run_id,
                    'minimum' AS keyword, '$.n_chars' AS instance_path,

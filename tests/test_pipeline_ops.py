@@ -189,3 +189,27 @@ def test_fd_violations_multi_lhs(spark):
         "s string, v long, out string")
     got = fd_violations(df, ["s", "v"], "out").collect()
     assert len(got) == 1 and got[0]["s"] == "a" and got[0]["v"] == 1
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    """Each row is charged to the FIRST failing rule; NULL rule results
+    fail; n_in chains stage to stage."""
+    from pyspark.sql import functions as F
+    from themis_spark.operators.text import apply_filters, filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 10, "zz"),   # both fail rule 0 (len>=20)
+         (3, 30, "zz"),                  # passes 0, fails 1
+         (4, 30, None),                  # NULL lang -> fails 1
+         (5, 30, "en")],                 # survives
+        "id long, n long, lang string")
+    rules = [("long_enough", F.col("n") >= 20),
+             ("lang_known", F.col("lang") == "en")]
+    rows = {r["rule"]: r for r in filter_funnel(df, rules).collect()}
+    assert rows["long_enough"]["n_in"] == 5
+    assert rows["long_enough"]["n_dropped"] == 2
+    assert rows["lang_known"]["n_in"] == 3
+    assert rows["lang_known"]["n_dropped"] == 2
+    assert rows["lang_known"]["n_out"] == 1
+    kept = [r["id"] for r in apply_filters(df, rules).collect()]
+    assert kept == [5]

@@ -461,3 +461,50 @@ def vocab_drift(base, cur, key: str = "doc_id", text: str = "text",
         F.round(q, round_to).alias("p_cur"),
         F.round(contrib, round_to).alias("psi_contrib"),
     )
+
+
+def filter_funnel(df, rules: list[tuple[str, Column]]):
+    """Ordered filter attribution in ONE scan: every row is charged to the
+    FIRST rule it fails (funnel semantics — the per-rule drop report a
+    CCNet/Gopher/FineWeb-style curation pipeline publishes). Returns one
+    row per rule: ``(stage, rule, n_in, n_dropped, n_out)`` where ``n_in``
+    is the rows surviving all earlier rules.
+
+    NULL rule results count as failures (a quality filter that cannot
+    evaluate a row must not pass it). Plan: a single when-chain column +
+    one partial+final count aggregation over first-fail stages — the
+    exchange carries at most ``len(rules)+1`` counter rows; the small
+    per-rule report frame is assembled from that one aggregate (rows =
+    #rules, the same deliberate driver-side scale as the runner's
+    per-partition verdict collect).
+    """
+    first_fail = None
+    for i, (_name, cond) in enumerate(rules):
+        failed = ~F.coalesce(cond, F.lit(False))
+        first_fail = (F.when(failed, F.lit(i)) if first_fail is None
+                      else first_fail.when(failed, F.lit(i)))
+    first_fail = first_fail.otherwise(F.lit(-1))
+
+    counts = {r["ff"]: r["n"]
+              for r in df.select(first_fail.alias("ff"))
+                         .groupBy("ff").agg(F.count(F.lit(1)).alias("n"))
+                         .collect()}
+    total = sum(counts.values())
+    rows, n_in = [], total
+    for i, (name, _cond) in enumerate(rules):
+        dropped = counts.get(i, 0)
+        rows.append((i, name, n_in, dropped, n_in - dropped))
+        n_in -= dropped
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "stage int, rule string, n_in long, n_dropped long, n_out long")
+
+
+def apply_filters(df, rules: list[tuple[str, Column]]):
+    """Rows surviving every rule — the keep-side counterpart of
+    ``filter_funnel``, one conjunctive scan-stage predicate (NULL fails,
+    matching the funnel's attribution)."""
+    keep = F.lit(True)
+    for _name, cond in rules:
+        keep = keep & F.coalesce(cond, F.lit(False))
+    return df.filter(keep)
