@@ -55,7 +55,7 @@ HEADLINE = [
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_lsh_candidates", "dedup_decontaminate", "text_tokens",
     "text_langid", "text_quality", "text_extract", "text_gopher",
-    "text_repetition", "stat_topk",
+    "text_repetition", "text_filter_funnel", "stat_topk",
     "ann_cosine_topk", "ann_lsh", "ann_ivf", "mm_meta",
     "web_url_features", "web_domain_stats", "dedup_common_lines",
     "dedup_line_cleaned", "stat_stratified_sample", "infer_json_profile",
