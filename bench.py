@@ -484,8 +484,68 @@ def scaling_main() -> None:
                 summary["kernel_docs_per_sec_hi"]
                 / (factor * summary["kernel_docs_per_sec_lo"]), 3)
 
+    # campaign history: every --scaling invocation appends its summary to
+    # BENCH/scaling_campaigns.jsonl and BASELINE.md renders ALL campaigns
+    # — the measurement record is append-only, so a re-run in a degraded
+    # host phase can never silently replace (or be replaced by) a better
+    # one. A short Spark-free CPU probe stamps each campaign with the
+    # host phase it ran under (see _host_cpu_probe).
+    summary["ts"] = time.time()
+    summary["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    summary["host_cpu_probe_eff"] = _host_cpu_probe()
     print(json.dumps(summary))
-    _write_baseline_md(summary)
+    _append_campaign(summary)
+    _write_baseline_md(_load_campaigns())
+
+
+_CAMPAIGNS_PATH = os.path.join(REPO, "BENCH", "scaling_campaigns.jsonl")
+
+
+def _append_campaign(summary: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(_CAMPAIGNS_PATH, "a") as f:
+        f.write(json.dumps(summary) + "\n")
+
+
+def _load_campaigns() -> list[dict]:
+    out = []
+    if os.path.exists(_CAMPAIGNS_PATH):
+        with open(_CAMPAIGNS_PATH) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    return out
+
+
+def _probe_cpu_task(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def _host_cpu_probe() -> float | None:
+    """Quick Spark-free pure-arithmetic strong-scaling probe at the
+    criterion's 4 vs 16 process counts (~30 s). This is the ceiling NO
+    workload can beat on this host at this moment — recorded per
+    campaign so each efficiency number carries the host phase it was
+    measured under (the VM's throughput drifts ±35% over minutes)."""
+    import multiprocessing as mp
+
+    try:
+        def run(workers: int, units: int) -> float:
+            per = units // workers
+            with mp.Pool(workers) as p:
+                t0 = time.time()
+                p.map(_probe_cpu_task, [per * 1_000_000] * workers)
+                return time.time() - t0
+
+        t4 = run(4, 320)
+        t16 = run(16, 320)
+        return round(t4 / (4.0 * t16), 3)
+    except Exception:
+        return None
 
 
 def _invariant_md(s: dict) -> str:
@@ -505,9 +565,36 @@ input_text digest {d.get('input_text', {}).get('digest')} over
 """
 
 
-def _write_baseline_md(s: dict) -> None:
+def _write_baseline_md(campaigns: list[dict]) -> None:
+    """Render BENCH/BASELINE.md from the FULL append-only campaign
+    history. The criterion headline is the median over every paired
+    repeat of every campaign — no campaign selection, no best-of; a
+    degraded-host campaign lowers the headline exactly as much as its
+    repeats weigh. Per-stage / kernel / invariant detail comes from the
+    most recent campaign (older ones remain in scaling_campaigns.jsonl)."""
+    s = campaigns[-1]
     lo_m, hi_m = s["master_lo"], s["master_hi"]
     factor = s["cores_hi"] / s["cores_lo"]
+
+    def _fmt_ts(c):
+        if "ts" not in c:
+            return c.get("label", "?")
+        return time.strftime("%Y-%m-%d %H:%M", time.gmtime(c["ts"]))
+
+    all_pairs = [e for c in campaigns for e in c["pair_efficiencies"]]
+    all_sorted = sorted(all_pairs)
+    n = len(all_sorted)
+    all_median = round(
+        all_sorted[n // 2] if n % 2 else
+        (all_sorted[n // 2 - 1] + all_sorted[n // 2]) / 2, 3)
+    passed = all_median >= 0.8
+    camp_rows = "".join(
+        f"| {_fmt_ts(c)} | {c['rows']:,} | {len(c['pair_efficiencies'])} | "
+        f"{c['docs_per_sec_lo']:,} | {c['docs_per_sec_hi']:,} | "
+        f"{c['pair_efficiencies']} | {c['scaling_efficiency']} | "
+        f"{c.get('host_cpu_probe_eff', '—')} |\n"
+        for c in campaigns
+    )
     stage_rows = "".join(
         f"| {k} | {s['stage_secs_lo'].get(k, 0):.1f} s | "
         f"{s['stage_secs_hi'].get(k, 0):.1f} s | "
@@ -521,7 +608,7 @@ def _write_baseline_md(s: dict) -> None:
 
 The BASELINE metric's *kernel* (fused validate + stats, no sinks, no
 constraint shuffles) isolates the engine's architectural scaling from the
-host's shared-DRAM IO ceiling:
+host's shared-DRAM IO ceiling (latest campaign):
 
 | cluster size | kernel docs/sec (best of 3 steady passes) |
 |---|---|
@@ -535,7 +622,7 @@ criterion above is the FULL run, per round-1 advice).
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-## 1. Criterion number — the FULL engine run, median of medians
+## 1. Criterion number — the FULL engine run, all campaigns
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors, measured on the COMPLETE `run_validation` (compile -> fused
@@ -544,27 +631,32 @@ violations/verdicts/metrics/lineage sinks) — the thing the engine
 actually does, over interleaved repeats (round-1 advice: median-style
 statistics, no best-of framing, no kernel-as-headline).
 
-| cluster size | docs/sec (median) | runs |
-|---|---|---|
-| `{lo_m}` ({s['cores_lo']} cores) | {s['docs_per_sec_lo']:,} | {s['runs_lo']} |
-| `{hi_m}` ({s['cores_hi']} cores) | {s['docs_per_sec_hi']:,} | {s['runs_hi']} |
+The measurement record is APPEND-ONLY (`BENCH/scaling_campaigns.jsonl`,
+one line per `bench.py --scaling` campaign): every campaign ever run is
+shown, and the criterion headline pools every paired repeat of every
+campaign. This host's throughput drifts with neighbor load (Firecracker
+vCPU overcommit, one shared DRAM bus); the `host cpu probe` column is a
+Spark-free pure-arithmetic 4-vs-16-process strong-scaling probe run with
+each campaign — the ceiling NO workload can beat in that host phase.
 
-Each repeat runs lo then hi back-to-back under the same host state, so
-the per-repeat ratio cancels this host's documented minutes-scale drift
-(±35%, Firecracker vCPU overcommit — see protocol notes). The headline
-is therefore the standard paired-design estimator: the median over
-repeats of `tput_hi / ({factor:g} x tput_lo)`. The pooled
-ratio-of-medians (which may pair a lo and a hi from different host
-phases) is reported alongside.
+| campaign (UTC) | rows | repeats | lo docs/s (med) | hi docs/s (med) | per-repeat efficiencies | campaign median | host cpu probe |
+|---|---|---|---|---|---|---|---|
+{camp_rows}
+Each repeat runs lo (`{lo_m}`, {s['cores_lo']} cores) then hi
+(`{hi_m}`, {s['cores_hi']} cores) back-to-back under the same host
+state, so the per-repeat ratio cancels minutes-scale host drift; the
+per-repeat efficiency is `tput_hi / ({factor:g} x tput_lo)` (the standard
+paired-design estimator).
 
-per-repeat efficiencies: {s['pair_efficiencies']}
+**full-run scaling efficiency (median over ALL {n} paired repeats,
+all campaigns) = {all_median}**
+-> criterion (>= 0.8): **{'PASS' if passed else 'FAIL'}**
 
-**full-run scaling efficiency (paired median) = {s['scaling_efficiency']}**
-(pooled ratio-of-medians = {s['scaling_efficiency_pooled']})
--> criterion (>= 0.8): **{'PASS' if s['passed'] else 'FAIL'}**
+Latest campaign: paired median {s['scaling_efficiency']}, pooled
+ratio-of-medians {s['scaling_efficiency_pooled']}.
 {_invariant_md(s)}
 
-## 2. Per-stage attribution (BASELINE.md protocol step 5)
+## 2. Per-stage attribution (BASELINE.md protocol step 5, latest campaign)
 
 Median per-stage wall seconds and per-stage scaling efficiency
 (eff = t_lo / ({factor:g} x t_hi); input {s['rows']:,} rows, seed 42):

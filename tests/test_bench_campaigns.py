@@ -1,0 +1,97 @@
+"""The scaling-evidence record is append-only and pooled honestly.
+
+bench.py --scaling appends each campaign to BENCH/scaling_campaigns.jsonl
+and regenerates BENCH/BASELINE.md from the FULL history: the criterion
+headline is the median over every paired repeat of every campaign, so a
+re-run under a degraded host phase can neither replace a better
+measurement nor be hidden by one. Pure-Python tests (no Spark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import bench
+
+
+def _campaign(pairs, lo=50_000.0, hi=170_000.0, ts=1_787_000_000.0, **extra):
+    return {
+        "master_lo": "local-cluster[1,4,3072]",
+        "master_hi": "local-cluster[4,4,3072]",
+        "cores_lo": 4, "cores_hi": 16, "rows": 16_000_000,
+        "docs_per_sec_lo": lo, "docs_per_sec_hi": hi,
+        "runs_lo": [lo] * len(pairs), "runs_hi": [hi] * len(pairs),
+        "stage_secs_lo": {"validate_sink": 100.0},
+        "stage_secs_hi": {"validate_sink": 30.0},
+        "stage_efficiency": {"validate_sink": 0.833},
+        "pair_efficiencies": list(pairs),
+        "scaling_efficiency": sorted(pairs)[len(pairs) // 2],
+        "scaling_efficiency_pooled": 0.8,
+        "passed": True,
+        "ts": ts,
+        **extra,
+    }
+
+
+@pytest.fixture()
+def campaigns_file(tmp_path, monkeypatch):
+    path = tmp_path / "scaling_campaigns.jsonl"
+    monkeypatch.setattr(bench, "_CAMPAIGNS_PATH", str(path))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    return path
+
+
+def test_append_and_load_roundtrip(campaigns_file):
+    c1 = _campaign([0.9, 0.85])
+    c2 = _campaign([0.5, 0.7], ts=1_787_100_000.0)
+    bench._append_campaign(c1)
+    bench._append_campaign(c2)
+    loaded = bench._load_campaigns()
+    assert [c["pair_efficiencies"] for c in loaded] == [[0.9, 0.85], [0.5, 0.7]]
+
+
+def test_headline_pools_all_pairs_across_campaigns(campaigns_file, tmp_path):
+    # campaign medians 0.88 (pass) and 0.55 (fail); pooled median over all
+    # 6 pairs = (0.7+0.85)/2 = 0.775 -> FAIL: the good campaign cannot
+    # hide the bad one
+    bench._append_campaign(_campaign([0.88, 0.9, 0.85]))
+    bench._append_campaign(_campaign([0.55, 0.4, 0.7], ts=1_787_100_000.0))
+    bench._write_baseline_md(bench._load_campaigns())
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "median over ALL 6 paired repeats" in md
+    assert "= 0.775" in md
+    assert "**FAIL**" in md
+    # both campaigns visible as table rows
+    assert md.count("| 16,000,000 |") == 2
+
+
+def test_headline_passes_when_pooled_median_clears(campaigns_file, tmp_path):
+    bench._append_campaign(_campaign([0.9, 0.85, 0.87]))
+    bench._append_campaign(_campaign([0.82, 0.3], ts=1_787_100_000.0))
+    bench._write_baseline_md(bench._load_campaigns())
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    # all pairs sorted: 0.3 0.82 0.85 0.87 0.9 -> median 0.85
+    assert "= 0.85" in md
+    assert "**PASS**" in md
+
+
+def test_latest_campaign_supplies_stage_detail(campaigns_file, tmp_path):
+    bench._append_campaign(_campaign([0.9]))
+    newer = _campaign([0.84], ts=1_787_100_000.0)
+    newer["stage_secs_lo"] = {"validate_sink": 222.0}
+    newer["stage_secs_hi"] = {"validate_sink": 66.0}
+    newer["stage_efficiency"] = {"validate_sink": 0.841}
+    bench._append_campaign(newer)
+    bench._write_baseline_md(bench._load_campaigns())
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "222.0 s" in md and "66.0 s" in md
+
+
+def test_host_cpu_probe_column_rendered(campaigns_file, tmp_path):
+    bench._append_campaign(_campaign([0.9], host_cpu_probe_eff=0.87))
+    bench._write_baseline_md(bench._load_campaigns())
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "| 0.87 |" in md
