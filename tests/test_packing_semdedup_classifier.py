@@ -1,0 +1,179 @@
+"""Round-2 late additions: sequence packing, SemDeDup-style semantic
+dedup, hashed-linear classifier inference, crawl-snapshot consolidation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_spark.operators.similarity import semantic_duplicates, semdedup_keep
+from themis_spark.operators.stats import pack_offsets, pack_summary
+from themis_spark.operators.text import classifier_scores, hashed_weights
+from themis_spark.operators.web import latest_revisions
+
+
+# --------------------------------------------------------- sequence packing
+
+def _docs(spark, toks):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long")
+
+
+def test_pack_offsets_single_stream_layout(spark):
+    # one bucket -> a single concat stream ordered by key
+    df = _docs(spark, [100, 50, 2000, 0, 148])
+    out = {r["doc_id"]: r for r in
+           pack_offsets(df, ctx_len=256, buckets=1).collect()}
+    assert out[0]["start_tok"] == 0 and out[0]["first_chunk"] == 0
+    assert out[0]["n_chunks"] == 1
+    assert out[1]["start_tok"] == 100
+    # doc 2 starts at 150, ends at 2149 -> chunks 0..8 = 9 chunks
+    assert out[2]["start_tok"] == 150
+    assert out[2]["first_chunk"] == 0 and out[2]["n_chunks"] == 9
+    # zero-token doc occupies nothing
+    assert out[3]["n_chunks"] == 0 and out[3]["first_chunk"] is None
+    assert out[4]["start_tok"] == 2150
+
+
+def test_pack_offsets_exact_boundary_no_span(spark):
+    # a doc ending exactly on a chunk boundary must not claim the next chunk
+    df = _docs(spark, [256, 256])
+    out = {r["doc_id"]: r for r in
+           pack_offsets(df, ctx_len=256, buckets=1).collect()}
+    assert out[0]["n_chunks"] == 1 and out[1]["first_chunk"] == 1
+
+
+def test_pack_offsets_streams_are_independent(spark):
+    df = _docs(spark, [10] * 200)
+    out = pack_offsets(df, ctx_len=64, buckets=8).collect()
+    # per-bucket starts are dense: within each bucket sorted by key the
+    # offsets are a prefix sum of the tokens
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        assert r["start_tok"] == by_bucket.get(r["bucket"], 0)
+        by_bucket[r["bucket"]] = r["start_tok"] + r["n_tokens"]
+
+
+def test_pack_summary_matches_offsets(spark):
+    df = _docs(spark, [100, 50, 2000, 0, 148, 300, 17])
+    summ = {r["bucket"]: r for r in
+            pack_summary(df, ctx_len=256, buckets=4).collect()}
+    per = pack_offsets(df, ctx_len=256, buckets=4).collect()
+    totals = {}
+    for r in per:
+        totals[r["bucket"]] = totals.get(r["bucket"], 0) + r["n_tokens"]
+    for b, tot in totals.items():
+        s = summ[b]
+        assert s["total_tokens"] == tot
+        assert s["n_chunks"] == -(-tot // 256) if tot else s["n_chunks"] == 0
+        assert s["tail_waste_tokens"] == s["n_chunks"] * 256 - tot
+
+
+# ----------------------------------------------------------- semantic dedup
+
+def _emb(spark):
+    # two tight semantic clusters + one outlier; ids chosen so keep-first
+    # is observable
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.999, 0.0]),   # near-dup of 2
+        (4, [0.6, 0.6, 0.5]),      # outlier, alone in its region
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_duplicates_finds_in_cell_pairs(spark):
+    df = _emb(spark)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    pairs = semantic_duplicates(df, centroids=cents, threshold=0.99).collect()
+    got = {(r["a_key"], r["b_key"]) for r in pairs}
+    assert (0, 1) in got and (2, 3) in got
+    assert all(a < b for a, b in got)
+    # the outlier never pairs at this threshold
+    assert not any(4 in p for p in got)
+
+
+def test_semdedup_keep_drops_higher_key(spark):
+    df = _emb(spark)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    keep = {r["vec_id"]: r["keep"] for r in
+            semdedup_keep(df, centroids=cents, threshold=0.99).collect()}
+    assert keep == {0: True, 1: False, 2: True, 3: False, 4: True}
+
+
+def test_semantic_duplicates_max_cell_guard(spark):
+    # 50 identical vectors in one cell: uncapped -> 1225 pairs; the cap
+    # drops the degenerate cell entirely (exact-dup territory)
+    rows = [(i, [1.0, 0.0]) for i in range(50)] + [(100, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    assert semantic_duplicates(df, centroids=cents).count() == 1225
+    assert semantic_duplicates(df, centroids=cents, max_cell=10).count() == 0
+
+
+# ------------------------------------------------------ hashed classifier
+
+def test_classifier_scores_exact_fold(spark):
+    w = hashed_weights(64)
+    df = spark.createDataFrame(
+        [(1, "Good  clean sentence"), (2, ""), (3, None), (4, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in classifier_scores(
+        df, weights=w, bias=0.25).collect()}
+    assert 3 not in out  # null text filtered like every text op
+    # replicate the fold in Python: md5-60bit hash mod dim
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = ["good", "clean", "sentence"]
+    mean = sum(w[h60(t) % 64] for t in toks) / 3
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logit"] == pytest.approx(round(0.25 + mean, 6), abs=1e-9)
+    assert out[1]["label"] == ((0.25 + mean) > 0)
+    assert out[1]["score"] == pytest.approx(
+        round(1 / (1 + math.exp(-(0.25 + mean))), 6), abs=1e-6)
+    # zero-token doc scores the bias alone
+    assert out[2]["n_tokens"] == 0 and out[2]["logit"] == 0.25
+
+
+def test_hashed_weights_are_dyadic(spark):
+    # exact binary fractions: scaling by 1024 must give integers
+    for w in hashed_weights(128):
+        assert w * 1024 == int(w * 1024)
+
+
+def test_classifier_plan_is_native(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = classifier_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- crawl-snapshot consolidation
+
+def test_latest_revisions_picks_newest_per_canonical(spark):
+    rows = [
+        (1, "https://A.example.com/p?utm_source=x", "2024-01-01 00:00:00"),
+        (2, "https://a.example.com/p", "2024-03-01 00:00:00"),   # newest
+        (3, "https://a.example.com/p/", "2024-02-01 00:00:00"),
+        (4, "https://other.example.com/q", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, fetched_at string") \
+        .withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    out = {r["canonical_url"]: r for r in
+           latest_revisions(df, key="doc_id").collect()}
+    assert out["https://a.example.com/p"]["doc_id"] == 2
+    assert out["https://a.example.com/p"]["n_revisions"] == 3
+    assert out["https://other.example.com/q"]["n_revisions"] == 1
+
+
+def test_latest_revisions_tie_breaks_on_key(spark):
+    rows = [(9, "http://t.example.com/x", "2024-01-01 00:00:00"),
+            (5, "http://t.example.com/x", "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, fetched_at string") \
+        .withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    got = latest_revisions(df, key="doc_id").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 5

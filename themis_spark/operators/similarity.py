@@ -310,6 +310,85 @@ def embedding_near_duplicates(
     )
 
 
+# ------------------------------------------------------ semantic dedup
+#
+# SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+# cluster the corpus with a coarse quantizer, then deduplicate INSIDE
+# each cluster by exact cosine. Near-identical meaning concentrates in
+# one cell, so the quadratic work is per-cell, never corpus-wide: the
+# only exchange is the equi-join/groupBy on the cell id, and oversized
+# cells (a degenerate quantizer region) are skipped loudly rather than
+# allowed to explode quadratically — the same guard contract as the
+# LSH band buckets (dedup._bucket_pairs).
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    centroids: list[list[float]] | DataFrame | None = None,
+    threshold: float = 0.98,
+    n_cells: int = 16,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Within-cell cosine near-dup pairs: ``(a_key, b_key, cell, cosine)``
+    with strict a < b and cosine >= threshold.
+
+    The corpus is coded map-side (argmax over centroid literals — no
+    shuffle); the pair join is a self-equi-join on the cell id. With
+    ``max_cell`` set, cells larger than the cap are dropped before the
+    join (their pair count is quadratic; at 10¹² rows a run should
+    route them to exact/LSH dedup instead — same rationale as the LSH
+    bucket cap)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec, key, n_cells, iters=0)
+    elif isinstance(centroids, DataFrame):
+        centroids = collect_centroids(centroids, vec, key)
+    coded = df.select(
+        F.col(key), F.col(vec), ivf_cell_col(F.col(vec), centroids).alias("cell")
+    )
+    if max_cell is not None:
+        sizes = coded.groupBy("cell").count().where(F.col("count") <= max_cell)
+        coded = coded.join(F.broadcast(sizes.select("cell")), "cell")
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(
+            F.col(f"a.{key}").alias("a_key"),
+            F.col(f"b.{key}").alias("b_key"),
+            F.col("a.cell").alias("cell"),
+            F.round(cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    centroids: list[list[float]] | DataFrame | None = None,
+    threshold: float = 0.98,
+    n_cells: int = 16,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Per-row keep/drop decision ``(key, keep)``: a row is dropped when
+    some LOWER-keyed row in its cell sits within the cosine threshold
+    (the deterministic keep-first rule — every drop has a surviving
+    representative, and the decision replays identically on re-runs and
+    in the SQL oracle). The drop set is the distinct b-side of
+    :func:`semantic_duplicates`; corpus rows never shuffle for the
+    verdict join when the drop set is small enough to broadcast."""
+    pairs = semantic_duplicates(df, vec, key, centroids, threshold, n_cells, max_cell)
+    drops = pairs.select(F.col("b_key").alias(key)).distinct()
+    return (
+        df.select(key)
+        .join(drops.withColumn("__drop", F.lit(True)), key, "left")
+        .select(key, F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )
+
+
 # ------------------------------------------------------- embedding audit
 
 def centroid_components(df: DataFrame, by: str = "label",

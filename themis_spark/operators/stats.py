@@ -739,3 +739,89 @@ def correlation_matrix(df: DataFrame, columns: list[str],
         f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs))
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
+
+
+# ------------------------------------------------------- sequence packing
+
+def pack_offsets(df: DataFrame, key: str = "doc_id",
+                 tokens: str | Column = "n_tokens",
+                 ctx_len: int = 2048, buckets: int = 64) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    documents are laid out end-to-end in a deterministic global order
+    and cut into fixed ``ctx_len``-token training chunks; each document
+    gets its token-offset placement — ``(key, bucket, n_tokens,
+    start_tok, first_chunk, n_chunks)`` where ``n_chunks`` counts the
+    training chunks the document touches.
+
+    The layout order is (portable-hash bucket, key): each bucket is an
+    independent packing stream, so the ONLY exchange is the bucket
+    repartition and each stream's prefix sum is a linear within-
+    partition window scan — at 10¹² documents pick buckets ≈ a few ×
+    cores and every stream stays embarrassingly parallel, while a
+    single global stream would serialize the cumsum. The deterministic
+    (hash, key) order makes packing resume-safe and exactly replayable
+    (same property as stratified_sample); all arithmetic is integer —
+    exact, oracle-replayable.
+
+    Zero-token documents occupy no chunk (``n_chunks = 0``); documents
+    longer than ``ctx_len`` span multiple chunks (they get split at
+    chunk boundaries by the downstream loader, the standard concat-
+    then-chunk semantics — no padding, fill ratio 1 by construction).
+    """
+    from pyspark.sql.window import Window
+
+    from themis_spark.functions.hashing import hash60
+
+    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
+    base = df.select(
+        F.col(key),
+        F.pmod(hash60(F.col(key)), F.lit(buckets)).cast("int").alias("bucket"),
+        tok.alias("n_tokens"),
+    )
+    w = (Window.partitionBy("bucket").orderBy(key)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    placed = base.select(
+        key, "bucket", "n_tokens", start.alias("start_tok"))
+    end_last = F.col("start_tok") + F.col("n_tokens") - 1  # last occupied slot
+    chunk_of = lambda c: ((c - F.pmod(c, F.lit(ctx_len))) / ctx_len).cast("long")  # noqa: E731
+    return placed.select(
+        key, "bucket", "n_tokens", "start_tok",
+        F.when(F.col("n_tokens") > 0, chunk_of(F.col("start_tok")))
+         .otherwise(F.lit(None).cast("long")).alias("first_chunk"),
+        F.when(F.col("n_tokens") > 0,
+               chunk_of(end_last) - chunk_of(F.col("start_tok")) + 1)
+         .otherwise(F.lit(0)).alias("n_chunks"),
+    )
+
+
+def pack_summary(df: DataFrame, key: str = "doc_id",
+                 tokens: str | Column = "n_tokens",
+                 ctx_len: int = 2048, buckets: int = 64) -> DataFrame:
+    """Per-bucket packing report over :func:`pack_offsets`'s layout:
+    ``(bucket, n_docs, total_tokens, n_chunks, tail_waste_tokens)`` —
+    ``n_chunks = ceil(total/ctx_len)`` full training chunks per stream
+    and the tokens lost padding each stream's final partial chunk (the
+    ONLY padding in concat-and-chunk). One partial+final aggregation on
+    the bucket id — the exchange carries ``buckets`` counter rows."""
+    from themis_spark.functions.hashing import hash60
+
+    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
+    per = df.select(
+        F.pmod(hash60(F.col(key)), F.lit(buckets)).cast("int").alias("bucket"),
+        tok.alias("__t"),
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+    )
+    chunks = F.when(
+        F.col("total_tokens") > 0,
+        ((F.col("total_tokens") + ctx_len - 1)
+         - F.pmod(F.col("total_tokens") + ctx_len - 1, F.lit(ctx_len)))
+        / ctx_len,
+    ).otherwise(F.lit(0)).cast("long")
+    return per.select(
+        "bucket", "n_docs", "total_tokens",
+        chunks.alias("n_chunks"),
+        (chunks * ctx_len - F.col("total_tokens")).alias("tail_waste_tokens"),
+    )

@@ -508,3 +508,73 @@ def apply_filters(df, rules: list[tuple[str, Column]]):
     for _name, cond in rules:
         keep = keep & F.coalesce(cond, F.lit(False))
     return df.filter(keep)
+
+
+# ------------------------------------------------- hashed linear classifier
+
+def hashed_weights(dim: int = 1024) -> list[float]:
+    """Deterministic dyadic-rational weight vector for the classifier
+    demo/tests: ``w[i] = (((i*2654435761) % (dim+1)) - dim//2) / 1024``.
+    Every weight is an exact binary fraction, so per-document weight
+    sums are EXACT in float64 regardless of summation order — the DuckDB
+    oracle replays them bit-identically. Production models pass their
+    trained vector instead (any list[float]); exactness then only
+    matters for oracle replay, not correctness."""
+    half = dim // 2
+    return [(((i * 2654435761) % (dim + 1)) - half) / 1024.0 for i in range(dim)]
+
+
+def classifier_scores(df, key: str = "doc_id", text: str = "text",
+                      weights: list[float] | None = None, bias: float = 0.0,
+                      round_to: int = 6):
+    """fastText-style hashed bag-of-words linear classifier INFERENCE —
+    the model-based quality-filter step of CCNet / FineWeb-Edu-style
+    curation, with the model baked into the plan: ``(key, n_tokens,
+    logit, label, score)`` where ``logit = bias + mean(w[h(token) mod
+    D])``, ``label = logit > 0`` and ``score = sigmoid(logit)``.
+
+    The weight vector ships as ONE array literal (compile-time model
+    broadcast — D ≤ a few 10⁵ fits comfortably in the plan; bigger
+    vocabularies become a broadcast join on the hash id). Scoring is a
+    pure scan-stage projection: tokenize → portable 60-bit hash →
+    element_at into the weight literal → exact fold — zero shuffle,
+    zero Python, so it composes with filter_funnel/apply_filters at
+    full scan speed. Token arrays materialize ONCE via a staged select
+    (HOF lambdas get no subexpression elimination).
+
+    Zero-token documents score the bias alone. ``logit`` rounds to
+    ``round_to``; ``label`` is derived from the UNROUNDED logit
+    (boundary rows must not flip with the rounding). ``score`` is for
+    ranking/thresholding by users; cross-engine comparisons should use
+    logit/label (libm exp() is not bit-specified)."""
+    if weights is None:
+        weights = hashed_weights()
+    dim = len(weights)
+    w_lit = F.lit(weights)  # flat float list -> one ArrayType literal
+    c = F.col(text)
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    staged = df.where(c.isNotNull()).select(F.col(key), toks.alias("__toks"))
+    picked = staged.select(
+        key,
+        F.size("__toks").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                "__toks",
+                lambda t: F.element_at(
+                    w_lit, (F.pmod(hash60(t), F.lit(dim)) + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__wsum"),
+    )
+    logit = F.lit(float(bias)) + F.when(
+        F.col("n_tokens") > 0, F.col("__wsum") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return picked.select(
+        key,
+        "n_tokens",
+        F.round(logit, round_to).alias("logit"),
+        (logit > 0).alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("score"),
+    )

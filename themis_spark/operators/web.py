@@ -202,3 +202,35 @@ def top_pages_per_domain(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def latest_revisions(df: DataFrame, url: str = "url", ts: str = "fetched_at",
+                     key: str | None = None) -> DataFrame:
+    """Crawl-snapshot consolidation: ONE row per canonical URL — the
+    newest fetch wins (re-crawls, tracking-param variants, http/https and
+    trailing-slash twins all collapse). Input rows pass through with two
+    added columns: ``canonical_url`` and ``n_revisions`` (how many raw
+    rows the survivor beat — the re-crawl-depth signal).
+
+    Deterministic: ties on the timestamp break on ``key`` ascending (or
+    the raw URL string when no key column is given), so resume/re-runs
+    and the SQL oracle pick the identical survivor.
+
+    Plan shape: canonicalize map-side (scan-stage projection), then ONE
+    exchange on the canonical string for the ranking window; the rank
+    and the revision count share the same WindowExec partitioning (no
+    second shuffle). A hot canonical URL means a big window partition,
+    not quadratic work — the window scan is linear.
+    """
+    from pyspark.sql.window import Window
+
+    tie = F.col(key) if key else F.col(url)
+    base = df.withColumn("canonical_url", canonical_url_col(F.col(url)))
+    w = Window.partitionBy("canonical_url")
+    wo = w.orderBy(F.col(ts).desc(), tie.asc())
+    return (
+        base.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("n_revisions", F.count(F.lit(1)).over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
