@@ -1154,6 +1154,63 @@ def q_infer_profile_diff(spark, sf):
     return profile_diff(base, cur)
 
 
+def q_stat_pack_offsets(spark, sf):
+    # concat-and-chunk sequence packing over real token counts: 64
+    # independent packing streams keyed by the portable hash
+    toks = _t(spark, sf, "documents").select(
+        "doc_id", X.token_count_col("text").cast("long").alias("n_tokens"))
+    return ST2.pack_offsets(toks, ctx_len=512, buckets=64)
+
+
+def q_stat_pack_summary(spark, sf):
+    toks = _t(spark, sf, "documents").select(
+        "doc_id", X.token_count_col("text").cast("long").alias("n_tokens"))
+    return ST2.pack_summary(toks, ctx_len=512, buckets=64)
+
+
+def q_text_classifier(spark, sf):
+    # hashed bag-of-words linear classifier inference (dyadic weights ->
+    # exact fold; logit/label are the oracle-checked outputs, the
+    # sigmoid score is monotone in them and exp() isn't bit-specified)
+    return X.classifier_scores(
+        _t(spark, sf, "documents"),
+        weights=X.hashed_weights(256), bias=-0.05,
+    ).select("doc_id", "n_tokens", "logit", "label")
+
+
+def q_ann_semdedup(spark, sf):
+    # SemDeDup: init-only centroids (first 8 vectors) so DuckDB
+    # re-derives the identical cells from the same table
+    emb = _t(spark, sf, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    return S.semantic_duplicates(emb, centroids=cents, threshold=0.2)
+
+
+def q_ann_semdedup_keep(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    return S.semdedup_keep(emb, centroids=cents, threshold=0.2)
+
+
+def q_web_latest_revision(spark, sf):
+    # crawl-snapshot consolidation over synthesized re-crawls: urls
+    # collide across doc_ids (mod-residue hosts/paths) and the tracking
+    # param makes raw variants of one canonical form; fetch order is a
+    # deterministic doc_id scramble
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p"), (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?ref=rss"))
+             .otherwise(F.lit("")),
+        ).alias("url"),
+        ((F.col("doc_id") * 7919) % 100000).alias("fetched_at"),
+    )
+    return WB.latest_revisions(d, key="doc_id").select(
+        "doc_id", "canonical_url", "n_revisions")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -1251,6 +1308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "dedup_containment": q_dedup_containment,
         "dedup_against": q_dedup_against,
+        "stat_pack_offsets": q_stat_pack_offsets,
+        "stat_pack_summary": q_stat_pack_summary,
+        "text_classifier": q_text_classifier,
+        "ann_semdedup": q_ann_semdedup,
+        "ann_semdedup_keep": q_ann_semdedup_keep,
+        "web_latest_revision": q_web_latest_revision,
     }
 
 
@@ -2179,6 +2242,51 @@ _PROFILE_DIFF_SQL = """
            CAST(NULL AS BIGINT), count(*) FROM documents"""
 
 
+def _weights_sql_list(dim: int) -> str:
+    """The hashed_weights(dim) vector as a DuckDB list literal. Every
+    weight is a dyadic rational (exact binary fraction), so repr() is a
+    round-trip-exact decimal and the SQL parse lands on the identical
+    float64 — weight sums then match Spark bit-for-bit regardless of
+    summation order."""
+    from themis_spark.operators.text import hashed_weights
+
+    return "[" + ", ".join(repr(w) for w in hashed_weights(dim)) + "]"
+
+
+# Shared SemDeDup cell assignment: init-only centroids (first 8 vectors),
+# sims rounded to 6dp before the argmax, ties -> lowest cell — the exact
+# contract of similarity.ivf_cell_col.
+_SEMDEDUP_ASSIGN_SQL = """
+    WITH cent AS (SELECT vec_id AS cell_ix, embedding::DOUBLE[] AS c_vec
+                  FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, ct.cell_ix,
+                    round(list_cosine_similarity(
+                        e.embedding::DOUBLE[], ct.c_vec), 6) AS sim
+             FROM embeddings e, cent ct),
+    assign AS (SELECT vec_id, cell_ix::INT AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell_ix ASC) AS rn FROM sims) s
+               WHERE rn = 1)
+"""
+
+
+# Shared packing layout: portable 60-bit bucket hash of the doc_id string,
+# prefix sum over (bucket, doc_id) order — all BIGINT, exact.
+_PACK_BASE_SQL = """
+    WITH t AS (SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+         AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64)::INT
+         AS bucket
+         FROM documents),
+    p AS (SELECT doc_id, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS start_tok FROM t)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -2687,4 +2795,77 @@ def oracle_sql() -> dict[str, str]:
                 round(corr({a}, {b}), 6) AS corr FROM lineitem"""
             for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
         ),
+        # integer-exact packing replay: same portable bucket hash, same
+        # (bucket, doc_id) layout order, floor-division via // on BIGINT
+        "stat_pack_offsets": _PACK_BASE_SQL + """
+            SELECT doc_id, bucket, n_tokens, start_tok,
+                   CASE WHEN n_tokens > 0 THEN start_tok // 512 END AS first_chunk,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_tok + n_tokens - 1) // 512
+                             - start_tok // 512 + 1
+                        ELSE 0 END AS n_chunks
+            FROM p""",
+        "stat_pack_summary": _PACK_BASE_SQL + """
+            , g AS (SELECT bucket, count(*) AS n_docs,
+                           sum(n_tokens)::BIGINT AS total_tokens FROM p GROUP BY 1)
+            SELECT bucket, n_docs, total_tokens,
+                   CASE WHEN total_tokens > 0
+                        THEN (total_tokens + 511) // 512 ELSE 0 END AS n_chunks,
+                   CASE WHEN total_tokens > 0
+                        THEN (total_tokens + 511) // 512 ELSE 0 END * 512
+                   - total_tokens AS tail_waste_tokens
+            FROM g""",
+        "text_classifier": f"""
+            WITH t AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> length(x) > 0) AS toks
+                 FROM documents WHERE text IS NOT NULL),
+            s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 coalesce(list_sum(list_transform(toks, x ->
+                     ({_weights_sql_list(256)})[
+                         (('0x' || substr(md5(x), 1, 15))::BIGINT % 256)::INT + 1
+                     ])), 0.0) AS wsum
+                 FROM t)
+            SELECT doc_id, n_tokens,
+                   round(-0.05 + CASE WHEN n_tokens > 0
+                                      THEN wsum / n_tokens ELSE 0 END, 6) AS logit,
+                   (-0.05 + CASE WHEN n_tokens > 0
+                                 THEN wsum / n_tokens ELSE 0 END) > 0 AS label
+            FROM s""",
+        "ann_semdedup": _SEMDEDUP_ASSIGN_SQL + """
+            SELECT a.vec_id AS a_key, b.vec_id AS b_key, a.cell,
+                   round(list_cosine_similarity(
+                       ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+            FROM assign a JOIN assign b USING (cell)
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(
+                      ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.2""",
+        "ann_semdedup_keep": _SEMDEDUP_ASSIGN_SQL + """
+            , drops AS (
+              SELECT DISTINCT b.vec_id AS k
+              FROM assign a JOIN assign b USING (cell)
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(
+                        ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.2)
+            SELECT vec_id, vec_id NOT IN (SELECT k FROM drops) AS keep
+            FROM embeddings""",
+        # the synthesized urls only differ by the ?ref=rss tracking param
+        # (already lowercase, no ports/fragments/trailing slash), so THIS
+        # query's canonicalization reduces to stripping it; the full
+        # canonical contract is oracle-covered by web_canonical
+        "web_latest_revision": """
+            WITH u AS (SELECT doc_id,
+                 'https://w' || (doc_id % 5) || '.example.com/p' || (doc_id % 7)
+                 AS canonical_url,
+                 (doc_id * 7919) % 100000 AS fetched_at FROM documents),
+            r AS (SELECT doc_id, canonical_url,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY fetched_at DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY canonical_url) AS n_revisions
+                 FROM u)
+            SELECT doc_id, canonical_url, n_revisions FROM r WHERE rn = 1""",
     }
