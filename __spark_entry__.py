@@ -1179,16 +1179,18 @@ def q_text_classifier(spark, sf):
 
 
 def q_ann_semdedup(spark, sf):
-    # SemDeDup: init-only centroids (first 8 vectors) so DuckDB
-    # re-derives the identical cells from the same table
+    # SemDeDup: init-only centroids (first 32 vectors) so DuckDB
+    # re-derives the identical cells from the same table; more cells =
+    # smaller in-cell pair fronts (the knob that keeps the quadratic
+    # step bounded as the corpus grows)
     emb = _t(spark, sf, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8)
+    cents = emb.where(F.col("vec_id") < 32)
     return S.semantic_duplicates(emb, centroids=cents, threshold=0.2)
 
 
 def q_ann_semdedup_keep(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8)
+    cents = emb.where(F.col("vec_id") < 32)
     return S.semdedup_keep(emb, centroids=cents, threshold=0.2)
 
 
@@ -1209,6 +1211,26 @@ def q_web_latest_revision(spark, sf):
     )
     return WB.latest_revisions(d, key="doc_id").select(
         "doc_id", "canonical_url", "n_revisions")
+
+
+def q_web_pagerank(spark, sf):
+    # fixed-point PageRank over a deterministic synthetic link graph;
+    # integer arithmetic makes the result partitioning-insensitive and
+    # SQL-replayable. The two out-link maps are deliberately
+    # NON-bijective (squares and floor-thirds mod n) so indegrees — and
+    # therefore ranks — genuinely vary: a regular graph is a PageRank
+    # fixed point and would let a broken operator pass unnoticed.
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = d.count()  # tiny driver-side job; the graph is synthesized, not read
+    third = ((F.col("doc_id") - F.col("doc_id") % 3) / 3).cast("long")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % n).alias("dst"),
+    ).union(d.select(
+        F.col("doc_id").alias("src"),
+        (third % n).alias("dst"),
+    ))
+    return WB.pagerank(edges, iters=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1314,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_semdedup": q_ann_semdedup,
         "ann_semdedup_keep": q_ann_semdedup_keep,
         "web_latest_revision": q_web_latest_revision,
+        "web_pagerank": q_web_pagerank,
     }
 
 
@@ -2253,12 +2276,12 @@ def _weights_sql_list(dim: int) -> str:
     return "[" + ", ".join(repr(w) for w in hashed_weights(dim)) + "]"
 
 
-# Shared SemDeDup cell assignment: init-only centroids (first 8 vectors),
+# Shared SemDeDup cell assignment: init-only centroids (first 32 vectors),
 # sims rounded to 6dp before the argmax, ties -> lowest cell — the exact
 # contract of similarity.ivf_cell_col.
 _SEMDEDUP_ASSIGN_SQL = """
     WITH cent AS (SELECT vec_id AS cell_ix, embedding::DOUBLE[] AS c_vec
-                  FROM embeddings WHERE vec_id < 8),
+                  FROM embeddings WHERE vec_id < 32),
     sims AS (SELECT e.vec_id, ct.cell_ix,
                     round(list_cosine_similarity(
                         e.embedding::DOUBLE[], ct.c_vec), 6) AS sim
@@ -2268,6 +2291,39 @@ _SEMDEDUP_ASSIGN_SQL = """
                            ORDER BY sim DESC, cell_ix ASC) AS rn FROM sims) s
                WHERE rn = 1)
 """
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**6,
+                  num: int = 85, den: int = 100) -> str:
+    """Replays web.pagerank over the synthesized two-out-link graph:
+    the same integer base, per-edge floor divisions, and integer sums —
+    unrolled one CTE per iteration."""
+    base = (scale * (den - num)) // den
+    ctes = [f"""
+    n AS (SELECT count(*) AS cnt FROM documents),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * doc_id + 1) % (SELECT cnt FROM n) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS src, (doc_id // 3) % (SELECT cnt FROM n) AS dst
+      FROM documents),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    r{i} AS (SELECT nodes.node,
+           ({base} + coalesce(sum((r.rank * {num}) // (d.outdeg * {den})), 0))::BIGINT
+           AS rank
+           FROM nodes
+           LEFT JOIN edges e ON e.dst = nodes.node
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r{i - 1} r ON r.node = e.src
+           GROUP BY nodes.node)""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT node, rank FROM r{iters}")
 
 
 # Shared packing layout: portable 60-bit bucket hash of the doc_id string,
@@ -2857,6 +2913,9 @@ def oracle_sql() -> dict[str, str]:
         # (already lowercase, no ports/fragments/trailing slash), so THIS
         # query's canonicalization reduces to stripping it; the full
         # canonical contract is oracle-covered by web_canonical
+        # 3 unrolled fixed-point iterations: BIGINT floor division (//)
+        # and integer sums replay Spark's arithmetic bit-for-bit
+        "web_pagerank": _pagerank_sql(iters=3),
         "web_latest_revision": """
             WITH u AS (SELECT doc_id,
                  'https://w' || (doc_id % 5) || '.example.com/p' || (doc_id % 7)

@@ -68,7 +68,8 @@ HEADLINE = [
     "text_tfidf", "repair_table", "repair_report", "ann_centroids",
     "ann_centroid_stats", "con_fd", "stat_skew", "text_vocab_drift",
     "stat_corr", "stat_clip", "event_funnel", "dedup_containment",
-    "dedup_against",
+    "dedup_against", "stat_pack_offsets", "text_classifier",
+    "ann_semdedup", "web_latest_revision", "web_pagerank",
 ]
 
 

@@ -177,3 +177,45 @@ def test_latest_revisions_tie_breaks_on_key(spark):
         .withColumn("fetched_at", F.to_timestamp("fetched_at"))
     got = latest_revisions(df, key="doc_id").collect()
     assert len(got) == 1 and got[0]["doc_id"] == 5
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_hand_computed_chain(spark):
+    from themis_spark.operators.web import pagerank
+
+    # a -> b -> c: exact fixed-point arithmetic, hand-checked
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    base = (10**6 * 15) // 100
+    contrib = (10**6 * 85) // 100  # outdeg 1
+    assert r1 == {"a": base, "b": base + contrib, "c": base + contrib}
+    r2 = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    assert r2["a"] == base
+    assert r2["b"] == base + (base * 85) // 100           # from a's new rank
+    assert r2["c"] == base + ((base + contrib) * 85) // 100
+
+
+def test_pagerank_split_outdegree(spark):
+    from themis_spark.operators.web import pagerank
+
+    # hub splits over two targets: floor(rank*85/(100*2)) each
+    edges = spark.createDataFrame(
+        [("h", "x"), ("h", "y")], "src string, dst string")
+    r = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    base = (10**6 * 15) // 100
+    per = (10**6 * 85) // (100 * 2)
+    assert r["x"] == base + per and r["y"] == base + per
+
+
+def test_pagerank_is_integer_and_deterministic(spark):
+    from themis_spark.operators.web import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)]
+        + [(i, (i * 7 + 1) % 50) for i in range(50)],
+        "src long, dst long")
+    a = sorted(pagerank(edges, iters=3).collect())
+    b = sorted(pagerank(edges.repartition(7), iters=3).collect())
+    assert a == b  # partitioning-insensitive by integer construction

@@ -344,13 +344,29 @@ def semantic_duplicates(
         centroids = train_ivf_centroids(df, vec, key, n_cells, iters=0)
     elif isinstance(centroids, DataFrame):
         centroids = collect_centroids(centroids, vec, key)
+    # hoist the norm map-side: cosine_col would recompute BOTH norms per
+    # PAIR (O(pairs·dim) extra HOF work — measured 3× on the sf0.1
+    # bench); computing them once per row keeps the pair kernel at one
+    # dot product. Same expression, same evaluation order → the rounded
+    # cosine is bit-identical to cosine_col's.
     coded = df.select(
-        F.col(key), F.col(vec), ivf_cell_col(F.col(vec), centroids).alias("cell")
+        F.col(key), F.col(vec),
+        ivf_cell_col(F.col(vec), centroids).alias("cell"),
+        norm_col(F.col(vec)).alias("__norm"),
     )
     if max_cell is not None:
         sizes = coded.groupBy("cell").count().where(F.col("count") <= max_cell)
         coded = coded.join(F.broadcast(sizes.select("cell")), "cell")
+    # pin the pair join's parallelism to one-task-per-cell: the coded
+    # frame is tiny in BYTES (AQE would coalesce its exchange to one
+    # partition) but the join OUTPUT is quadratic per cell — exactly the
+    # case AQE's size-based coalescing mispredicts. A user-specified
+    # repartition is exempt from coalescing, so each cell's quadratic
+    # work lands on its own task.
+    coded = coded.repartition(max(len(centroids), 1), "cell")
     a, b = coded.alias("a"), coded.alias("b")
+    cos = dot_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")) / (
+        F.col("a.__norm") * F.col("b.__norm"))
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col(f"a.{key}") < F.col(f"b.{key}")))
@@ -358,7 +374,7 @@ def semantic_duplicates(
             F.col(f"a.{key}").alias("a_key"),
             F.col(f"b.{key}").alias("b_key"),
             F.col("a.cell").alias("cell"),
-            F.round(cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")), 6).alias("cosine"),
+            F.round(cos, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

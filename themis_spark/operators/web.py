@@ -234,3 +234,60 @@ def latest_revisions(df: DataFrame, url: str = "url", ts: str = "fetched_at",
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping_num: int = 85, damping_den: int = 100,
+             scale: int = 10**6) -> DataFrame:
+    """Link-graph PageRank in FIXED-POINT integer arithmetic — the crawl
+    harvest-quality / spam-demotion signal, computed so two engines (and
+    two cluster sizes) agree BIT-FOR-BIT: every rank is an integer in
+    ``scale`` units, per-edge contributions are integer floor divisions
+    and per-node sums are integer additions — order-independent, so the
+    result is partitioning-insensitive and the DuckDB oracle unrolls the
+    same iterations exactly (float PageRank can't promise either: float
+    summation order varies by plan).
+
+    Semantics: ``rank0 = scale`` for every node (any endpoint of any
+    edge); each iteration ``rank' (n) = floor(scale*(den-num)/den) +
+    Σ_{e: src->n} floor(rank(src)*num / (den*outdeg(src)))``. Dangling
+    mass evaporates (documented simplification — this is a per-node
+    quality SIGNAL, not the normalized eigenvector; ordering is what
+    downstream filters consume). Multi-edges count once per edge.
+
+    Plan shape per iteration: edges⋈deg⋈ranks (all equi-joins on the
+    node id, map-side combinable contribution agg — the exchange
+    carries one row per in-linked node) + a left join back to the node
+    set for no-in-link nodes. ``iters`` is small and fixed (3–10);
+    like duplicate_clusters the lineage grows per round, so production
+    runs at larger ``iters`` should localCheckpoint every few rounds.
+    Overflow headroom: rank ≤ scale·N concentrates only pathologically;
+    with scale 10⁶ and ranks < 2⁵⁰, ``rank*num`` stays far inside int64.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    base = (scale * (damping_den - damping_num)) // damping_den
+
+    def idiv(a, b):  # exact integer floor division for non-negative a, b
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                idiv(F.col("rank") * damping_num,
+                     F.col("outdeg") * damping_den).alias("c"),
+            )
+            .groupBy("node").agg(F.sum("c").alias("insum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("insum"), F.lit(0)))
+            .cast("long").alias("rank"),
+        )
+    return ranks
