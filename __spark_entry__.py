@@ -1213,6 +1213,18 @@ def q_web_latest_revision(spark, sf):
         "doc_id", "canonical_url", "n_revisions")
 
 
+def q_web_blocklist(spark, sf):
+    # URL blocklist curation over the synthesized crawl URLs: one host
+    # suffix (hits src3 hosts at every w* subdomain) + one path prefix
+    # (hits the /de language paths) — exercises label-boundary host
+    # matching and literal path prefixes in one scan
+    return WB.blocklist_filter(
+        _urls(spark, sf),
+        host_suffixes=["src3.example0.com"],
+        path_prefixes=["/de"],
+    ).select("doc_id", "url", "blocked")
+
+
 def q_web_pagerank(spark, sf):
     # fixed-point PageRank over a deterministic synthetic link graph;
     # integer arithmetic makes the result partitioning-insensitive and
@@ -1337,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_semdedup_keep": q_ann_semdedup_keep,
         "web_latest_revision": q_web_latest_revision,
         "web_pagerank": q_web_pagerank,
+        "web_blocklist": q_web_blocklist,
     }
 
 
@@ -2916,6 +2929,23 @@ def oracle_sql() -> dict[str, str]:
         # 3 unrolled fixed-point iterations: BIGINT floor division (//)
         # and integer sums replay Spark's arithmetic bit-for-bit
         "web_pagerank": _pagerank_sql(iters=3),
+        # the oracle derives blocked from the URL-GENERATING columns (the
+        # semantic ground truth): host ends with .src3.example0.com iff
+        # source='src3' and doc_id%3=0; path starts with /de iff lang='de'
+        # and the path branch is taken (doc_id%3 != 0) — an independent
+        # derivation, not a replay of the Spark-side host/path parsing
+        "web_blocklist": """
+            SELECT doc_id,
+                'https://w' || (doc_id % 5)::VARCHAR || '.' || source
+                || '.example' || (doc_id % 3)::VARCHAR || '.com'
+                || CASE WHEN doc_id % 3 = 0 THEN '/'
+                        WHEN doc_id % 3 = 1 THEN '/' || lang
+                        ELSE '/' || lang || '/a/b' END
+                || CASE WHEN doc_id % 2 = 0 THEN '?id=1&ref=rss' ELSE '' END
+                AS url,
+                (doc_id % 3 = 0 AND source = 'src3')
+                OR (doc_id % 3 <> 0 AND lang = 'de') AS blocked
+            FROM documents WHERE source IS NOT NULL""",
         "web_latest_revision": """
             WITH u AS (SELECT doc_id,
                  'https://w' || (doc_id % 5) || '.example.com/p' || (doc_id % 7)

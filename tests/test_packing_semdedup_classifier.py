@@ -219,3 +219,26 @@ def test_pagerank_is_integer_and_deterministic(spark):
     a = sorted(pagerank(edges, iters=3).collect())
     b = sorted(pagerank(edges.repartition(7), iters=3).collect())
     assert a == b  # partitioning-insensitive by integer construction
+
+
+# ---------------------------------------------------------------- blocklist
+
+def test_blocklist_filter_host_and_path(spark):
+    from themis_spark.operators.web import blocklist_filter
+
+    rows = [
+        (1, "https://ads.example.com/x"),          # exact host
+        (2, "https://sub.ads.example.com/x"),      # subdomain of blocked
+        (3, "https://bads.example.com/x"),         # NOT blocked (label boundary)
+        (4, "https://ok.example.com/tracker/pixel"),  # path prefix
+        (5, "https://ok.example.com/fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["blocked"] for r in blocklist_filter(
+        df, host_suffixes=["ads.example.com"],
+        path_prefixes=["/tracker/"]).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: True, 5: False}
+    kept = blocklist_filter(
+        df, host_suffixes=["ads.example.com"], path_prefixes=["/tracker/"],
+        mode="drop").count()
+    assert kept == 2

@@ -325,7 +325,10 @@ def frequent_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("value"))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    # constant partition key: same single-partition execution (fine — the
+    # frame is ≤k rows after the limit) without the WindowExec
+    # "No Partition Defined" warning on every run
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("value"))
     return counts.select(
         F.lit(column).alias("column"),
         F.row_number().over(w).alias("rank"),

@@ -291,3 +291,40 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .cast("long").alias("rank"),
         )
     return ranks
+
+
+def blocklist_filter(df: DataFrame, url: str = "url",
+                     host_suffixes: list[str] | None = None,
+                     path_prefixes: list[str] | None = None,
+                     mode: str = "flag") -> DataFrame:
+    """Blocklist curation (the RefinedWeb/Dolma-style URL filter): flag
+    or drop rows whose host matches a blocked registrable suffix or
+    whose path starts with a blocked prefix.
+
+    ``host_suffixes`` match whole label boundaries (``"ads.example"``
+    blocks ``ads.example`` and ``*.ads.example``, never
+    ``bads.example``); ``path_prefixes`` are literal path prefixes
+    (``"/tracker/"``). Both lists fold into ONE scan-stage boolean
+    column at compile time (a when/ends-with chain over the parsed
+    host — no join, no shuffle, no regex escaping pitfalls from user
+    strings). Blocklists of production size (10⁴–10⁶ entries) should
+    use the broadcast-join form instead: join host against a blocked-
+    suffix table on the host's registrable domain — this literal form
+    is for the common curated-list case (≤ a few hundred entries).
+
+    ``mode="flag"`` appends a ``blocked`` boolean (for funnel
+    attribution via filter_funnel); ``mode="drop"`` returns survivors.
+    """
+    host = host_col(F.col(url))
+    path = F.regexp_extract(F.col(url), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    blocked = F.lit(False)
+    for sfx in host_suffixes or []:
+        s = sfx.lower().lstrip(".")
+        blocked = blocked | (host == s) | host.endswith("." + s)
+    for pfx in path_prefixes or []:
+        blocked = blocked | path.startswith(pfx)
+    if mode == "drop":
+        return df.where(~blocked)
+    if mode != "flag":
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    return df.withColumn("blocked", blocked)
