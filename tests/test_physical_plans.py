@@ -179,3 +179,54 @@ def test_new_keyword_queries_compile_pure_native(spark):
         plan_str = _plan(df)
         assert "ArrowEvalPython" not in plan_str, (schema["id"], plan_str)
         assert "BatchEvalPython" not in plan_str, (schema["id"], plan_str)
+
+
+def test_pack_offsets_single_exchange(spark):
+    from themis_spark.operators.stats import pack_offsets
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_tokens"))
+    plan = _plan(pack_offsets(df, ctx_len=256, buckets=16))
+    # ONE shuffle: the bucket repartition feeding the window prefix sum
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_pair_join_not_coalesced_to_one_task(spark):
+    from themis_spark.operators.similarity import semantic_duplicates
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), F.lit(1.0).cast("float")
+        ).alias("embedding"))
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [2.0, 1.0]]
+    pairs = semantic_duplicates(df, centroids=cents, threshold=0.0)
+    plan = _plan(pairs)
+    # the user-specified repartition must survive in the plan (AQE may
+    # not coalesce it down to one partition under the quadratic join)
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan \
+        or "hashpartitioning(cell" in plan, plan
+    pairs.count()  # and it must actually execute
+
+
+def test_latest_revisions_single_window_exchange(spark):
+    from themis_spark.operators.web import latest_revisions
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/p", 5), (2, "https://a.example.com/p", 9)],
+        "doc_id long, url string, fetched_at long")
+    plan = _plan(latest_revisions(df, key="doc_id"))
+    # rank + revision count share ONE canonical-key exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_blocklist_is_scan_stage(spark):
+    from themis_spark.operators.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/p")], "doc_id long, url string")
+    plan = _plan(blocklist_filter(df, host_suffixes=["x.example.com"],
+                                  path_prefixes=["/t/"]))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
