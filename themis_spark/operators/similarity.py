@@ -48,17 +48,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbours per query: (query_key, neighbor_key, cosine,
     rank). Queries are broadcast — the corpus never shuffles."""
+    # norms are hoisted to one-per-row columns: cosine_col inline would
+    # recompute BOTH norms per (query, corpus) candidate — O(pairs·dim)
+    # HOF work for values that are per-row constants. Same expression
+    # (dot / (n_q · n_c)), same evaluation order → bit-identical cosines.
     q = F.broadcast(
-        queries.select(F.col(key).alias("query_key"), F.col(vec).alias("q_vec"))
+        queries.select(F.col(key).alias("query_key"), F.col(vec).alias("q_vec"),
+                       norm_col(F.col(vec)).alias("__qn"))
     )
-    c = corpus.select(F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"))
+    c = corpus.select(F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"),
+                      norm_col(F.col(vec)).alias("__cn"))
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_key") != F.col("query_key"))
         .select(
             "query_key",
             "neighbor_key",
-            F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(dot_col(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("__qn") * F.col("__cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_key").orderBy(
@@ -120,20 +127,24 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"),
         lsh_code_col(F.col(vec), planes).alias("code"),
+        norm_col(F.col(vec)).alias("__cn"),
     )
     base = lsh_code_col(F.col(vec), planes)
     probe_codes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)])
     q = F.broadcast(
         queries.select(
             F.col(key).alias("query_key"), F.col(vec).alias("q_vec"),
+            norm_col(F.col(vec)).alias("__qn"),
             F.explode(probe_codes).alias("code"),
         )
     )
     scored = (
+        # norms hoisted per row (see cosine_topk) — bit-identical cosines
         c.join(q, "code")
         .where(F.col("neighbor_key") != F.col("query_key"))
         .select("query_key", "neighbor_key",
-                F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+                F.round(dot_col(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("__qn") * F.col("__cn")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_key").orderBy(F.col("cosine").desc(), F.col("neighbor_key").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -265,18 +276,22 @@ def ivf_topk(
     c = corpus.select(
         F.col(key).alias("neighbor_key"), F.col(vec).alias("c_vec"),
         ivf_cell_col(F.col(vec), centroids).alias("cell"),
+        norm_col(F.col(vec)).alias("__cn"),
     )
     q = F.broadcast(
         queries.select(
             F.col(key).alias("query_key"), F.col(vec).alias("q_vec"),
+            norm_col(F.col(vec)).alias("__qn"),
             F.explode(ivf_probe_cells_col(F.col(vec), centroids, n_probe)).alias("cell"),
         )
     )
     scored = (
+        # norms hoisted per row (see cosine_topk) — bit-identical cosines
         c.join(q, "cell")
         .where(F.col("neighbor_key") != F.col("query_key"))
         .select("query_key", "neighbor_key",
-                F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+                F.round(dot_col(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("__qn") * F.col("__cn")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_key").orderBy(F.col("cosine").desc(), F.col("neighbor_key").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -296,15 +311,17 @@ def embedding_near_duplicates(
     planes = _hyperplanes(dim, n_planes, seed)
     base = lsh_code_col(F.col(vec), planes)
     probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
-    a = df.select(F.col(key), F.col(vec), F.explode(probes).alias("code")).alias("a")
-    b = df.select(F.col(key), F.col(vec), base.alias("code")).alias("b")
+    nrm = norm_col(F.col(vec)).alias("__n")  # hoisted per row, see cosine_topk
+    a = df.select(F.col(key), F.col(vec), nrm, F.explode(probes).alias("code")).alias("a")
+    b = df.select(F.col(key), F.col(vec), nrm, base.alias("code")).alias("b")
     return (
         # no pair dedup needed: a's probe codes are distinct, so at most
         # one of them can equal b's single code
         a.join(b, (F.col("a.code") == F.col("b.code")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
         .select(
             F.col(f"a.{key}").alias("a_key"), F.col(f"b.{key}").alias("b_key"),
-            F.round(cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")), 6).alias("cosine"),
+            F.round(dot_col(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
+                    / (F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
