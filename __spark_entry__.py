@@ -5,13 +5,16 @@ validation pass on sf0.001, return the violation rows.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 (draft-4 keyword checks, stats, constraints, dedup,
-similarity, text analysis, multimodal plumbing). Every SQL-expressible
-operator has a DuckDB oracle; hashes/fingerprints use the portable
-md5-based 60-bit hash (themis_spark.functions.hashing) so DuckDB can
-replay MinHash/SimHash signatures EXACTLY.
-
-Non-SQL-expressible ops (HLL sketch bytes, KS drift, LSH bucket joins,
-checkpoint/resume) are covered by tests/ and get rows-only checks here.
+similarity, text analysis, multimodal decode, web/pipeline ops). EVERY
+query has a DuckDB oracle: hashes/fingerprints use the portable
+md5-based 60-bit hash (themis_spark.functions.hashing) so DuckDB
+replays MinHash/SimHash signatures exactly; hyperplanes/centroids/
+weights enter as literals or init-only derivations both engines
+re-compute; iterative ops (PageRank, duplicate clusters) use integer
+or recursive-CTE replays. Ops whose OUTPUT bytes aren't portable (HLL
+sketch internals) assert oracle-checkable claims about them instead
+(exact count + estimate-within-bound). Checkpoint/resume and streaming
+are covered by tests/ (kill-and-resume, batch-boundary contracts).
 """
 
 from __future__ import annotations
