@@ -192,3 +192,33 @@ def test_extracted_text_roundtrip(spark):
     assert got[3] == "spaced out words"                  # whitespace normalized
     # head/title content never leaks into the extraction
     assert "x" != got[1][:1]
+
+
+def test_classifier_and_funnel_ops_work_on_streams(spark, tmpdir_path):
+    # stateless scan-stage ops (classifier scoring, blocklist flagging)
+    # must compose onto readStream unchanged — no batch-only API leaks
+    from themis_spark.operators.text import classifier_scores, hashed_weights
+    from themis_spark.operators.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "clean text here", "https://ads.example.com/x"),
+         (2, "more text", "https://ok.example.com/y")],
+        "doc_id long, text string, url string")
+    df.write.mode("overwrite").parquet(f"{tmpdir_path}/cin")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmpdir_path}/cin")
+
+    scored = classifier_scores(stream, weights=hashed_weights(64))
+    flagged = blocklist_filter(stream, host_suffixes=["ads.example.com"])
+    assert scored.isStreaming and flagged.isStreaming
+
+    q = (scored.writeStream.format("memory").queryName("cls")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("select * from cls").collect()}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+
+    q2 = (flagged.writeStream.format("memory").queryName("blk")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    blk = {r["doc_id"]: r["blocked"] for r in spark.sql("select * from blk").collect()}
+    assert blk == {1: True, 2: False}
