@@ -95,3 +95,15 @@ def test_host_cpu_probe_column_rendered(campaigns_file, tmp_path):
     bench._write_baseline_md(bench._load_campaigns())
     md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
     assert "| 0.87 |" in md
+
+
+def test_bench_headline_keys_all_resolve():
+    # a HEADLINE typo would crash the driver's bench run with a KeyError
+    import bench
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, missing
+    # and every query has an oracle (the driver's correctness gate)
+    assert set(qs) == set(entry.oracle_sql())
