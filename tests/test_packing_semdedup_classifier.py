@@ -242,3 +242,13 @@ def test_blocklist_filter_host_and_path(spark):
         df, host_suffixes=["ads.example.com"], path_prefixes=["/tracker/"],
         mode="drop").count()
     assert kept == 2
+
+
+def test_blocklist_null_url_is_not_blocked(spark):
+    from themis_spark.operators.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://ads.example.com/x")], "doc_id long, url string")
+    out = {r["doc_id"]: r["blocked"] for r in blocklist_filter(
+        df, host_suffixes=["ads.example.com"]).collect()}
+    assert out == {1: False, 2: True}  # boolean, never NULL

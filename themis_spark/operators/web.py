@@ -323,6 +323,10 @@ def blocklist_filter(df: DataFrame, url: str = "url",
         blocked = blocked | (host == s) | host.endswith("." + s)
     for pfx in path_prefixes or []:
         blocked = blocked | path.startswith(pfx)
+    # NULL url => NULL host/path => (false OR NULL) is NULL in SQL
+    # three-valued logic; pin the verdict to a boolean (an unparseable
+    # row is not blocklisted — it is the quality filters' problem)
+    blocked = F.coalesce(blocked, F.lit(False))
     if mode == "drop":
         return df.where(~blocked)
     if mode != "flag":
