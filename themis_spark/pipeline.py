@@ -1,0 +1,134 @@
+"""End-to-end corpus curation recipe: the composition story for the
+web-pipeline operators (the CCNet / Gopher / FineWeb shape):
+
+    blocklist -> text quality rules -> classifier -> exact dedup
+    -> near-dup (MinHash-LSH) -> sequence packing
+
+Everything before dedup is ONE conjunctive scan-stage predicate (the
+operators all compile to native Columns), so the filter front costs a
+single pass with zero shuffle; the dedup stages shuffle only digests and
+banded signatures; packing adds its one bucket exchange. `curate()`
+returns the survivors plus the funnel report that attributes every
+dropped row to the FIRST stage that rejected it — the per-stage
+accounting a curation run publishes.
+
+This module adds no new operator semantics — it is the documented,
+tested composition of existing ones (each oracle-backed individually).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationConfig:
+    url: str = "url"
+    key: str = "doc_id"
+    text: str = "text"
+    blocked_hosts: list[str] = field(default_factory=list)
+    blocked_path_prefixes: list[str] = field(default_factory=list)
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    classifier_weights: list[float] | None = None  # None = skip the stage
+    classifier_bias: float = 0.0
+    near_dup: bool = True
+    num_hashes: int = 12
+    bands: int = 6
+    jaccard_threshold: float = 0.5
+    ctx_len: int = 2048
+    pack_buckets: int = 64
+
+
+def _filter_rules(cfg: CurationConfig) -> list[tuple[str, Column]]:
+    """The scan-stage rule list, in published funnel order. Each rule is
+    a native Column predicate; NULL evaluates as a failure (the
+    filter_funnel contract)."""
+    from themis_spark.operators.text import gopher_quality_cols, token_count_col
+
+    rules: list[tuple[str, Column]] = []
+    if cfg.blocked_hosts or cfg.blocked_path_prefixes:
+        # the blocklist predicate, same construction as
+        # web.blocklist_filter (which operates on frames, not rules)
+        from themis_spark.operators import web as _web
+
+        host = _web.host_col(F.col(cfg.url))
+        path = F.regexp_extract(
+            F.col(cfg.url), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        b = F.lit(False)
+        for sfx in cfg.blocked_hosts:
+            s = sfx.lower().lstrip(".")
+            b = b | (host == s) | host.endswith("." + s)
+        for pfx in cfg.blocked_path_prefixes:
+            b = b | path.startswith(pfx)
+        rules.append(("blocklist", ~F.coalesce(b, F.lit(False))))
+    toks = token_count_col(F.col(cfg.text))
+    rules.append(("length", toks.between(cfg.min_tokens, cfg.max_tokens)))
+    # gopher_quality_cols emits VALUE columns in a fixed order
+    # (n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    # stopword_hits, gopher_pass); the funnel applies the published
+    # bounds to two of them — the length band above covers word count
+    g = gopher_quality_cols(F.col(cfg.text))
+    rules.append(("gopher_symbols", g[2] <= 0.1))
+    rules.append(("gopher_alpha", g[3] >= 0.8))
+    return rules
+
+
+def curate(df: DataFrame, cfg: CurationConfig | None = None) -> dict:
+    """Run the full curation funnel. Returns a dict:
+
+    * ``survivors`` — the curated DataFrame (original columns +
+      ``n_tokens``), exact- and near-dup-free, classifier-passing;
+    * ``funnel`` — the scan-stage drop report (one row per rule,
+      first-fail attribution);
+    * ``packing`` — per-bucket packing summary for the survivors at
+      ``cfg.ctx_len`` (chunks + tail waste).
+
+    Plan shape: rules fold into one scan; the classifier stage is a
+    further scan-stage projection (weights are a plan literal); exact
+    dedup shuffles (digest) once; LSH near-dup shuffles banded
+    signatures once (capped buckets); packing adds its single bucket
+    exchange. Nothing in the funnel collects to the driver except the
+    funnel's own ≤(rules+1)-row count aggregate."""
+    from themis_spark.operators.dedup import exact_duplicates, lsh_verified_pairs
+    from themis_spark.operators.stats import pack_summary
+    from themis_spark.operators.text import (
+        apply_filters,
+        classifier_scores,
+        filter_funnel,
+        token_count_col,
+    )
+
+    cfg = cfg or CurationConfig()
+    rules = _filter_rules(cfg)
+    funnel = filter_funnel(df, rules)
+    kept = apply_filters(df, rules)
+
+    if cfg.classifier_weights is not None:
+        scored = classifier_scores(
+            kept, key=cfg.key, text=cfg.text,
+            weights=cfg.classifier_weights, bias=cfg.classifier_bias)
+        keep_keys = scored.where(F.col("label")).select(cfg.key)
+        kept = kept.join(keep_keys, cfg.key, "left_semi")
+
+    # exact dedup: drop every row of a digest group except its min key
+    dups = exact_duplicates(kept, key=cfg.key, text=cfg.text)
+    losers = (dups.select(F.explode("members").alias(cfg.key), "keep_key")
+              .where(F.col(cfg.key) != F.col("keep_key")).select(cfg.key))
+    kept = kept.join(losers, cfg.key, "left_anti")
+
+    if cfg.near_dup:
+        pairs = lsh_verified_pairs(
+            kept, key=cfg.key, text=cfg.text, num_hashes=cfg.num_hashes,
+            bands=cfg.bands, threshold=cfg.jaccard_threshold)
+        near_losers = pairs.select(F.col("b_key").alias(cfg.key)).distinct()
+        kept = kept.join(near_losers, cfg.key, "left_anti")
+
+    survivors = kept.withColumn(
+        "n_tokens", token_count_col(F.col(cfg.text)).cast("long"))
+    packing = pack_summary(survivors, key=cfg.key, tokens="n_tokens",
+                           ctx_len=cfg.ctx_len, buckets=cfg.pack_buckets)
+    return {"survivors": survivors, "funnel": funnel, "packing": packing}
