@@ -84,3 +84,25 @@ def test_curate_plan_has_no_python(spark):
     out = curate(_corpus(spark), CurationConfig(min_tokens=5))
     plan = out["survivors"]._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_classifier_scores_matches_keyed_form(spark):
+    from themis_spark.operators.text import (
+        classifier_scores,
+        hashed_weights,
+        with_classifier_scores,
+    )
+
+    df = _corpus(spark)
+    w = hashed_weights(64)
+    keyed = {r["doc_id"]: r for r in
+             classifier_scores(df, weights=w, bias=0.1).collect()}
+    framed = {r["doc_id"]: r for r in
+              with_classifier_scores(df, weights=w, bias=0.1).collect()}
+    assert set(framed) >= set(keyed)
+    for k, r in keyed.items():
+        assert framed[k]["clf_logit"] == r["logit"]
+        assert framed[k]["clf_label"] == r["label"]
+        assert framed[k]["clf_n_tokens"] == r["n_tokens"]
+        # input columns pass through
+        assert framed[k]["url"] is not None

@@ -578,3 +578,54 @@ def classifier_scores(df, key: str = "doc_id", text: str = "text",
         (logit > 0).alias("label"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("score"),
     )
+
+
+def with_classifier_scores(df, text: str = "text",
+                           weights: list[float] | None = None,
+                           bias: float = 0.0, round_to: int = 6):
+    """Frame-preserving classifier inference: the input columns pass
+    through and ``clf_n_tokens`` / ``clf_logit`` / ``clf_label`` are
+    appended — the form a curation pipeline filters on WITHOUT a second
+    scan or a key semi-join (classifier_scores projects a fresh keyed
+    frame; this one stays inside the same scan so
+    ``.where(F.col("clf_label"))`` composes with the other filter
+    rules). Same staged-select materialization: the token array and the
+    weight fold each evaluate once per row. NULL text scores NULL (the
+    caller's rules decide what NULL means — filter_funnel counts it as
+    a failure)."""
+    if weights is None:
+        weights = hashed_weights()
+    dim = len(weights)
+    w_lit = F.lit(weights)
+    c = F.col(text)
+    toks = F.when(c.isNotNull(),
+                  F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
+                           lambda t: F.length(t) > 0))
+    staged = df.select("*", toks.alias("__clf_toks"))
+    folded = staged.select(
+        "*",
+        F.size("__clf_toks").alias("__clf_n"),
+        F.aggregate(
+            F.transform(
+                "__clf_toks",
+                lambda t: F.element_at(
+                    w_lit, (F.pmod(hash60(t), F.lit(dim)) + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__clf_wsum"),
+    )
+    logit = F.lit(float(bias)) + F.when(
+        F.col("__clf_n") > 0, F.col("__clf_wsum") / F.col("__clf_n")
+    ).otherwise(F.lit(0.0))
+    return (
+        folded.withColumn("clf_n_tokens",
+                          F.when(F.col("__clf_toks").isNotNull(),
+                                 F.col("__clf_n")))
+        .withColumn("clf_logit",
+                    F.when(F.col("__clf_toks").isNotNull(),
+                           F.round(logit, round_to)))
+        .withColumn("clf_label",
+                    F.when(F.col("__clf_toks").isNotNull(), logit > 0))
+        .drop("__clf_toks", "__clf_n", "__clf_wsum")
+    )

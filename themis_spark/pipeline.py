@@ -97,9 +97,9 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> dict:
     from themis_spark.operators.stats import pack_summary
     from themis_spark.operators.text import (
         apply_filters,
-        classifier_scores,
         filter_funnel,
         token_count_col,
+        with_classifier_scores,
     )
 
     cfg = cfg or CurationConfig()
@@ -108,11 +108,15 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> dict:
     kept = apply_filters(df, rules)
 
     if cfg.classifier_weights is not None:
-        scored = classifier_scores(
-            kept, key=cfg.key, text=cfg.text,
-            weights=cfg.classifier_weights, bias=cfg.classifier_bias)
-        keep_keys = scored.where(F.col("label")).select(cfg.key)
-        kept = kept.join(keep_keys, cfg.key, "left_semi")
+        # frame-preserving form: scores ride the SAME scan as the rules
+        # (no key semi-join, no second pass over the corpus)
+        kept = (
+            with_classifier_scores(
+                kept, text=cfg.text,
+                weights=cfg.classifier_weights, bias=cfg.classifier_bias)
+            .where(F.coalesce(F.col("clf_label"), F.lit(False)))
+            .drop("clf_n_tokens", "clf_logit", "clf_label")
+        )
 
     # exact dedup: drop every row of a digest group except its min key
     dups = exact_duplicates(kept, key=cfg.key, text=cfg.text)
