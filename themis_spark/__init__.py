@@ -18,6 +18,7 @@ sources/    table IO abstraction (partitioned Parquet now, Iceberg-shaped
             API) + the deterministic synthetic pages-table generator.
 streaming/  Structured Streaming wrapper (foreachBatch validation).
 runner.py   checkpointed, resumable end-to-end validation runs.
+pipeline.py the documented curation composition (curate()).
 """
 
 from themis_spark.api import Validator, validator, validator_from_table
@@ -29,6 +30,7 @@ from themis_spark.plans.compiler import (
     compile_plan,
 )
 from themis_spark.plans.infer import infer_draft4_schema, json_path_profile
+from themis_spark.pipeline import CurationConfig, curate
 from themis_spark.sources.tableio import open_table
 
 __version__ = "0.2.0"
@@ -47,4 +49,6 @@ __all__ = [
     "infer_draft4_schema",
     "json_path_profile",
     "open_table",
+    "curate",
+    "CurationConfig",
 ]
