@@ -252,3 +252,20 @@ def test_blocklist_null_url_is_not_blocked(spark):
     out = {r["doc_id"]: r["blocked"] for r in blocklist_filter(
         df, host_suffixes=["ads.example.com"]).collect()}
     assert out == {1: False, 2: True}  # boolean, never NULL
+
+
+def test_blocklist_is_host_case_insensitive(spark):
+    # RFC 4343: hostnames are case-insensitive; mixed-case hosts and
+    # uppercase schemes must not evade the blocklist
+    from themis_spark.operators.web import blocklist_filter
+
+    rows = [(1, "https://Ads.Example.com/x"),
+            (2, "HTTPS://ADS.EXAMPLE.COM/x"),
+            (3, "https://sub.ADS.example.COM/x"),
+            (4, "https://ok.example.com/T/p"),   # path stays case-SENSITIVE
+            (5, "https://ok.example.com/t/p")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["blocked"] for r in blocklist_filter(
+        df, host_suffixes=["ads.example.com"],
+        path_prefixes=["/t/"]).collect()}
+    assert out == {1: True, 2: True, 3: True, 4: False, 5: True}

@@ -408,9 +408,15 @@ def semdedup_keep(
 ) -> DataFrame:
     """Per-row keep/drop decision ``(key, keep)``: a row is dropped when
     some LOWER-keyed row in its cell sits within the cosine threshold
-    (the deterministic keep-first rule — every drop has a surviving
-    representative, and the decision replays identically on re-runs and
-    in the SQL oracle). The drop set is the distinct b-side of
+    (the deterministic keep-lowest rule; replays identically on re-runs
+    and in the SQL oracle). Note the rule is GREEDY, not component-wise:
+    under a transitive chain (a~b, b~c, a≁c) both b and c drop even
+    though c's only within-threshold neighbour b did not survive —
+    standard SemDeDup behavior (it removes aggressively inside a
+    semantic cluster). Pipe :func:`semantic_duplicates` through
+    ``dedup.duplicate_clusters`` instead when you need exactly one
+    survivor per CONNECTED component with a valid representative
+    mapping. The drop set is the distinct b-side of
     :func:`semantic_duplicates`; corpus rows never shuffle for the
     verdict join when the drop set is small enough to broadcast."""
     pairs = semantic_duplicates(df, vec, key, centroids, threshold, n_cells, max_cell)

@@ -763,8 +763,11 @@ def pack_offsets(df: DataFrame, key: str = "doc_id",
     cores and every stream stays embarrassingly parallel, while a
     single global stream would serialize the cumsum. The deterministic
     (hash, key) order makes packing resume-safe and exactly replayable
-    (same property as stratified_sample); all arithmetic is integer —
-    exact, oracle-replayable.
+    (same property as stratified_sample); the arithmetic is integer
+    sums plus an exactly-divisible division (the `(c - c%ctx)/ctx`
+    floor), exact while a bucket stream's total tokens stays below 2⁵³
+    — at 10¹² docs × 2k tokens that bound needs only ≥ a few hundred
+    buckets, which the parallelism guidance above already demands.
 
     Zero-token documents occupy no chunk (``n_chunks = 0``); documents
     longer than ``ctx_len`` span multiple chunks (they get split at

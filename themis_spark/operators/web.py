@@ -209,8 +209,9 @@ def latest_revisions(df: DataFrame, url: str = "url", ts: str = "fetched_at",
     """Crawl-snapshot consolidation: ONE row per canonical URL — the
     newest fetch wins (re-crawls, tracking-param variants, http/https and
     trailing-slash twins all collapse). Input rows pass through with two
-    added columns: ``canonical_url`` and ``n_revisions`` (how many raw
-    rows the survivor beat — the re-crawl-depth signal).
+    added columns: ``canonical_url`` and ``n_revisions`` — the TOTAL
+    raw fetches of that canonical URL, survivor included (so
+    ``n_revisions - 1`` rows were dropped; the re-crawl-depth signal).
 
     Deterministic: ties on the timestamp break on ``key`` ascending (or
     the raw URL string when no key column is given), so resume/re-runs
@@ -293,6 +294,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def blocked_col(url: Column | str,
+                host_suffixes: list[str] | None = None,
+                path_prefixes: list[str] | None = None) -> Column:
+    """The blocklist verdict as a reusable boolean Column (shared by
+    :func:`blocklist_filter` and ``pipeline.curate``'s funnel rule).
+
+    Hostnames are case-insensitive (RFC 4343) — the parsed host is
+    lowercased before the suffix comparison, and the scheme match is
+    case-insensitive, so ``HTTPS://Ads.Example.com`` cannot evade a
+    lowercase blocklist entry. Paths stay case-sensitive (they are on
+    most origin servers). NULL/unparseable urls pin to ``false`` —
+    (false OR NULL) is NULL under SQL three-valued logic, and an
+    unparseable row is the quality filters' problem, not a blocklist
+    hit."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, r"^(?i)[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+    path = F.regexp_extract(u, r"^(?i)[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    blocked = F.lit(False)
+    for sfx in host_suffixes or []:
+        s = sfx.lower().lstrip(".")
+        blocked = blocked | (host == s) | host.endswith("." + s)
+    for pfx in path_prefixes or []:
+        blocked = blocked | path.startswith(pfx)
+    return F.coalesce(blocked, F.lit(False))
+
+
 def blocklist_filter(df: DataFrame, url: str = "url",
                      host_suffixes: list[str] | None = None,
                      path_prefixes: list[str] | None = None,
@@ -303,30 +330,20 @@ def blocklist_filter(df: DataFrame, url: str = "url",
 
     ``host_suffixes`` match whole label boundaries (``"ads.example"``
     blocks ``ads.example`` and ``*.ads.example``, never
-    ``bads.example``); ``path_prefixes`` are literal path prefixes
-    (``"/tracker/"``). Both lists fold into ONE scan-stage boolean
-    column at compile time (a when/ends-with chain over the parsed
-    host — no join, no shuffle, no regex escaping pitfalls from user
-    strings). Blocklists of production size (10⁴–10⁶ entries) should
-    use the broadcast-join form instead: join host against a blocked-
-    suffix table on the host's registrable domain — this literal form
-    is for the common curated-list case (≤ a few hundred entries).
+    ``bads.example``), case-insensitively; ``path_prefixes`` are
+    literal case-sensitive path prefixes (``"/tracker/"``). Both lists
+    fold into ONE scan-stage boolean column at compile time (a
+    when/ends-with chain over the parsed host — no join, no shuffle,
+    no regex escaping pitfalls from user strings). Blocklists of
+    production size (10⁴–10⁶ entries) should use the broadcast-join
+    form instead: join host against a blocked-suffix table on the
+    host's registrable domain — this literal form is for the common
+    curated-list case (≤ a few hundred entries).
 
     ``mode="flag"`` appends a ``blocked`` boolean (for funnel
     attribution via filter_funnel); ``mode="drop"`` returns survivors.
     """
-    host = host_col(F.col(url))
-    path = F.regexp_extract(F.col(url), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    blocked = F.lit(False)
-    for sfx in host_suffixes or []:
-        s = sfx.lower().lstrip(".")
-        blocked = blocked | (host == s) | host.endswith("." + s)
-    for pfx in path_prefixes or []:
-        blocked = blocked | path.startswith(pfx)
-    # NULL url => NULL host/path => (false OR NULL) is NULL in SQL
-    # three-valued logic; pin the verdict to a boolean (an unparseable
-    # row is not blocklisted — it is the quality filters' problem)
-    blocked = F.coalesce(blocked, F.lit(False))
+    blocked = blocked_col(F.col(url), host_suffixes, path_prefixes)
     if mode == "drop":
         return df.where(~blocked)
     if mode != "flag":

@@ -9,8 +9,11 @@ operators all compile to native Columns), so the filter front costs a
 single pass with zero shuffle; the dedup stages shuffle only digests and
 banded signatures; packing adds its one bucket exchange. `curate()`
 returns the survivors plus the funnel report that attributes every
-dropped row to the FIRST stage that rejected it — the per-stage
-accounting a curation run publishes.
+SCAN-RULE drop to the first rule that rejected it; classifier and
+dedup drops are not in the funnel (counting them would force an extra
+full recomputation per stage) — reconcile those as
+`count(rule survivors) - count(final survivors)` if a run needs the
+complete ledger.
 
 This module adds no new operator semantics — it is the documented,
 tested composition of existing ones (each oracle-backed individually).
@@ -49,22 +52,12 @@ def _filter_rules(cfg: CurationConfig) -> list[tuple[str, Column]]:
     filter_funnel contract)."""
     from themis_spark.operators.text import gopher_quality_cols, token_count_col
 
+    from themis_spark.operators.web import blocked_col
+
     rules: list[tuple[str, Column]] = []
     if cfg.blocked_hosts or cfg.blocked_path_prefixes:
-        # the blocklist predicate, same construction as
-        # web.blocklist_filter (which operates on frames, not rules)
-        from themis_spark.operators import web as _web
-
-        host = _web.host_col(F.col(cfg.url))
-        path = F.regexp_extract(
-            F.col(cfg.url), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-        b = F.lit(False)
-        for sfx in cfg.blocked_hosts:
-            s = sfx.lower().lstrip(".")
-            b = b | (host == s) | host.endswith("." + s)
-        for pfx in cfg.blocked_path_prefixes:
-            b = b | path.startswith(pfx)
-        rules.append(("blocklist", ~F.coalesce(b, F.lit(False))))
+        rules.append(("blocklist", ~blocked_col(
+            F.col(cfg.url), cfg.blocked_hosts, cfg.blocked_path_prefixes)))
     toks = token_count_col(F.col(cfg.text))
     rules.append(("length", toks.between(cfg.min_tokens, cfg.max_tokens)))
     # gopher_quality_cols emits VALUE columns in a fixed order
