@@ -1216,6 +1216,14 @@ def q_web_latest_revision(spark, sf):
         "doc_id", "canonical_url", "n_revisions")
 
 
+def q_ann_recall(spark, sf):
+    # recall@10 of the IVF index vs brute-force exact search — built on
+    # the SAME two query definitions as ann_cosine_topk / ann_ivf, so
+    # the evaluation inherits their verified cross-engine semantics
+    return S.recall_at_k(q_ann_cosine_topk(spark, sf),
+                         q_ann_ivf(spark, sf), k=10)
+
+
 def q_web_blocklist(spark, sf):
     # URL blocklist curation over the synthesized crawl URLs: one host
     # suffix (hits src3 hosts at every w* subdomain) + one path prefix
@@ -1353,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_latest_revision": q_web_latest_revision,
         "web_pagerank": q_web_pagerank,
         "web_blocklist": q_web_blocklist,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -2292,6 +2301,42 @@ def _weights_sql_list(dim: int) -> str:
     return "[" + ", ".join(repr(w) for w in hashed_weights(dim)) + "]"
 
 
+# Exact brute-force top-k (the ann_cosine_topk oracle), shared with the
+# recall@k evaluation oracle so reference semantics stay identical.
+_ANN_EXACT_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_key, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_key, c.vec_id AS neighbor_key,
+             round(list_cosine_similarity(q.q_vec, c.embedding::DOUBLE[]), 4) AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_key),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_key
+                ORDER BY cosine DESC, neighbor_key ASC) AS rank
+      FROM scored)
+    SELECT query_key, neighbor_key, cosine, rank FROM ranked WHERE rank <= 10"""
+
+
+def _ann_recall_sql(k: int = 10) -> str:
+    """recall@k of the IVF index against exact search — both sides are
+    the EXACT oracle queries of ann_cosine_topk / ann_ivf, wrapped as
+    subqueries, so the evaluation replays whatever those two replay."""
+    return f"""
+    WITH ref AS (SELECT query_key, neighbor_key, rank
+                 FROM ({_ANN_EXACT_TOPK_SQL})),
+    cand AS (SELECT query_key, neighbor_key, rank
+             FROM ({_ann_ivf_sql(16, 4, 10, 5)})),
+    r AS (SELECT query_key, neighbor_key FROM ref WHERE rank <= {k}),
+    c AS (SELECT query_key, neighbor_key FROM cand WHERE rank <= {k}),
+    hits AS (SELECT r.query_key, count(*) AS n_hit
+             FROM r JOIN c USING (query_key, neighbor_key)
+             GROUP BY 1),
+    totals AS (SELECT query_key, count(*) AS n_ref FROM r GROUP BY 1)
+    SELECT t.query_key, t.n_ref, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) / t.n_ref, 6) AS recall
+    FROM totals t LEFT JOIN hits h USING (query_key)"""
+
+
 # Shared SemDeDup cell assignment: init-only centroids (first 32 vectors),
 # sims rounded to 6dp before the argmax, ties -> lowest cell — the exact
 # contract of similarity.ivf_cell_col.
@@ -2723,18 +2768,7 @@ def oracle_sql() -> dict[str, str]:
                        AS rank FROM c)
             SELECT 'l_partkey' AS column, rank, value::VARCHAR AS value, cnt
             FROM r WHERE rank <= 10""",
-        "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_key, embedding::DOUBLE[] AS q_vec
-                       FROM embeddings WHERE vec_id < 5),
-            scored AS (
-              SELECT q.query_key, c.vec_id AS neighbor_key,
-                     round(list_cosine_similarity(q.q_vec, c.embedding::DOUBLE[]), 4) AS cosine
-              FROM embeddings c, q WHERE c.vec_id <> q.query_key),
-            ranked AS (
-              SELECT *, row_number() OVER (PARTITION BY query_key
-                        ORDER BY cosine DESC, neighbor_key ASC) AS rank
-              FROM scored)
-            SELECT query_key, neighbor_key, cosine, rank FROM ranked WHERE rank <= 10""",
+        "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
         "mm_meta": """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                       sha256(text) AS sha FROM documents WHERE doc_id < 200""",
         "mm_decode": """
@@ -2932,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         # 3 unrolled fixed-point iterations: BIGINT floor division (//)
         # and integer sums replay Spark's arithmetic bit-for-bit
         "web_pagerank": _pagerank_sql(iters=3),
+        "ann_recall": _ann_recall_sql(10),
         # the oracle derives blocked from the URL-GENERATING columns (the
         # semantic ground truth): host ends with .src3.example0.com iff
         # source='src3' and doc_id%3=0; path starts with /de iff lang='de'

@@ -385,3 +385,23 @@ def test_containment_threshold_filters(spark):
     from themis_spark.operators.dedup import ngram_containment_pairs
 
     assert ngram_containment_pairs(df, threshold=0.1).collect() == []
+
+
+def test_recall_at_k_counts_overlap(spark):
+    from themis_spark.operators.similarity import recall_at_k
+
+    ref = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([10, 11, 12], 1)]
+        + [(2, n, r) for r, n in enumerate([20, 21], 1)],
+        "query_key long, neighbor_key long, rank long")
+    cand = spark.createDataFrame(
+        # query 1: hits 10, 12 within k; 99 is noise; query 2: misses all
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 77, 1), (2, 78, 2)],
+        "query_key long, neighbor_key long, rank long")
+    out = {r["query_key"]: r for r in recall_at_k(ref, cand, k=3).collect()}
+    assert out[1]["n_ref"] == 3 and out[1]["n_hit"] == 2
+    assert abs(out[1]["recall"] - 2 / 3) < 1e-6
+    assert out[2]["n_ref"] == 2 and out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
+    # rank > k rows in either frame are ignored
+    out2 = {r["query_key"]: r for r in recall_at_k(ref, cand, k=1).collect()}
+    assert out2[1]["n_ref"] == 1 and out2[1]["n_hit"] == 1

@@ -493,3 +493,43 @@ def centroid_cosine_stats(df: DataFrame, by: str = "label",
             F.min("__c").alias("min_cos"),
         )
     )
+
+
+# --------------------------------------------------------- ANN evaluation
+
+def recall_at_k(reference: DataFrame, candidate: DataFrame,
+                k: int = 10, round_to: int = 6) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of a candidate top-k
+    frame against a reference (exact) top-k frame — ``(query_key, n_ref,
+    n_hit, recall)``. The operational check behind every IVF/LSH
+    parameter choice (n_cells, n_probe, n_planes): run the approximate
+    index on a query SAMPLE, compare against brute-force on the same
+    sample, tune until recall clears the target.
+
+    Both inputs are the ``(query_key, neighbor_key, rank)`` shape that
+    cosine_topk / lsh_ann_topk / ivf_topk emit. Rows with rank > k are
+    ignored, so frames built at larger k can be evaluated at smaller k
+    without recomputation. ``n_ref`` is min(k, reference neighbours) —
+    recall is measured against what exact search actually found, so
+    queries with < k real neighbours aren't penalized.
+
+    Plan: two rank filters (scan-stage) → one equi-join on (query,
+    neighbour) → per-query count aggregation. Everything is
+    O(|queries|·k) — evaluation frames, never corpus-scale.
+    """
+    r = reference.where(F.col("rank") <= k).select(
+        "query_key", "neighbor_key")
+    c = candidate.where(F.col("rank") <= k).select(
+        "query_key", "neighbor_key")
+    hits = (r.join(c, ["query_key", "neighbor_key"])
+            .groupBy("query_key").agg(F.count(F.lit(1)).alias("n_hit")))
+    totals = r.groupBy("query_key").agg(F.count(F.lit(1)).alias("n_ref"))
+    return (
+        totals.join(hits, "query_key", "left")
+        .select(
+            "query_key", "n_ref",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_ref"), round_to).alias("recall"),
+        )
+    )
