@@ -1216,6 +1216,13 @@ def q_web_latest_revision(spark, sf):
         "doc_id", "canonical_url", "n_revisions")
 
 
+def q_stat_rank_buckets(spark, sf):
+    # exact quality deciles over document length — the curriculum /
+    # mixture-binning shape (deterministic (value, key) total order)
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return ST2.rank_buckets(d, "n_chars", n=10)
+
+
 def q_ann_recall(spark, sf):
     # recall@10 of the IVF index vs brute-force exact search — built on
     # the SAME two query definitions as ann_cosine_topk / ann_ivf, so
@@ -1362,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": q_web_pagerank,
         "web_blocklist": q_web_blocklist,
         "ann_recall": q_ann_recall,
+        "stat_rank_buckets": q_stat_rank_buckets,
     }
 
 
@@ -2967,6 +2975,10 @@ def oracle_sql() -> dict[str, str]:
         # and integer sums replay Spark's arithmetic bit-for-bit
         "web_pagerank": _pagerank_sql(iters=3),
         "ann_recall": _ann_recall_sql(10),
+        "stat_rank_buckets": """
+            SELECT doc_id, n_chars,
+                   ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+            FROM documents""",
         # the oracle derives blocked from the URL-GENERATING columns (the
         # semantic ground truth): host ends with .src3.example0.com iff
         # source='src3' and doc_id%3=0; path starts with /de iff lang='de'

@@ -153,3 +153,15 @@ def test_exact_dedup_stream_drops_recrawls(spark, tmpdir_path):
     )
     # windows can split a digest's occurrences, so flagged ≤ batch dups
     assert 0 < len(flagged) <= batch_dups
+
+
+def test_rank_buckets_exact_ntiles(spark):
+    from themis_spark.operators.stats import rank_buckets
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"),
+                                (F.col("id") % 5).alias("score"))
+    out = rank_buckets(df, "score", n=4)
+    rows = sorted(out.collect(), key=lambda r: (r["score"], r["doc_id"]))
+    # 10 rows into 4 tiles: sizes 3,3,2,2 in (score, key) order
+    got = [r["bucket"] for r in rows]
+    assert got == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]

@@ -831,3 +831,26 @@ def pack_summary(df: DataFrame, key: str = "doc_id",
         chunks.alias("n_chunks"),
         (chunks * ctx_len - F.col("total_tokens")).alias("tail_waste_tokens"),
     )
+
+
+def rank_buckets(df: DataFrame, column: str, n: int = 10,
+                 key: str = "doc_id") -> DataFrame:
+    """Percentile-rank bucketing: append ``bucket`` = the row's n-tile
+    (1..n) under the total order (column, key) — the
+    curriculum/mixture-binning step (\"train on the top quality decile
+    first\", \"sample uniformly per perplexity decile\"). The key
+    tiebreak makes the assignment deterministic and oracle-replayable;
+    SQL-standard NTILE semantics (remainder rows go to the lowest
+    buckets) on both engines.
+
+    The single ORDER BY window is a GLOBAL sort — one range-partitioned
+    exchange (Spark samples split bounds, so the sort parallelizes
+    across the cluster; it is the one unavoidable exchange of exact
+    n-tiles). For web-scale runs that only need approximate deciles,
+    cut on `quantile_stats` bounds with a scan-stage CASE instead —
+    this operator is the exact form.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(column).asc(), F.col(key).asc())
+    return df.withColumn("bucket", F.ntile(n).over(w))
