@@ -222,3 +222,43 @@ def test_classifier_and_funnel_ops_work_on_streams(spark, tmpdir_path):
     q2.awaitTermination(120)
     blk = {r["doc_id"]: r["blocked"] for r in spark.sql("select * from blk").collect()}
     assert blk == {1: True, 2: False}
+
+
+def test_streaming_packing_continues_across_batches(spark, tmpdir_path):
+    # per-bucket offsets must carry across micro-batches: batch 2 starts
+    # exactly where batch 1 left off (checkpointed custom state). The
+    # sink is parquet because the memory sink cannot recover from a
+    # checkpoint (same constraint as the neardup resume test).
+    import os
+
+    from themis_spark.streaming.pack_stream import pack_offsets_stream
+
+    src = f"{tmpdir_path}/pin"
+    sink, ckpt = f"{tmpdir_path}/pout", f"{tmpdir_path}/pckpt"
+    schema = "doc_id long, n_tokens long"
+    b1 = spark.createDataFrame([(1, 100), (2, 50), (3, 300)], schema)
+    # flat append into one dir: the file stream source does not recurse
+    # into nested .parquet subdirectories
+    b1.write.mode("append").parquet(src)
+
+    def run_batches():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        placed = pack_offsets_stream(stream, ctx_len=128, buckets=1)
+        q = (placed.writeStream.format("parquet").outputMode("append")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_batches()
+    got1 = {r["key"]: r for r in spark.read.parquet(sink).collect()}
+    assert got1["1"]["start_tok"] == 0
+    assert got1["2"]["start_tok"] == 100
+    assert got1["3"]["start_tok"] == 150 and got1["3"]["n_chunks"] == 3
+
+    # second file arrives -> resumed stream continues the offsets
+    b2 = spark.createDataFrame([(4, 10), (5, 0)], schema)
+    b2.write.mode("append").parquet(src)
+    run_batches()
+    got2 = {r["key"]: r for r in spark.read.parquet(sink).collect()}
+    assert got2["4"]["start_tok"] == 450  # 100+50+300
+    assert got2["5"]["n_chunks"] == 0 and got2["5"]["first_chunk"] is None
