@@ -1223,6 +1223,11 @@ def q_stat_rank_buckets(spark, sf):
     return ST2.rank_buckets(d, "n_chars", n=10)
 
 
+def q_stat_entropy(spark, sf):
+    # value-distribution entropy of the lang column (profiling signal)
+    return ST2.value_entropy(_t(spark, sf, "documents"), "lang")
+
+
 def q_ann_recall(spark, sf):
     # recall@10 of the IVF index vs brute-force exact search — built on
     # the SAME two query definitions as ann_cosine_topk / ann_ivf, so
@@ -1370,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_blocklist": q_web_blocklist,
         "ann_recall": q_ann_recall,
         "stat_rank_buckets": q_stat_rank_buckets,
+        "stat_entropy": q_stat_entropy,
     }
 
 
@@ -2979,6 +2985,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
             FROM documents""",
+        # H = ln(n) - sum(c*ln c)/n (same single-agg identity); normalized
+        # divides the ALREADY-rounded entropy, matching Spark exactly
+        "stat_entropy": """
+            WITH c AS (SELECT lang AS v, count(*) AS cnt FROM documents
+                       WHERE lang IS NOT NULL GROUP BY 1),
+            a AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*) AS n_distinct,
+                         sum(cnt * ln(cnt::DOUBLE)) AS clnc FROM c),
+            e AS (SELECT n_rows, n_distinct,
+                         round(ln(n_rows::DOUBLE) - clnc / n_rows, 6) AS ent
+                  FROM a)
+            SELECT 'lang' AS column, n_rows, n_distinct, ent AS entropy_nats,
+                   CASE WHEN n_distinct > 1
+                        THEN round(ent / ln(n_distinct::DOUBLE), 6)
+                        ELSE 0.0 END AS normalized
+            FROM e""",
         # the oracle derives blocked from the URL-GENERATING columns (the
         # semantic ground truth): host ends with .src3.example0.com iff
         # source='src3' and doc_id%3=0; path starts with /de iff lang='de'

@@ -70,7 +70,7 @@ HEADLINE = [
     "stat_corr", "stat_clip", "event_funnel", "dedup_containment",
     "dedup_against", "stat_pack_offsets", "text_classifier",
     "ann_semdedup", "web_latest_revision", "web_pagerank",
-    "web_blocklist", "ann_recall", "stat_rank_buckets",
+    "web_blocklist", "ann_recall", "stat_rank_buckets", "stat_entropy",
 ]
 
 

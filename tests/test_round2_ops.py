@@ -165,3 +165,25 @@ def test_rank_buckets_exact_ntiles(spark):
     # 10 rows into 4 tiles: sizes 3,3,2,2 in (score, key) order
     got = [r["bucket"] for r in rows]
     assert got == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_value_entropy_hand_values(spark):
+    import math
+
+    from themis_spark.operators.stats import value_entropy
+
+    # 4 uniform values -> H = ln 4, normalized 1.0
+    df = spark.range(8).select((F.col("id") % 4).alias("x"))
+    r = value_entropy(df, "x").collect()[0]
+    assert r["n_rows"] == 8 and r["n_distinct"] == 4
+    assert abs(r["entropy_nats"] - round(math.log(4), 6)) < 1e-9
+    assert abs(r["normalized"] - 1.0) < 1e-5
+    # constant column -> entropy 0, normalized 0
+    c = spark.range(5).select(F.lit("k").alias("x"))
+    rc = value_entropy(c, "x").collect()[0]
+    assert rc["entropy_nats"] == 0.0 and rc["normalized"] == 0.0
+    # skewed 7:1 -> H = ln8 - (7 ln7)/8
+    s = spark.range(8).select((F.col("id") == 0).cast("int").alias("x"))
+    rs = value_entropy(s, "x").collect()[0]
+    expect = math.log(8) - (7 * math.log(7)) / 8
+    assert abs(rs["entropy_nats"] - round(expect, 6)) < 1e-9

@@ -854,3 +854,45 @@ def rank_buckets(df: DataFrame, column: str, n: int = 10,
 
     w = Window.orderBy(F.col(column).asc(), F.col(key).asc())
     return df.withColumn("bucket", F.ntile(n).over(w))
+
+
+def value_entropy(df: DataFrame, column: str, round_to: int = 6) -> DataFrame:
+    """Shannon entropy of a column's value distribution — one row
+    ``(column, n_rows, n_distinct, entropy_nats, normalized)`` where
+    ``normalized = entropy / ln(n_distinct)`` (1.0 = uniform, → 0 =
+    near-constant). The profiling companion to key_skew_report: entropy
+    summarizes the WHOLE distribution where top-k shares summarize the
+    head — near-zero entropy flags dead columns, 1.0 on an id-like
+    column flags a key masquerading as a feature.
+
+    NULLs are excluded (they are the null-count stat's job). Plan: one
+    per-value count aggregation (map-side combined — exchange O(distinct
+    values)) and one scalar rollup computing ``-Σ (c/n)·ln(c/n)`` from
+    the count frame; nothing corpus-scale shuffles twice. Rounded so
+    the DuckDB oracle replays despite float summation order.
+    """
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # -Σ (c/n)·ln(c/n) = ln(n) - Σ c·ln(c) / n : one aggregation over
+    # the count frame, no second pass and no window — n enters as the
+    # same aggregate's sum
+    agg = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("__clnc"),
+    )
+    ent = F.round(
+        F.log(F.col("n_rows").cast("double"))
+        - F.col("__clnc") / F.col("n_rows"), round_to)
+    return agg.select(
+        F.lit(column).alias("column"),
+        "n_rows", "n_distinct",
+        ent.alias("entropy_nats"),
+        F.when(F.col("n_distinct") > 1,
+               F.round(ent / F.log(F.col("n_distinct").cast("double")),
+                       round_to))
+        .otherwise(F.lit(0.0)).alias("normalized"),
+    )
