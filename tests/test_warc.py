@@ -1,0 +1,62 @@
+"""WARC ingestion: stdlib parser over binaryFile + mapInPandas."""
+
+from themis_spark.sources.warc import (
+    build_warc_bytes,
+    iter_warc_records,
+    read_warc,
+    warc_responses,
+    write_warc_fixture,
+)
+
+RECS = [
+    {"url": "https://a.example.com/x", "ts": "2024-01-02T03:04:05Z",
+     "html": "<html><body><p>hello world</p></body></html>"},
+    {"url": "https://b.example.com/y", "ts": "2024-02-02T03:04:05Z",
+     "html": "<html><body><p>second page</p></body></html>"},
+    {"url": "https://c.example.com/z", "ts": "2024-03-02T03:04:05Z",
+     "html": "gone", "status": 404},
+]
+
+
+def test_iter_warc_records_plain_and_gzip():
+    for compress in (False, True):
+        got = list(iter_warc_records(build_warc_bytes(RECS, compress)))
+        assert [r["url"] for r in got] == [r["url"] for r in RECS]
+        assert all(r["record_type"] == "response" for r in got)
+        assert got[0]["http_status"] == 200 and got[2]["http_status"] == 404
+        # HTTP envelope stripped: payload is the raw html
+        assert got[0]["payload"] == RECS[0]["html"].encode()
+        assert got[0]["content_type"] == "text/html"
+
+
+def test_iter_warc_records_tolerates_trailing_garbage():
+    raw = build_warc_bytes(RECS[:1]) + b"NOT A WARC RECORD"
+    got = list(iter_warc_records(raw))
+    assert len(got) == 1
+
+
+def test_read_warc_distributed(spark, tmpdir_path):
+    write_warc_fixture(f"{tmpdir_path}/a.warc", RECS[:2])
+    write_warc_fixture(f"{tmpdir_path}/b.warc.gz", RECS[2:], compress=True)
+    df = read_warc(spark, tmpdir_path)
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {r["url"] for r in RECS}
+    assert rows["https://c.example.com/z"]["http_status"] == 404
+    # two source files -> two src_file values
+    assert len({r["src_file"] for r in rows.values()}) == 2
+
+
+def test_warc_responses_feeds_text_extraction(spark, tmpdir_path):
+    from pyspark.sql import functions as F
+
+    from themis_spark.operators.text import extracted_text_col
+
+    write_warc_fixture(f"{tmpdir_path}/c.warc", RECS)
+    pages = warc_responses(spark, tmpdir_path)
+    got = {r["url"]: r for r in pages.select(
+        "url", "warc_ts",
+        extracted_text_col(F.col("html")).alias("text")).collect()}
+    # the 404 record is filtered; 200s flow into native text extraction
+    assert set(got) == {RECS[0]["url"], RECS[1]["url"]}
+    assert got[RECS[0]["url"]]["text"] == "hello world"
+    assert got[RECS[0]["url"]]["warc_ts"].year == 2024
