@@ -60,3 +60,36 @@ def test_warc_responses_feeds_text_extraction(spark, tmpdir_path):
     assert set(got) == {RECS[0]["url"], RECS[1]["url"]}
     assert got[RECS[0]["url"]]["text"] == "hello world"
     assert got[RECS[0]["url"]]["warc_ts"].year == 2024
+
+
+def test_warc_to_validation_end_to_end(spark, tmpdir_path):
+    # the whole ingestion story: WARC bytes -> pages shape -> native
+    # text extraction -> compiled draft-4 validation -> violation triples
+    from pyspark.sql import functions as F
+
+    from themis_spark.operators.text import extracted_text_col
+    from themis_spark.operators.validate import annotate, violations_df
+    from themis_spark.plans.compiler import compile_plan
+
+    bad = {"url": "not-a-url", "ts": "2024-01-01T00:00:00Z",
+           "html": "<html><body><p>x</p></body></html>"}
+    write_warc_fixture(f"{tmpdir_path}/d.warc", RECS[:2] + [bad])
+    pages = warc_responses(spark, tmpdir_path).select(
+        "url", "warc_ts",
+        extracted_text_col(F.col("html")).alias("text"))
+    schema = {
+        "id": "warc-pages", "type": "object",
+        "required": ["url", "warc_ts", "text"],
+        "properties": {
+            "url": {"type": "string", "pattern": "^https?://"},
+            "text": {"type": "string", "minLength": 8},
+        },
+    }
+    plan = compile_plan(schema, pages.schema)
+    ann = annotate(pages, plan, keep=["url"])
+    viol = {(r["url"], r["keyword"]) for r in violations_df(ann).collect()}
+    assert ("not-a-url", "pattern") in viol
+    # the short-text page ("x", 1 char) violates minLength
+    assert ("not-a-url", "minLength") in viol
+    # clean pages produce no violations
+    assert not any(u == RECS[0]["url"] for (u, _) in viol)
