@@ -269,3 +269,25 @@ def test_blocklist_is_host_case_insensitive(spark):
         df, host_suffixes=["ads.example.com"],
         path_prefixes=["/t/"]).collect()}
     assert out == {1: True, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from themis_spark.operators.text import with_compression_ratio
+
+    rows = [(1, "abc " * 500),            # template spam: compresses hard
+            (2, "the quick brown fox jumped over one lazy dog near a "
+                "river while gulls wheeled overhead in the cold wind"),
+            (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_compression_ratio(df).collect()}
+    assert out[1]["ratio"] < 0.05
+    assert out[2]["ratio"] > 0.5
+    assert out[3]["ratio"] is None and out[4]["ratio"] is None
+    # exact replay of the batch kernel
+    t = rows[1][1].encode()
+    assert out[2]["ratio"] == round(len(zlib.compress(t, 6)) / len(t), 6)
+    assert out[2]["n_bytes"] == len(t)
+    # input columns pass through
+    assert out[1]["text"].startswith("abc")

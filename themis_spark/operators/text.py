@@ -629,3 +629,56 @@ def with_classifier_scores(df, text: str = "text",
                     F.when(F.col("__clf_toks").isNotNull(), logit > 0))
         .drop("__clf_toks", "__clf_n", "__clf_wsum")
     )
+
+
+def compression_ratio_cols(text_col: str = "text"):
+    """zlib compression ratio per document — the classic cheap
+    gibberish/boilerplate signal (highly repetitive text compresses far
+    below natural prose; random noise barely compresses). Returns a
+    builder for ``mapInPandas`` because no SQL engine exposes zlib —
+    this is a DECLARED Arrow-batch Python op (like the multimodal
+    codecs), not a hot-path scan column; schedule it after the native
+    filters have already dropped the bulk of the corpus.
+
+    Use::
+
+        fn, schema = compression_ratio_cols("text")
+        scored = df.mapInPandas(fn, df.schema.simpleString()[7:-1]
+                                + ", n_bytes bigint, ratio double")
+
+    or the convenience wrapper :func:`with_compression_ratio`.
+    """
+    import zlib
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            n_bytes, ratio = [], []
+            for t in texts:
+                if t is None:
+                    n_bytes.append(None)
+                    ratio.append(None)
+                    continue
+                b = t.encode("utf-8", "replace")
+                n_bytes.append(len(b))
+                ratio.append(round(len(zlib.compress(b, 6)) / len(b), 6)
+                             if b else None)
+            out = pdf.copy()
+            out["n_bytes"] = pd.array(n_bytes, dtype="Int64")
+            out["ratio"] = ratio
+            yield out
+
+    return fn
+
+
+def with_compression_ratio(df, text: str = "text"):
+    """``df`` + ``(n_bytes, ratio)`` columns via one Arrow-batched pass
+    (see :func:`compression_ratio_cols` for when to use this signal).
+    Typical filter: drop ``ratio < 0.2`` (template spam) and
+    ``ratio > 1.0`` (binary junk in a text column)."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(compression_ratio_cols(text),
+                          fields + ", n_bytes bigint, ratio double")
