@@ -1223,6 +1223,28 @@ def q_stat_rank_buckets(spark, sf):
     return ST2.rank_buckets(d, "n_chars", n=10)
 
 
+def q_validate_dispatch(spark, sf):
+    # per-ROW schema dispatch (reference registry semantics at table
+    # scale): thirds of the corpus validate against different registered
+    # schemas; the remaining third carries an unknown id and must
+    # surface as the synthetic $dispatch triple, not vanish
+    import themis_spark as T
+
+    d = _t(spark, sf, "documents").withColumn(
+        "schema_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("dlong"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("dshort"))
+         .otherwise(F.lit("dmystery")))
+    v = T.validator([
+        {"id": "dlong", "type": "object",
+         "properties": {"n_chars": {"type": "integer", "minimum": 500}}},
+        {"id": "dshort", "type": "object",
+         "properties": {"n_chars": {"type": "integer", "maximum": 800}}},
+    ])
+    return v.validate_table_dispatch(d, key_col="doc_id").select(
+        "url", "keyword", "instance_path", "schema_path", "schema_id")
+
+
 def q_stat_entropy(spark, sf):
     # value-distribution entropy of the lang column (profiling signal)
     return ST2.value_entropy(_t(spark, sf, "documents"), "lang")
@@ -1376,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "stat_rank_buckets": q_stat_rank_buckets,
         "stat_entropy": q_stat_entropy,
+        "validate_dispatch": q_validate_dispatch,
     }
 
 
@@ -2980,6 +3003,23 @@ def oracle_sql() -> dict[str, str]:
         # 3 unrolled fixed-point iterations: BIGINT floor division (//)
         # and integer sums replay Spark's arithmetic bit-for-bit
         "web_pagerank": _pagerank_sql(iters=3),
+        "validate_dispatch": """
+            WITH d AS (SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % 3 = 0 THEN 'dlong'
+                      WHEN doc_id % 3 = 1 THEN 'dshort'
+                      ELSE 'dmystery' END AS sid FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS url, 'minimum' AS keyword,
+                   '$.n_chars' AS instance_path,
+                   'dlong#/properties/n_chars/minimum' AS schema_path,
+                   'dlong' AS schema_id
+            FROM d WHERE sid = 'dlong' AND n_chars IS NOT NULL AND n_chars < 500
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), 'maximum', '$.n_chars',
+                   'dshort#/properties/n_chars/maximum', 'dshort'
+            FROM d WHERE sid = 'dshort' AND n_chars IS NOT NULL AND n_chars > 800
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), '$dispatch', '$', '$', 'dmystery'
+            FROM d WHERE sid = 'dmystery'""",
         "ann_recall": _ann_recall_sql(10),
         "stat_rank_buckets": """
             SELECT doc_id, n_chars,

@@ -176,3 +176,35 @@ def test_validate_table_anonymous_schema_stable_paths(spark):
     df = spark.createDataFrame([(1, 0)], "url long, n long")
     rows = v.validate_table(df).collect()
     assert rows[0]["schema_path"] == doc_err
+
+
+def test_validate_table_dispatch_per_row_schema(spark):
+    import themis_spark as T
+    from pyspark.sql import functions as F
+
+    v = T.validator([
+        {"id": "strict", "type": "object", "required": ["url"],
+         "properties": {"n": {"type": "integer", "minimum": 10}}},
+        {"id": "loose", "type": "object",
+         "properties": {"n": {"type": "integer", "minimum": 0}}},
+    ])
+    rows = [
+        ("a", 5, "strict"),    # fails strict minimum 10
+        ("b", 5, "loose"),     # passes loose minimum 0
+        ("c", -1, "loose"),    # fails loose
+        ("d", 50, "strict"),   # passes strict
+        ("e", 1, "mystery"),   # unknown schema id
+        ("f", 1, None),        # null schema id
+    ]
+    df = spark.createDataFrame(rows, "url string, n long, schema_id string")
+    got = v.validate_table_dispatch(df).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append((r["keyword"], r["schema_id"]))
+    assert ("minimum", "strict") in by_url["a"]
+    assert "b" not in by_url and "d" not in by_url
+    assert ("minimum", "loose") in by_url["c"]
+    assert by_url["e"] == [("$dispatch", "mystery")]
+    assert by_url["f"][0][0] == "$dispatch" and by_url["f"][0][1] is None
+    # rows are never double-validated across branches
+    assert all(len(v) == 1 for v in by_url.values())

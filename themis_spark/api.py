@@ -79,6 +79,61 @@ class Validator:
         ann = V.annotate(df, plan, keep=[key_col])
         return V.violations_df(ann, key_col=key_col, partition_col=None)
 
+    def validate_table_dispatch(self, df, schema_id_col: str = "schema_id",
+                                key_col: str = "url"):
+        """Per-ROW schema dispatch at table scale — the reference's
+        ``validate(doc, id)`` registry dispatch (SURVEY §2(a).28) lifted
+        to DataFrames: each row is validated against the registered
+        schema named by its ``schema_id_col`` value, one violations
+        frame out (validate_table's columns + ``schema_id``).
+
+        Rows whose id matches no registered schema emit the synthetic
+        ``($dispatch, $, $)`` triple — the table analogue of the
+        single-document path's KeyError (a lost row must surface as a
+        violation, not vanish).
+
+        Plan shape: one column-pruned branch per registered schema
+        (``schema_id = <id>`` pushes down to the scan, so clustered /
+        partitioned-by-producer tables prune row groups), unioned.
+        Branch count = registered schemas (handfuls, not thousands);
+        each branch is the same fused native pass validate_table runs.
+        """
+        from pyspark.sql import functions as F
+
+        from themis_spark.operators import validate as V
+        from themis_spark.plans.compiler import compile_plan
+
+        ids = list(self._schemas_by_id)
+        parts = []
+        for sid in ids:
+            plan = compile_plan(self._schemas_by_id[sid], df.schema,
+                                registry=self._registry)
+            sub = df.where(F.col(schema_id_col) == sid)
+            ann = V.annotate(sub, plan, keep=[key_col])
+            parts.append(
+                V.violations_df(ann, key_col=key_col, partition_col=None)
+                .withColumn("schema_id", F.lit(sid)))
+        unknown = (
+            df.where(F.col(schema_id_col).isNull()
+                     | ~F.col(schema_id_col).isin(ids))
+            .select(
+                F.col(key_col).alias("url"),
+                F.lit("0").alias("partition_id"),
+                F.lit("r0").alias("run_id"),
+                F.lit("$dispatch").alias("keyword"),
+                F.lit("$").alias("instance_path"),
+                F.lit("$").alias("schema_path"),
+                F.concat(
+                    F.lit("unknown schema id: "),
+                    F.coalesce(F.col(schema_id_col).cast("string"),
+                               F.lit("null"))).alias("detail"),
+                F.col(schema_id_col).cast("string").alias("schema_id"),
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.unionByName(unknown)
+
     def repair_table(self, df, schema_id: str | None = None,
                      clamp: bool = False):
         """The fix-up counterpart of ``validate_table`` from the SAME
