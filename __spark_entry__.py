@@ -1223,6 +1223,22 @@ def q_stat_rank_buckets(spark, sf):
     return ST2.rank_buckets(d, "n_chars", n=10)
 
 
+# fixed English merge list: the oracle cannot retrain, so the APPLICATION
+# operator is what this query checks (training is pytest-covered; real
+# deployments train once on a sample and ship the merges as config)
+BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+              ("an", "d"), ("o", "n"), ("r", "e"), ("in", "g"), ("o", "u")]
+
+
+def q_text_bpe(spark, sf):
+    toks = X.bpe_tokenize_col("text", BPE_MERGES)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.md5(F.concat_ws("\x1e", toks)).alias("toks_md5"),
+    )
+
+
 def q_validate_dispatch(spark, sf):
     # per-ROW schema dispatch (reference registry semantics at table
     # scale): thirds of the corpus validate against different registered
@@ -1399,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_rank_buckets": q_stat_rank_buckets,
         "stat_entropy": q_stat_entropy,
         "validate_dispatch": q_validate_dispatch,
+        "text_bpe": q_text_bpe,
     }
 
 
@@ -2424,6 +2441,31 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**6,
             + f" SELECT node, rank FROM r{iters}")
 
 
+def _bpe_sql() -> str:
+    """Replays bpe_tokenize_col: double-separator char expansion, one
+    literal replace() per merge (inner-halves pattern), split + filter.
+    replace() is left-to-right non-overlapping in both engines."""
+    sep, s2 = "chr(31)", "chr(31) || chr(31)"
+    expr = f"{s2} || regexp_replace(w, '(.)', '\\1' || {s2}, 'g')"
+    for a, b in BPE_MERGES:
+        pat = f"{sep} || '{a}' || {s2} || '{b}' || {sep}"
+        rep = f"{sep} || '{a}{b}' || {sep}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    tok_list = (f"list_filter(string_split({expr}, chr(31)), "
+                "x -> length(x) > 0)")
+    return f"""
+    WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS words
+         FROM documents WHERE text IS NOT NULL),
+    t AS (SELECT doc_id,
+         flatten(list_transform(words, w -> {tok_list})) AS toks
+         FROM w)
+    SELECT doc_id, len(toks) AS n_bpe,
+           md5(array_to_string(toks, chr(30))) AS toks_md5
+    FROM t"""
+
+
 # Shared packing layout: portable 60-bit bucket hash of the doc_id string,
 # prefix sum over (bucket, doc_id) order — all BIGINT, exact.
 _PACK_BASE_SQL = """
@@ -3003,6 +3045,7 @@ def oracle_sql() -> dict[str, str]:
         # 3 unrolled fixed-point iterations: BIGINT floor division (//)
         # and integer sums replay Spark's arithmetic bit-for-bit
         "web_pagerank": _pagerank_sql(iters=3),
+        "text_bpe": _bpe_sql(),
         "validate_dispatch": """
             WITH d AS (SELECT doc_id, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'dlong'

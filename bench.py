@@ -71,7 +71,7 @@ HEADLINE = [
     "dedup_against", "stat_pack_offsets", "text_classifier",
     "ann_semdedup", "web_latest_revision", "web_pagerank",
     "web_blocklist", "ann_recall", "stat_rank_buckets", "stat_entropy",
-    "validate_dispatch",
+    "validate_dispatch", "text_bpe",
 ]
 
 

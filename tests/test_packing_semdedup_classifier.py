@@ -291,3 +291,55 @@ def test_compression_ratio_signal(spark):
     assert out[2]["n_bytes"] == len(t)
     # input columns pass through
     assert out[1]["text"].startswith("abc")
+
+
+# -------------------------------------------------------------------- BPE
+
+def _py_bpe(word, merges):
+    s = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(s[i]); i += 1
+        s = out
+    return s
+
+
+def test_bpe_train_learns_frequent_pairs(spark):
+    from themis_spark.operators.text import train_bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, "the then there " * 5) for i in range(4)],
+        "doc_id long, text string")
+    merges = train_bpe_merges(df, n_merges=3, sample_docs=10)
+    assert len(merges) == 3
+    # t-h and h-e tie at 3 occurrences/word-set; lexicographic tie-break
+    # picks (h, e); the next round then merges t with he
+    assert merges[0] == ("h", "e")
+    assert merges[1] == ("t", "he")
+
+
+def test_bpe_tokenize_matches_python_reference(spark):
+    from themis_spark.operators.text import bpe_tokenize_col
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n")]
+    texts = ["The weather in winter", "thin thread", "", "x", "er er er"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", bpe_tokenize_col("text", merges).alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        expect = [tok for w in t.lower().split() for tok in _py_bpe(w, merges)]
+        assert got[i] == expect, (t, got[i], expect)
+
+
+def test_bpe_adjacent_merges_chain(spark):
+    from themis_spark.operators.text import bpe_tokenize_col
+
+    # "aaaa" under merge (a,a): greedy left-to-right -> [aa, aa]
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    got = df.select(bpe_tokenize_col("text", [("a", "a")]).alias("t")).collect()[0]["t"]
+    assert got == ["aa", "aa", "aa", "a"]
