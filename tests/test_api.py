@@ -208,3 +208,27 @@ def test_validate_table_dispatch_per_row_schema(spark):
     assert by_url["f"][0][0] == "$dispatch" and by_url["f"][0][1] is None
     # rows are never double-validated across branches
     assert all(len(v) == 1 for v in by_url.values())
+
+
+def test_validate_table_dispatch_works_on_streams(spark, tmpdir_path):
+    # dispatch branches are stateless (where + fused validate + union),
+    # so the same API must compose onto readStream unchanged
+    import themis_spark as T
+
+    v = T.validator([
+        {"id": "s1", "type": "object",
+         "properties": {"n": {"type": "integer", "minimum": 10}}},
+    ])
+    df = spark.createDataFrame(
+        [("a", 5, "s1"), ("b", 50, "s1"), ("c", 1, "nope")],
+        "url string, n long, schema_id string")
+    df.write.mode("append").parquet(f"{tmpdir_path}/din")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmpdir_path}/din")
+    out = v.validate_table_dispatch(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("disp")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["url"], r["keyword"]) for r in
+           spark.sql("select * from disp").collect()}
+    assert got == {("a", "minimum"), ("c", "$dispatch")}
