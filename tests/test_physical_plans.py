@@ -230,3 +230,24 @@ def test_blocklist_is_scan_stage(spark):
                                   path_prefixes=["/t/"]))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rank_buckets_no_single_partition_window(spark):
+    from themis_spark.operators.stats import rank_buckets
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 613).alias("score"))
+    out = rank_buckets(df, "score", n=10, partitions=8)
+    plan = _plan(out)
+    # the round-2 verdict's scale-killer: ntile over a partition-less
+    # window serializes every row onto one task. The rewrite must show
+    # NO window at all (offset arithmetic instead) and no SinglePartition
+    # exchange anywhere.
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # the offsets re-attach as a broadcast join, never a shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+    # and the sorted frame genuinely spreads across partitions: more
+    # than one distinct partition id contributed offsets
+    pids = out.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert pids > 1

@@ -1,0 +1,141 @@
+"""Round-3 fixes: default-on scale guards (SemDeDup cell cap, pagerank
+lineage truncation), distributed rank_buckets behavior, NULL-token
+packing, and dispatch-table edge cases (VERDICT r2 items 1–2 + ADVICE)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_semdedup_cap_defaults_on(spark):
+    from themis_spark.operators.similarity import (
+        oversized_cells,
+        semantic_duplicates,
+    )
+
+    # a degenerate quantizer: every vector lands in one cell. Default
+    # max_cell=256 must bound the pair front to zero pairs (cell
+    # dropped), NOT explode quadratically.
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0).cast("float"), F.lit(0.0).cast("float"))
+        .alias("embedding"))
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    assert semantic_duplicates(df, centroids=cents, threshold=0.0).count() == 0
+    # the audit names the dropped cell with its size
+    dropped = oversized_cells(df, centroids=cents).collect()
+    assert len(dropped) == 1 and dropped[0]["n_vectors"] == 300
+    # explicit opt-out restores the quadratic exact form
+    n = semantic_duplicates(df, centroids=cents, threshold=0.0,
+                            max_cell=None).count()
+    assert n == 300 * 299 // 2
+
+
+def test_semdedup_keep_cap_default(spark):
+    from themis_spark.operators.similarity import semdedup_keep
+
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0).cast("float"), F.lit(0.0).cast("float"))
+        .alias("embedding"))
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    out = semdedup_keep(df, centroids=cents, threshold=0.0)
+    # dropped oversized cell -> no pairs -> every row keeps
+    assert out.where(~F.col("keep")).count() == 0
+    assert out.count() == 300
+
+
+def test_pagerank_deep_iters_checkpointed(spark):
+    from themis_spark.operators.web import pagerank
+
+    # iters=12 without lineage truncation explodes plan depth; with the
+    # in-loop localCheckpoint it completes and stays bit-exact: ranks
+    # converge to the analytic 2-cycle fixed point (a <-> b at scale).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=12).collect()}
+    # c has no in-links: base only
+    assert got["c"] == 150_000
+    # replay the integer recurrence in python for exactness
+    rank = {"a": 10**6, "b": 10**6, "c": 10**6}
+    deg = {"a": 1, "b": 1, "c": 1}
+    for _ in range(12):
+        contrib = {"b": rank["a"] * 85 // (100 * deg["a"]),
+                   "a": rank["b"] * 85 // (100 * deg["b"])
+                   + rank["c"] * 85 // (100 * deg["c"])}
+        rank = {n: 150_000 + contrib.get(n, 0) for n in rank}
+    assert got == rank
+
+
+def test_rank_buckets_distributed_matches_ntile(spark):
+    from themis_spark.operators.stats import rank_buckets
+
+    # ties on the ranked column + a remainder that exercises both the
+    # head (base+1-sized) and tail (base-sized) bucket arithmetic
+    df = spark.range(103).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 11).alias("score"))
+    out = {r["doc_id"]: r["bucket"]
+           for r in rank_buckets(df, "score", n=7, partitions=8).collect()}
+    order = sorted(range(103), key=lambda i: (i % 11, i))
+    base, rem = 103 // 7, 103 % 7
+    expect = {}
+    for r0, doc in enumerate(order):
+        if r0 < rem * (base + 1):
+            expect[doc] = 1 + r0 // (base + 1)
+        else:
+            expect[doc] = 1 + rem + (r0 - rem * (base + 1)) // base
+    assert out == expect
+
+
+def test_rank_buckets_fewer_rows_than_buckets(spark):
+    from themis_spark.operators.stats import rank_buckets
+
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("score"))
+    got = sorted((r["score"], r["bucket"])
+                 for r in rank_buckets(df, "score", n=10).collect())
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_pack_offsets_null_tokens_pack_as_zero(spark):
+    from themis_spark.operators.stats import pack_offsets, pack_summary
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 7)],
+        "doc_id string, n_tokens int")
+    rows = {r["doc_id"]: r for r in
+            pack_offsets(df, ctx_len=4, buckets=1).collect()}
+    assert rows["b"]["n_tokens"] == 0 and rows["b"]["n_chunks"] == 0
+    # the NULL row occupies no slot: total tokens = 12 regardless
+    summ = pack_summary(df, ctx_len=4, buckets=1).collect()[0]
+    assert summ["total_tokens"] == 12 and summ["n_docs"] == 3
+
+
+def test_dispatch_no_registered_schemas(spark):
+    from themis_spark.api import Validator
+
+    # ADVICE r2: an empty registry used to IndexError on parts[0];
+    # now every row surfaces as the synthetic $dispatch triple
+    v = Validator({}, "none", {}, registry=None)
+    df = spark.createDataFrame(
+        [("u1", "nope"), ("u2", None)], "url string, schema_id string")
+    out = v.validate_table_dispatch(df).collect()
+    assert sorted(r["keyword"] for r in out) == ["$dispatch", "$dispatch"]
+
+
+def test_dispatch_uncompilable_branch_degrades_per_row(spark):
+    from themis_spark.api import Validator
+
+    # a registered schema that cannot compile against this frame
+    # (unresolvable $ref) must not fail the whole call: its rows get a
+    # synthetic ($schema, $, $) triple; other branches validate normally
+    bad = {"id": "bad", "type": "object",
+           "properties": {"n": {"$ref": "#/definitions/missing"}}}
+    v = Validator({}, "bad", {"bad": bad}, registry=None)
+    df = spark.createDataFrame(
+        [("u1", 1, "bad"), ("u2", 1, "mystery")],
+        "url string, n long, schema_id string")
+    got = {r["url"]: (r["keyword"], r["schema_id"])
+           for r in v.validate_table_dispatch(df).collect()}
+    assert got["u1"] == ("$schema", "bad")
+    assert got["u2"] == ("$dispatch", "mystery")

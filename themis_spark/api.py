@@ -97,6 +97,13 @@ class Validator:
         partitioned-by-producer tables prune row groups), unioned.
         Branch count = registered schemas (handfuls, not thousands);
         each branch is the same fused native pass validate_table runs.
+
+        A registered schema that does NOT compile against this frame's
+        Spark schema (it constrains columns the frame lacks outright)
+        must not fail the whole call when its rows may not even exist:
+        that branch degrades to a synthetic ``($schema, $, $)`` triple
+        on the rows that DO carry its id — schema/frame mismatch
+        surfaces per-row, like ``$dispatch`` does for unknown ids.
         """
         from pyspark.sql import functions as F
 
@@ -106,9 +113,23 @@ class Validator:
         ids = list(self._schemas_by_id)
         parts = []
         for sid in ids:
-            plan = compile_plan(self._schemas_by_id[sid], df.schema,
-                                registry=self._registry)
             sub = df.where(F.col(schema_id_col) == sid)
+            try:
+                plan = compile_plan(self._schemas_by_id[sid], df.schema,
+                                    registry=self._registry)
+            except Exception as exc:  # schema/frame shape mismatch
+                parts.append(sub.select(
+                    F.col(key_col).alias("url"),
+                    F.lit("0").alias("partition_id"),
+                    F.lit("r0").alias("run_id"),
+                    F.lit("$schema").alias("keyword"),
+                    F.lit("$").alias("instance_path"),
+                    F.lit("$").alias("schema_path"),
+                    F.lit(f"schema does not compile against frame: "
+                          f"{exc}"[:512]).alias("detail"),
+                    F.lit(sid).alias("schema_id"),
+                ))
+                continue
             ann = V.annotate(sub, plan, keep=[key_col])
             parts.append(
                 V.violations_df(ann, key_col=key_col, partition_col=None)
@@ -129,10 +150,10 @@ class Validator:
                                F.lit("null"))).alias("detail"),
                 F.col(schema_id_col).cast("string").alias("schema_id"),
             ))
-        out = parts[0]
-        for p in parts[1:]:
+        out = unknown  # parts can be empty (no registered schemas)
+        for p in parts:
             out = out.unionByName(p)
-        return out.unionByName(unknown)
+        return out
 
     def repair_table(self, df, schema_id: str | None = None,
                      clamp: bool = False):

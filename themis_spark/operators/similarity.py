@@ -346,17 +346,20 @@ def semantic_duplicates(
     centroids: list[list[float]] | DataFrame | None = None,
     threshold: float = 0.98,
     n_cells: int = 16,
-    max_cell: int | None = None,
+    max_cell: int | None = 256,
 ) -> DataFrame:
     """Within-cell cosine near-dup pairs: ``(a_key, b_key, cell, cosine)``
     with strict a < b and cosine >= threshold.
 
     The corpus is coded map-side (argmax over centroid literals — no
-    shuffle); the pair join is a self-equi-join on the cell id. With
-    ``max_cell`` set, cells larger than the cap are dropped before the
-    join (their pair count is quadratic; at 10¹² rows a run should
-    route them to exact/LSH dedup instead — same rationale as the LSH
-    bucket cap)."""
+    shuffle); the pair join is a self-equi-join on the cell id. Cells
+    larger than ``max_cell`` (default ON at 256, the same default-on
+    guard contract as ``dedup._bucket_pairs``: one degenerate quantizer
+    region must not explode quadratically because a caller forgot a
+    kwarg) are dropped before the join — at 10¹² rows route them to
+    exact/LSH dedup instead; audit what was dropped with
+    :func:`oversized_cells` on the same inputs. ``max_cell=None``
+    disables the guard explicitly."""
     if centroids is None:
         centroids = train_ivf_centroids(df, vec, key, n_cells, iters=0)
     elif isinstance(centroids, DataFrame):
@@ -404,7 +407,7 @@ def semdedup_keep(
     centroids: list[list[float]] | DataFrame | None = None,
     threshold: float = 0.98,
     n_cells: int = 16,
-    max_cell: int | None = None,
+    max_cell: int | None = 256,
 ) -> DataFrame:
     """Per-row keep/drop decision ``(key, keep)``: a row is dropped when
     some LOWER-keyed row in its cell sits within the cosine threshold
@@ -425,6 +428,31 @@ def semdedup_keep(
         df.select(key)
         .join(drops.withColumn("__drop", F.lit(True)), key, "left")
         .select(key, F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )
+
+
+def oversized_cells(
+    df: DataFrame,
+    vec: str = "embedding",
+    centroids: list[list[float]] | DataFrame | None = None,
+    n_cells: int = 16,
+    max_cell: int = 256,
+    key: str = "vec_id",
+) -> DataFrame:
+    """The cells :func:`semantic_duplicates` would DROP under its
+    ``max_cell`` guard — ``(cell, n_vectors)`` for every cell above the
+    cap, so a run can audit (and re-route to LSH/exact dedup) exactly
+    what the quadratic-front guard excluded. Plan: the same map-side
+    coding plus one count aggregation — the exchange carries one row
+    per cell."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec, key, n_cells, iters=0)
+    elif isinstance(centroids, DataFrame):
+        centroids = collect_centroids(centroids, vec, key)
+    return (
+        df.select(ivf_cell_col(F.col(vec), centroids).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+        .where(F.col("n_vectors") > max_cell)
     )
 
 

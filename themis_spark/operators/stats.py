@@ -778,7 +778,11 @@ def pack_offsets(df: DataFrame, key: str = "doc_id",
 
     from themis_spark.functions.hashing import hash60
 
-    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
+    # NULL token counts (e.g. token_count_col over NULL text) pack as 0
+    # tokens — occupying no chunk — so both engines agree by construction
+    tok = F.coalesce(
+        (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long"),
+        F.lit(0))
     base = df.select(
         F.col(key),
         F.pmod(hash60(F.col(key)), F.lit(buckets)).cast("int").alias("bucket"),
@@ -812,7 +816,9 @@ def pack_summary(df: DataFrame, key: str = "doc_id",
     the bucket id — the exchange carries ``buckets`` counter rows."""
     from themis_spark.functions.hashing import hash60
 
-    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
+    tok = F.coalesce(  # NULL counts pack as 0 tokens (matches pack_offsets)
+        (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long"),
+        F.lit(0))
     per = df.select(
         F.pmod(hash60(F.col(key)), F.lit(buckets)).cast("int").alias("bucket"),
         tok.alias("__t"),
@@ -834,7 +840,7 @@ def pack_summary(df: DataFrame, key: str = "doc_id",
 
 
 def rank_buckets(df: DataFrame, column: str, n: int = 10,
-                 key: str = "doc_id") -> DataFrame:
+                 key: str = "doc_id", partitions: int | None = None) -> DataFrame:
     """Percentile-rank bucketing: append ``bucket`` = the row's n-tile
     (1..n) under the total order (column, key) — the
     curriculum/mixture-binning step (\"train on the top quality decile
@@ -843,17 +849,74 @@ def rank_buckets(df: DataFrame, column: str, n: int = 10,
     SQL-standard NTILE semantics (remainder rows go to the lowest
     buckets) on both engines.
 
-    The single ORDER BY window is a GLOBAL sort — one range-partitioned
-    exchange (Spark samples split bounds, so the sort parallelizes
-    across the cluster; it is the one unavoidable exchange of exact
-    n-tiles). For web-scale runs that only need approximate deciles,
-    cut on `quantile_stats` bounds with a scan-stage CASE instead —
-    this operator is the exact form.
-    """
-    from pyspark.sql.window import Window
+    DISTRIBUTED exact n-tiles — deliberately NOT
+    ``ntile(n).over(Window.orderBy(...))``: a partition-less window
+    moves every row to ONE task (Spark logs ``WindowExec: No Partition
+    Defined``), which serializes at web scale. Instead, two passes over
+    a range-partitioned sort:
 
-    w = Window.orderBy(F.col(column).asc(), F.col(key).asc())
-    return df.withColumn("bucket", F.ntile(n).over(w))
+    1. ``repartitionByRange(P, column, key)`` + ``sortWithinPartitions``
+       — the one (parallel, split-bound-sampled) exchange exact
+       n-tiles genuinely need; ``monotonically_increasing_id`` then
+       encodes (partition, local offset in sorted order). The sorted
+       frame is lazily ``localCheckpoint``-ed so the two jobs below
+       read one materialization (identical ids) and the lineage stays
+       flat.
+    2. A per-partition count job (O(P) rows to the driver) turns local
+       offsets into the global rank by prefix-sum offsets, re-attached
+       with a broadcast join; the bucket is pure integer arithmetic on
+       the rank (remainder rows to the lowest buckets, exactly SQL
+       NTILE). All divisions are exact-multiple double divisions —
+       bit-exact below 2⁵³ rows.
+
+    Every stage is partition-parallel; the only single-point work is
+    the O(P)-row offset collect. For runs that only need approximate
+    deciles, cut on `quantile_stats` bounds with a scan-stage CASE —
+    this operator is the exact form. Calling it triggers the count job
+    immediately (two-pass by nature, like the IVF trainer).
+    """
+    sess = df.sparkSession
+    P = int(partitions
+            or sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    mask = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | offset
+    srt = (
+        df.repartitionByRange(P, F.col(column).asc(), F.col(key).asc())
+        .sortWithinPartitions(F.col(column).asc(), F.col(key).asc())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col("__mid"), 33)
+    local = F.col("__mid").bitwiseAND(F.lit(mask))
+    counts = sorted(
+        srt.groupBy(pid.alias("__pid")).agg(F.count(F.lit(1)).alias("__c"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    m = sum(r["__c"] for r in counts)
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["__pid"]), acc))
+        acc += r["__c"]
+    off_df = sess.createDataFrame(offsets or [(0, 0)],
+                                  "__pid long, __off long")
+
+    def idiv(a, b):  # exact ⌊a/b⌋ for non-negative a and literal b > 0
+        return ((a - F.pmod(a, F.lit(b))) / b).cast("long")
+
+    rank = F.col("__off") + local + 1  # 1-based global rank
+    base, rem = (m // n, m % n) if m else (0, 0)
+    if base == 0:  # fewer rows than buckets: one row per leading bucket
+        bucket = rank
+    else:
+        head = rem * (base + 1)
+        bucket = F.when(rank <= F.lit(head),
+                        F.lit(1) + idiv(rank - 1, base + 1)) \
+                  .otherwise(F.lit(rem + 1) + idiv(rank - F.lit(head) - 1,
+                                                   base))
+    return (
+        srt.join(F.broadcast(off_df), pid == F.col("__pid"), "left")
+        .select(*df.columns, bucket.cast("int").alias("bucket"))
+    )
 
 
 def value_entropy(df: DataFrame, column: str, round_to: int = 6) -> DataFrame:

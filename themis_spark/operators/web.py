@@ -259,9 +259,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     Plan shape per iteration: edges⋈deg⋈ranks (all equi-joins on the
     node id, map-side combinable contribution agg — the exchange
     carries one row per in-linked node) + a left join back to the node
-    set for no-in-link nodes. ``iters`` is small and fixed (3–10);
-    like duplicate_clusters the lineage grows per round, so production
-    runs at larger ``iters`` should localCheckpoint every few rounds.
+    set for no-in-link nodes. The rank frame ``localCheckpoint``s every
+    third iteration (same lineage-truncation contract as
+    ``dedup.duplicate_clusters``): without it the nested-join plan
+    grows per round and analyzer/optimizer cost dominates past ~10
+    iterations. Integer fixed-point means the checkpointed values are
+    bit-exact, so truncation cannot change the result.
     Overflow headroom: rank ≤ scale·N concentrates only pathologically;
     with scale 10⁶ and ranks < 2⁵⁰, ``rank*num`` stays far inside int64.
     """
@@ -275,7 +278,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     def idiv(a, b):  # exact integer floor division for non-negative a, b
         return ((a - F.pmod(a, b)) / b).cast("long")
 
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             e.join(deg, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -291,6 +294,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             (F.lit(base) + F.coalesce(F.col("insum"), F.lit(0)))
             .cast("long").alias("rank"),
         )
+        if (i + 1) % 3 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
