@@ -236,7 +236,9 @@ def test_streaming_packing_continues_across_batches(spark, tmpdir_path):
     src = f"{tmpdir_path}/pin"
     sink, ckpt = f"{tmpdir_path}/pout", f"{tmpdir_path}/pckpt"
     schema = "doc_id long, n_tokens long"
-    b1 = spark.createDataFrame([(1, 100), (2, 50), (3, 300)], schema)
+    # 2 vs 10: a numeric key must sort NUMERICALLY within the batch
+    # (the old string cast ordered "10" < "2"); keys keep their type
+    b1 = spark.createDataFrame([(2, 100), (10, 50), (3, 300)], schema)
     # flat append into one dir: the file stream source does not recurse
     # into nested .parquet subdirectories
     b1.write.mode("append").parquet(src)
@@ -251,14 +253,21 @@ def test_streaming_packing_continues_across_batches(spark, tmpdir_path):
 
     run_batches()
     got1 = {r["key"]: r for r in spark.read.parquet(sink).collect()}
-    assert got1["1"]["start_tok"] == 0
-    assert got1["2"]["start_tok"] == 100
-    assert got1["3"]["start_tok"] == 150 and got1["3"]["n_chunks"] == 3
+    assert got1[2]["start_tok"] == 0
+    assert got1[3]["start_tok"] == 100
+    assert got1[10]["start_tok"] == 400 and got1[10]["n_chunks"] == 1
+
+    # the one-batch case now reproduces batch pack_offsets exactly
+    from themis_spark.operators.stats import pack_offsets
+    batch_rows = {r["doc_id"]: r for r in
+                  pack_offsets(b1, ctx_len=128, buckets=1).collect()}
+    assert all(batch_rows[k]["start_tok"] == got1[k]["start_tok"]
+               for k in (2, 3, 10))
 
     # second file arrives -> resumed stream continues the offsets
     b2 = spark.createDataFrame([(4, 10), (5, 0)], schema)
     b2.write.mode("append").parquet(src)
     run_batches()
     got2 = {r["key"]: r for r in spark.read.parquet(sink).collect()}
-    assert got2["4"]["start_tok"] == 450  # 100+50+300
-    assert got2["5"]["n_chunks"] == 0 and got2["5"]["first_chunk"] is None
+    assert got2[4]["start_tok"] == 450  # 100+50+300
+    assert got2[5]["n_chunks"] == 0 and got2[5]["first_chunk"] is None

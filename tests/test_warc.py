@@ -93,3 +93,30 @@ def test_warc_to_validation_end_to_end(spark, tmpdir_path):
     assert ("not-a-url", "minLength") in viol
     # clean pages produce no violations
     assert not any(u == RECS[0]["url"] for (u, _) in viol)
+
+
+def test_iter_warc_records_gzip_trailing_garbage_and_truncation():
+    # trailing non-gzip bytes after complete members: all records parse
+    gz = build_warc_bytes(RECS, compress=True)
+    got = list(iter_warc_records(gz + b"JUNK TRAILER BYTES"))
+    assert [r["url"] for r in got] == [r["url"] for r in RECS]
+    # truncated final member: earlier records still come through
+    got = list(iter_warc_records(gz[: len(gz) - 20]))
+    assert len(got) == len(RECS) - 1
+    # corrupt middle member: stops cleanly at the last good record
+    head = build_warc_bytes(RECS[:1], compress=True)
+    corrupt = bytearray(build_warc_bytes(RECS[1:2], compress=True))
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    got = list(iter_warc_records(head + bytes(corrupt)))
+    assert [r["url"] for r in got] == [RECS[0]["url"]]
+
+
+def test_iter_warc_records_streams_large_member_in_chunks():
+    # one member that inflates past the 1 MiB chunk size must round-trip
+    # byte-exactly through the incremental inflate path
+    big = [{"url": "https://big.example.com/x",
+            "ts": "2024-01-02T03:04:05Z",
+            "html": "<html>" + "x" * (3 << 20) + "</html>"}]
+    got = list(iter_warc_records(build_warc_bytes(big, compress=True)))
+    assert len(got) == 1
+    assert got[0]["payload"] == big[0]["html"].encode()

@@ -12,9 +12,14 @@ production pipelines parse inside mapPartitions).
 Scale shape: one WARC file = one input row = one parse task, so
 parallelism = number of files (Common Crawl ships ~1 GB segments,
 100k+ per crawl — far more files than executors). The parser is an
-ITERATOR over records, so peak memory is the compressed file + one
-record, not the expanded file; emitted batches follow
-``spark.sql.execution.arrow.maxRecordsPerBatch``. Response records
+ITERATOR over records AND the gzip inflate is incremental (member-by-
+member, 1 MiB chunks within a member), so peak memory is the
+compressed bytes (already materialized by binaryFile's row) + one
+record + one inflate chunk — never the fully expanded segment; emitted
+batches follow ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+Trailing non-gzip garbage after a complete member, and a corrupt or
+truncated final member, stop the iterator cleanly at the last good
+record instead of raising. Response records
 re-join the engine through ``warc_responses`` -> the pages-table shape
 (html payload as binary; ``text.extracted_text_col`` takes it from
 there natively).
@@ -27,7 +32,7 @@ format Common Crawl actually uses) rather than vendoring samples.
 from __future__ import annotations
 
 import gzip
-import io
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -51,32 +56,88 @@ def _split_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+_INFLATE_CHUNK = 1 << 20
+
+
+def _decompressed_chunks(raw: bytes) -> Iterator[bytes]:
+    """Incremental inflate: plain bytes pass through whole; gzip yields
+    decompressed chunks member-by-member (Common Crawl is one member
+    per record, so a member's expansion IS the record-sized unit).
+    Stops cleanly on trailing non-gzip garbage, a corrupt member, or a
+    truncated final member — everything decompressed so far was
+    yielded."""
+    if raw[:2] != b"\x1f\x8b":
+        yield raw
+        return
+    view = memoryview(raw)
+    pos, n = 0, len(raw)
+    while pos < n and raw[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        while pos < n and not d.eof:
+            chunk = view[pos:pos + _INFLATE_CHUNK]
+            pos += len(chunk)
+            try:
+                out = d.decompress(chunk)
+            except zlib.error:
+                return  # corrupt member: keep what parsed so far
+            if out:
+                yield out
+        if not d.eof:
+            return  # truncated final member
+        pos -= len(d.unused_data)  # rewind to the next member's start
+
+
+def _ensure(buf: bytearray, chunks: Iterator[bytes], k: int) -> bool:
+    """Grow ``buf`` from ``chunks`` until it holds ≥ k bytes."""
+    while len(buf) < k:
+        c = next(chunks, None)
+        if c is None:
+            return False
+        buf.extend(c)
+    return True
+
+
+def _find(buf: bytearray, chunks: Iterator[bytes], pat: bytes) -> int:
+    start = 0
+    while True:
+        i = buf.find(pat, start)
+        if i >= 0:
+            return i
+        start = max(len(buf) - len(pat) + 1, 0)
+        c = next(chunks, None)
+        if c is None:
+            return -1
+        buf.extend(c)
+
+
 def iter_warc_records(raw: bytes) -> Iterator[dict]:
-    """Yield parsed records from WARC/1.0 bytes (plain or gzip — gzip
-    multi-member streams, Common Crawl's layout, decompress as one
-    stream under ``gzip.GzipFile``). Pure stdlib; tolerant of trailing
-    garbage (stops at the first malformed record boundary)."""
-    if raw[:2] == b"\x1f\x8b":
-        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-    pos = 0
-    n = len(raw)
-    while pos < n:
+    """Yield parsed records from WARC/1.0 bytes (plain or gzip
+    multi-member, Common Crawl's layout). Pure stdlib; the gzip stream
+    inflates INCREMENTALLY and the parse buffer compacts after every
+    record, so peak memory stays at one record + one inflate chunk on
+    top of the caller's compressed bytes. Tolerant of trailing garbage
+    and truncated tails (stops at the last complete record)."""
+    chunks = _decompressed_chunks(raw)
+    buf = bytearray()
+    while True:
         # skip inter-record blank lines
-        while raw[pos:pos + 2] == _CRLF:
-            pos += 2
-        if not raw[pos:pos + 9].startswith(b"WARC/"):
+        while _ensure(buf, chunks, 2) and buf[:2] == _CRLF:
+            del buf[:2]
+        if not _ensure(buf, chunks, 5) or bytes(buf[:5]) != b"WARC/":
             return
-        head_end = raw.find(_CRLF + _CRLF, pos)
+        head_end = _find(buf, chunks, _CRLF + _CRLF)
         if head_end < 0:
             return
-        headers = _split_headers(raw[pos + raw[pos:head_end].find(_CRLF):head_end])
+        headers = _split_headers(bytes(buf[buf.find(_CRLF):head_end]))
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             return
         body_start = head_end + 4
-        body = raw[body_start:body_start + length]
-        pos = body_start + length
+        if not _ensure(buf, chunks, body_start + length):
+            return  # truncated body: the record never completed
+        body = bytes(buf[body_start:body_start + length])
+        del buf[:body_start + length]
         rec_type = headers.get("warc-type", "")
         out = {
             "record_type": rec_type,

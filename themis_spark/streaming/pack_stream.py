@@ -20,8 +20,10 @@ Shape, per micro-batch:
   start_tok, first_chunk, n_chunks)``.
 
 Ordering contract: a stream packs in ARRIVAL order (micro-batch order,
-then key within a batch — deterministic given the same batch
-boundaries). The batch operator's global (bucket, key) order is only
+then TYPED key within a batch — deterministic given the same batch
+boundaries; numeric keys sort numerically, so the layout agrees with
+the batch operator's orderBy, not a lexicographic proxy). The batch
+operator's global (bucket, key) order is only
 reproduced when everything arrives in one batch; continuation is the
 invariant that matters here: batch N+1's first document starts exactly
 where batch N's stream left off, so a checkpoint-resumed job keeps
@@ -40,7 +42,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from themis_spark.functions.hashing import hash60
 
-_OUT_SCHEMA = ("key string, bucket int, n_tokens long, start_tok long, "
+_OUT_FIELDS = ("bucket int, n_tokens long, start_tok long, "
                "first_chunk long, n_chunks long")
 _STATE_SCHEMA = "next_start long"
 
@@ -56,9 +58,15 @@ def pack_offsets_stream(
     form of ``stats.pack_offsets`` (same chunk arithmetic, state-carried
     offsets). ``tokens`` names an integer column on the stream (compute
     it map-side with ``text.token_count_col`` when starting from raw
-    text)."""
+    text). The key keeps its ORIGINAL type end-to-end and each
+    micro-batch sorts on that typed key — numeric keys order
+    numerically (10 after 2, not before), so the everything-in-one-batch
+    case reproduces the batch operator's (bucket, key) layout exactly
+    for any orderable key type."""
+    key_dt = stream_df.schema[key].dataType.simpleString()
+    out_schema = f"key {key_dt}, " + _OUT_FIELDS
     base = stream_df.select(
-        F.col(key).cast("string").alias("k"),
+        F.col(key).alias("k"),
         F.pmod(hash60(F.col(key)), F.lit(buckets)).cast("int").alias("bucket"),
         F.col(tokens).cast("long").alias("n_tokens"),
     )
@@ -71,7 +79,7 @@ def pack_offsets_stream(
         rows = {"key": [], "bucket": [], "n_tokens": [], "start_tok": [],
                 "first_chunk": [], "n_chunks": []}
         for k, tok in zip(batch["k"], batch["n_tokens"]):
-            tok = int(tok) if tok == tok else 0  # NaN-safe
+            tok = int(tok) if (tok is not None and tok == tok) else 0  # NULL/NaN-safe
             rows["key"].append(k)
             rows["bucket"].append(int(bucket[0]))
             rows["n_tokens"].append(tok)
@@ -89,6 +97,6 @@ def pack_offsets_stream(
 
     return (
         base.groupBy("bucket")
-        .applyInPandasWithState(fn, _OUT_SCHEMA, _STATE_SCHEMA,
+        .applyInPandasWithState(fn, out_schema, _STATE_SCHEMA,
                                 "append", GroupStateTimeout.NoTimeout)
     )
