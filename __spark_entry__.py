@@ -1181,6 +1181,16 @@ def q_text_classifier(spark, sf):
     ).select("doc_id", "n_tokens", "logit", "label")
 
 
+def q_text_classifier_join(spark, sf):
+    # the broadcast-weight-table model path (real fastText-scale models)
+    # on the same 256-dim dyadic weights: exact-sum parity means the
+    # SAME oracle SQL pins both paths
+    return X.classifier_scores_join(
+        _t(spark, sf, "documents"),
+        X.weights_table(spark, 256), dim=256, bias=-0.05,
+    ).select("doc_id", "n_tokens", "logit", "label")
+
+
 def q_ann_semdedup(spark, sf):
     # SemDeDup: init-only centroids (first 32 vectors) so DuckDB
     # re-derives the identical cells from the same table; more cells =
@@ -1236,6 +1246,18 @@ def q_text_bpe(spark, sf):
         "doc_id",
         F.size(toks).alias("n_bpe"),
         F.md5(F.concat_ws("\x1e", toks)).alias("toks_md5"),
+    )
+
+
+def q_text_bpe_arrow(spark, sf):
+    # the PRODUCTION-regime Arrow kernel on the same merge list — the
+    # oracle (the same chained-replace SQL as text_bpe) pins the
+    # kernel's bit-parity with the native path cross-engine
+    out = X.bpe_tokenize_arrow(_t(spark, sf, "documents"), BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe"),
+        F.md5(F.concat_ws("\x1e", F.col("tokens"))).alias("toks_md5"),
     )
 
 
@@ -1416,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_entropy": q_stat_entropy,
         "validate_dispatch": q_validate_dispatch,
         "text_bpe": q_text_bpe,
+        "text_bpe_arrow": q_text_bpe_arrow,
+        "text_classifier_join": q_text_classifier_join,
     }
 
 
@@ -3017,6 +3041,23 @@ def oracle_sql() -> dict[str, str]:
                    (-0.05 + CASE WHEN n_tokens > 0
                                  THEN wsum / n_tokens ELSE 0 END) > 0 AS label
             FROM s""",
+        "text_classifier_join": f"""
+            WITH t AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> length(x) > 0) AS toks
+                 FROM documents WHERE text IS NOT NULL),
+            s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 coalesce(list_sum(list_transform(toks, x ->
+                     ({_weights_sql_list(256)})[
+                         (('0x' || substr(md5(x), 1, 15))::BIGINT % 256)::INT + 1
+                     ])), 0.0) AS wsum
+                 FROM t)
+            SELECT doc_id, n_tokens,
+                   round(-0.05 + CASE WHEN n_tokens > 0
+                                      THEN wsum / n_tokens ELSE 0 END, 6) AS logit,
+                   (-0.05 + CASE WHEN n_tokens > 0
+                                 THEN wsum / n_tokens ELSE 0 END) > 0 AS label
+            FROM s""",
         "ann_semdedup": _SEMDEDUP_ASSIGN_SQL + """
             SELECT a.vec_id AS a_key, b.vec_id AS b_key, a.cell,
                    round(list_cosine_similarity(
@@ -3046,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         # and integer sums replay Spark's arithmetic bit-for-bit
         "web_pagerank": _pagerank_sql(iters=3),
         "text_bpe": _bpe_sql(),
+        "text_bpe_arrow": _bpe_sql(),
         "validate_dispatch": """
             WITH d AS (SELECT doc_id, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'dlong'

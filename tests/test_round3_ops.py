@@ -139,3 +139,125 @@ def test_dispatch_uncompilable_branch_degrades_per_row(spark):
            for r in v.validate_table_dispatch(df).collect()}
     assert got["u1"] == ("$schema", "bad")
     assert got["u2"] == ("$dispatch", "mystery")
+
+
+def _bpe_ref_apply(word, merges):
+    # brute-force sequential reference: every merge in order, one
+    # left-to-right non-overlapping pass each (the chained-replace
+    # semantics of bpe_tokenize_col, without any skipping cleverness)
+    seq = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def _synthetic_merges(n=5000):
+    # applying merges (doubling runs per letter + cross pairs)
+    # interleaved with filler pairs over symbols that never occur —
+    # a production list's shape: most merges don't apply to any given word
+    applying = []
+    for ch in "abcdefgh":
+        tok = ch
+        for _ in range(6):
+            applying.append((tok, tok))
+            tok = tok + tok
+    for x, y in [("a", "b"), ("ab", "cd"), ("c", "d"), ("e", "f"),
+                 ("ef", "g"), ("abcd", "efg"), ("h", "a"), ("ha", "ha")]:
+        applying.append((x, y))
+    merges, ai = [], 0
+    for i in range(n):
+        if i % 90 == 0 and ai < len(applying):
+            merges.append(applying[ai])
+            ai += 1
+        else:
+            merges.append((f"Z{i}", f"Q{i}"))  # never-present symbols
+    return merges
+
+
+def test_bpe_arrow_parity_5k_merges(spark):
+    from themis_spark.operators.text import bpe_tokenize_arrow
+
+    merges = _synthetic_merges(5000)
+    words = ["a" * 13, "abab", "abcdefg", "hahaha", "b" * 9 + "a" * 4,
+             "cdcdcd", "efefg", "aabbccdd", "h" * 7, "abcdefgabcdefg"]
+    docs = [" ".join(words[i:] + words[:i]) for i in range(len(words))]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in bpe_tokenize_arrow(df, merges).collect()}
+    for i, t in enumerate(docs):
+        expect = [tok for w in t.lower().split()
+                  for tok in _bpe_ref_apply(w, merges)]
+        assert got[i] == expect, f"doc {i}"
+
+
+def test_bpe_arrow_parity_with_native_path(spark):
+    from themis_spark.operators.text import (
+        bpe_tokenize_arrow,
+        bpe_tokenize_col,
+        train_bpe_merges,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe_merges(df, n_merges=60, sample_docs=100)
+    assert len(merges) == 60
+    native = {r["doc_id"]: list(r["t"]) for r in df.select(
+        "doc_id", bpe_tokenize_col("text", merges).alias("t")).collect()}
+    arrow = {r["doc_id"]: list(r["tokens"])
+             for r in bpe_tokenize_arrow(df, merges).collect()}
+    assert native == arrow
+
+
+def test_bpe_arrow_null_text_and_plan_shape(spark):
+    from themis_spark.operators.text import bpe_tokenize_arrow
+
+    df = spark.createDataFrame(
+        [(1, "the thing"), (2, None)], "doc_id long, text string")
+    out = bpe_tokenize_arrow(df, [("t", "h"), ("th", "e")])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["n_bpe_tokens"] == 0 and list(rows[2]["tokens"]) == []
+    assert rows[1]["tokens"][0] == "the"
+    # pure map stage: no exchange; Python only as the declared Arrow kernel
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no per-row python
+
+
+def test_classifier_join_parity_and_64k_dims(spark):
+    from themis_spark.operators.text import (
+        classifier_scores,
+        classifier_scores_join,
+        hashed_weights,
+        weights_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "   "), (3, None),
+         (4, "jumps over the lazy dog " * 40)],
+        "doc_id long, text string")
+    # bit-exact parity with the literal path at the literal-regime dim
+    lit = {r["doc_id"]: r.asDict() for r in classifier_scores(
+        df, weights=hashed_weights(1024), bias=0.5).collect()}
+    jn = {r["doc_id"]: r.asDict() for r in classifier_scores_join(
+        df, weights_table(spark, 1024), dim=1024, bias=0.5).collect()}
+    assert lit == jn
+
+    # 64k dims: far past the array-literal codegen bound — must plan a
+    # broadcast hash join and execute without codegen failure
+    big = classifier_scores_join(df, weights_table(spark, 65536), dim=65536)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rows = {r["doc_id"]: r for r in big.collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 0
+    # sparse model: absent hashes contribute 0 -> empty weights = bias only
+    empty_w = spark.createDataFrame([], "feature_hash long, weight double")
+    z = classifier_scores_join(df, empty_w, dim=65536, bias=0.25).collect()
+    assert all(r["logit"] == 0.25 for r in z)

@@ -580,6 +580,65 @@ def classifier_scores(df, key: str = "doc_id", text: str = "text",
     )
 
 
+def weights_table(spark, dim: int = 1024):
+    """:func:`hashed_weights` as a ``(feature_hash, weight)`` DataFrame
+    — the shape :func:`classifier_scores_join` consumes, and the shape
+    a REAL trained model arrives in (parquet of hash→weight rows)."""
+    return spark.createDataFrame(
+        list(enumerate(hashed_weights(dim))), "feature_hash long, weight double")
+
+
+def classifier_scores_join(df, weights_df, dim: int,
+                           key: str = "doc_id", text: str = "text",
+                           bias: float = 0.0, round_to: int = 6):
+    """Production-scale model application: the same hashed linear
+    classifier as :func:`classifier_scores`, with the weight vector as
+    a BROADCAST-JOINED DataFrame instead of one array literal — the
+    path for real fastText-scale models (10⁵–10⁷ hashed features),
+    where folding weights into the plan would blow Catalyst's codegen
+    method-size limit.
+
+    ``weights_df`` is ``(feature_hash, weight)`` with hashes in
+    ``[0, dim)``; absent hashes score 0 (sparse models ship only
+    non-zero rows). Plan: tokenize → explode map-side → broadcast hash
+    equi-join → one partial+final agg on the key, so the only exchange
+    carries one (key, sum, count) row per document per task — O(docs),
+    never O(tokens). Output schema and values match
+    ``classifier_scores`` exactly for the same dense weights (the demo
+    weights are dyadic rationals, so the different summation order is
+    still bit-exact; real float weights agree to ``round_to``)."""
+    c = F.col(text)
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    exploded = (
+        df.where(c.isNotNull())
+        .select(F.col(key), F.explode_outer(toks).alias("__tok"))
+        .select(
+            key, "__tok",
+            F.pmod(hash60(F.col("__tok")), F.lit(dim)).alias("__h"),
+        )
+    )
+    w = weights_df.select(F.col("feature_hash").alias("__h"),
+                          F.col("weight").alias("__w"))
+    agg = (
+        exploded.join(F.broadcast(w), "__h", "left")
+        .groupBy(key).agg(
+            F.count("__tok").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__wsum"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.when(
+        F.col("n_tokens") > 0, F.col("__wsum") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        key,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(logit, round_to).alias("logit"),
+        (logit > 0).alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("score"),
+    )
+
+
 def with_classifier_scores(df, text: str = "text",
                            weights: list[float] | None = None,
                            bias: float = 0.0, round_to: int = 6):
@@ -782,3 +841,110 @@ def bpe_token_count_col(text: Column | str,
     number (mixture planning, packing, pricing) where
     ``bpe_ish_token_count_col`` is the model-free approximation."""
     return F.size(bpe_tokenize_col(text, merges))
+
+
+def _bpe_apply_word(word: str, merges: list[tuple[str, str]],
+                    ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Sequential BPE application to one word: each merge, in rank
+    order, replaces its pair left-to-right non-overlapping — EXACTLY
+    the chained-replace semantics of :func:`bpe_tokenize_col`, computed
+    without touching merges whose pair is absent. A min-heap walks the
+    ranks of pairs actually present; pairs created by merge r with rank
+    < r are skipped (sequential application already passed them), which
+    is precisely what the chained replaces do."""
+    import heapq
+
+    seq = list(word)
+    if len(seq) < 2:
+        return seq
+    heap = sorted({r for r in (ranks.get(p) for p in zip(seq, seq[1:]))
+                   if r is not None})
+    queued = set(heap)
+    last = -1
+    while heap:
+        r = heapq.heappop(heap)
+        if r < last:
+            continue  # pair appeared after its merge's turn had passed
+        last = r
+        a, b = merges[r]
+        out, i, changed = [], 0, False
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+                changed = True
+            else:
+                out.append(seq[i])
+                i += 1
+        if changed:
+            seq = out
+            if len(seq) < 2:
+                break
+            for p in zip(seq, seq[1:]):
+                rr = ranks.get(p)
+                if rr is not None and rr > r and rr not in queued:
+                    queued.add(rr)
+                    heapq.heappush(heap, rr)
+    return seq
+
+
+def bpe_tokenize_arrow(df, merges: list[tuple[str, str]],
+                       text: str = "text", key: str = "doc_id"):
+    """PRODUCTION-scale BPE application as a declared Arrow batch
+    kernel — ``(key, tokens array<string>, n_bpe_tokens)`` — for merge
+    lists past the ~few-hundred bound where the native chained-replace
+    path (:func:`bpe_tokenize_col`) hits Catalyst's codegen method-size
+    limit. Same contract as the media codecs (functions/imagecodec.py):
+    Python appears ONLY inside ``mapInPandas`` over Arrow batches,
+    never per-row.
+
+    Semantics are bit-identical to the native path (parity-tested):
+    lowercase, whitespace pre-tokenization, each merge applied in rank
+    order, left-to-right non-overlapping. The kernel skips absent pairs
+    via a rank heap (O(applied merges · word length) per unique word,
+    independent of total merge-list size) and memoizes per unique word
+    WITHIN each Arrow batch — Zipf word repetition makes the cache hit
+    rate ~95%+ on web text, so a 50k-merge tokenizer runs at
+    cache-miss-bounded cost. The merge list ships once per task in the
+    serialized closure (a 50k list is ~1 MB — broadcast-sized, the
+    standard model-shipping shape).
+
+    Scale shape: zero shuffle — a pure map stage; NULL text yields an
+    empty token array (count 0), matching ``token_count_col``'s
+    NULL-in/0-out packing contract downstream.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    merges = [tuple(m) for m in merges]
+    ranks: dict[tuple[str, str], int] = {}
+    for i, p in enumerate(merges):
+        if p not in ranks:  # duplicate pair: later replace is a no-op
+            ranks[p] = i
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_out = []
+            for t in pdf[text]:
+                if t is None or t != t:
+                    toks_out.append([])
+                    continue
+                toks: list[str] = []
+                for w in str(t).lower().split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = _bpe_apply_word(w, merges, ranks)
+                        cache[w] = got
+                    toks.extend(got)
+                toks_out.append(toks)
+            yield pd.DataFrame({
+                key: pdf[key],
+                "tokens": toks_out,
+                "n_bpe_tokens": [len(x) for x in toks_out],
+            })
+
+    key_dt = df.schema[key].dataType.simpleString()
+    return df.select(key, text).mapInPandas(
+        kernel, f"{key} {key_dt}, tokens array<string>, n_bpe_tokens long")
