@@ -618,6 +618,34 @@ def q_mm_decode(spark, sf):
                                 deterministic_fake=False)
 
 
+def _png_media(spark, sf, limit=64):
+    # real COMPRESSED payloads: constant-fill images PNG-encoded with
+    # the stdlib codec, row filters cycling 0-4 so every unfilter path
+    # runs; dims/fill reuse _ppm_media's doc_id formulas, so the decoded
+    # pixels are formula-replayable by the DuckDB oracle even though
+    # the zlib payload bytes themselves are not SQL-expressible
+    import numpy as np
+
+    from themis_spark.functions import imagecodec as IC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+        payload = IC.encode_png(
+            img, row_filters=[(doc_id + i) % 5 for i in range(3)])
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_decode_png(spark, sf):
+    # PNG (zlib inflate + scanline unfilter) → resize → P6 re-encode:
+    # the pixel sha replays bit-exactly from the fill formula
+    out = M.resize_images(_png_media(spark, sf), target=(5, 4))
+    return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
+                      "out_w", "out_h", "src_format")
+
+
 def q_mm_resize(spark, sf):
     # REAL resize kernel: decode → nearest-neighbor → re-encode; the
     # constant-fill output is formula-replayable (sha of header+fill)
@@ -1440,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe": q_text_bpe,
         "text_bpe_arrow": q_text_bpe_arrow,
         "text_classifier_join": q_text_classifier_join,
+        "mm_decode_png": q_mm_decode_png,
     }
 
 
@@ -2884,6 +2913,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(payload)) AS n_bytes,
                    sha256(payload) AS sha256, 'ppm' AS format,
                    w AS width, h AS height, 1 AS n_frames FROM p""",
+        "mm_decode_png": """
+            WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 64)
+            SELECT doc_id,
+                   sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
+                          || repeat(c, 60)) AS resized_sha,
+                   5 AS out_w, 4 AS out_h, 'png' AS src_format FROM t""",
         "mm_resize": """
             WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
                        FROM documents WHERE doc_id < 200)

@@ -117,3 +117,95 @@ def test_frame_sample_real_frames(spark):
     for r in rows:
         want = hashlib.sha256(frames[r["frame_idx"]].tobytes()).hexdigest()
         assert r["frame_sha"] == want and (r["width"], r["height"]) == (4, 3)
+
+
+# --------------------------------------------------------------------- PNG
+
+def _noisy(h: int, w: int) -> np.ndarray:
+    # deterministic non-constant pixels: every filter produces distinct
+    # encoded bytes, so each unfilter path is genuinely exercised
+    idx = np.arange(h * w * 3, dtype=np.int64)
+    return ((idx * 97 + (idx * idx) % 251) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def test_png_roundtrip_every_filter():
+    img = _noisy(11, 7)
+    for f in range(5):
+        payload = IC.encode_png(img, row_filters=[f])
+        assert IC.sniff_format(payload) == "png"
+        out = IC.decode_png(payload)
+        assert out.shape == (11, 7, 3) and (out == img).all(), f"filter {f}"
+    # mixed filters across rows (the realistic encoder output)
+    payload = IC.encode_png(img, row_filters=[0, 1, 2, 3, 4])
+    assert (IC.decode_png(payload) == img).all()
+    fmt, out = IC.decode_image(payload)
+    assert fmt == "png" and (out == img).all()
+
+
+def _png_handbuilt(w, h, ctype, scanlines, plte=None):
+    import zlib
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + zlib.crc32(t + d).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    raw = b"".join(b"\x00" + s for s in scanlines)
+    out = IC._PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_grayscale_palette_rgba():
+    # grayscale (ctype 0) expands to RGB
+    gray = _png_handbuilt(3, 2, 0, [bytes([10, 20, 30]), bytes([40, 50, 60])])
+    out = IC.decode_png(gray)
+    assert out.shape == (2, 3, 3) and (out[0, 1] == [20, 20, 20]).all()
+    # palette (ctype 3) resolves through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pal = _png_handbuilt(3, 1, 3, [bytes([2, 0, 1])], plte=plte)
+    out = IC.decode_png(pal)
+    assert (out[0] == [[0, 0, 255], [255, 0, 0], [0, 255, 0]]).all()
+    # RGBA (ctype 6) drops alpha
+    rgba = _png_handbuilt(2, 1, 6, [bytes([1, 2, 3, 9, 4, 5, 6, 9])])
+    out = IC.decode_png(rgba)
+    assert (out[0] == [[1, 2, 3], [4, 5, 6]]).all()
+
+
+def test_png_rejects_unsupported_variants():
+    img = _noisy(2, 2)
+    ok = IC.encode_png(img)
+    # 16-bit depth
+    deep = bytearray(ok)
+    deep[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(IC.UnsupportedImageError):
+        IC.decode_png(bytes(deep))
+    # Adam7 interlace
+    inter = bytearray(ok)
+    inter[28] = 1  # IHDR interlace byte (crc mismatch irrelevant: we don't check crc)
+    with pytest.raises(IC.UnsupportedImageError):
+        IC.decode_png(bytes(inter))
+    # truncated pixel stream
+    with pytest.raises(IC.UnsupportedImageError):
+        IC.decode_png(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_resize_images_decodes_png(spark):
+    img = _gradient(10, 20)
+    out = M.resize_images(
+        _media_df(spark, [IC.encode_png(img, row_filters=[0, 1, 2, 3, 4])]),
+        target=(5, 4)).collect()
+    expected = IC.encode_ppm(IC.resize_nearest(img, 5, 4))
+    assert bytes(out[0]["resized"]) == expected
+    assert out[0]["src_format"] == "png"
+
+
+def test_extract_media_meta_real_decode_png(spark):
+    img = _gradient(6, 9)
+    rows = M.extract_media_meta(
+        _media_df(spark, [IC.encode_png(img)]),
+        deterministic_fake=False).collect()
+    r = rows[0]
+    assert (r["format"], r["width"], r["height"], r["n_frames"]) == ("png", 9, 6, 1)

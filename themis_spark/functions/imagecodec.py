@@ -1,24 +1,31 @@
-"""Pure-numpy image codecs for the multimodal kernels.
+"""Pure-stdlib/numpy image codecs for the multimodal kernels.
 
-The container has no Pillow/libjpeg, but uncompressed formats are just
-byte layouts — parseable with numpy alone. Supported here:
+The container has no Pillow/libjpeg, but several formats are decodable
+with the stdlib + numpy alone. Supported here:
 
 * **PPM (P6)** — the netpbm binary RGB format: ASCII header
   ``P6 <width> <height> <maxval>`` then ``width*height*3`` raw bytes.
 * **BMP (24-bit BI_RGB)** — little-endian header, uncompressed BGR
   rows stored bottom-up, each row padded to 4 bytes.
+* **PNG** — the one COMPRESSED format fully decodable without external
+  libraries: zlib (stdlib) inflate of the IDAT stream + the five
+  scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec.
+  8-bit depth, color types 0 (grayscale), 2 (RGB), 3 (palette), 6
+  (RGBA — alpha dropped), non-interlaced; 16-bit and Adam7 raise.
 * **PPMV** — a concatenated-P6 "video": frames are back-to-back P6
   streams (our frame-sampling container; real codecs slot in behind
   the same function signature).
 
 These run INSIDE Arrow batches on executors (mapInPandas kernels in
 operators/multimodal.py) — per-batch Python over ndarray columns, never
-per-row UDFs. Compressed formats (JPEG/PNG/…) still require an external
-library and raise ``UnsupportedImageError`` so callers fail loudly
-instead of silently skipping rows.
+per-row UDFs. JPEG/WebP still require an external library and raise
+``UnsupportedImageError`` so callers fail loudly instead of silently
+skipping rows.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 
@@ -130,16 +137,173 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + data
 
 
+# ----------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per pixel by PNG color type
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        yield typ, payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IEND":
+            return
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters. Up/None vectorize; Sub/
+    Average/Paeth carry a left-neighbor dependency, so those rows walk
+    per byte (this is the declared Python kernel — per Arrow batch on
+    executors, never per-row UDF)."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 255
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 255
+        elif f == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 255
+        else:
+            raise UnsupportedImageError(f"png filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB array, pure stdlib zlib + numpy.
+    Grayscale expands to RGB, palette entries resolve through PLTE,
+    RGBA drops alpha (no compositing — the training-data contract is
+    raw pixel content). 16-bit depth and Adam7 interlace raise."""
+    if payload[:8] != _PNG_SIG:
+        raise UnsupportedImageError("not a png stream")
+    ihdr, plte, idat = None, None, bytearray()
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+    if ihdr is None or not idat:
+        raise UnsupportedImageError("png missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise UnsupportedImageError(f"png bit depth {depth} not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise UnsupportedImageError(f"png color type {ctype} not supported")
+    if comp != 0 or filt != 0:
+        raise UnsupportedImageError("nonstandard png compression/filter method")
+    if interlace != 0:
+        raise UnsupportedImageError("Adam7 interlaced png not supported")
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise UnsupportedImageError("png pixel data length mismatch")
+    img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 0:  # grayscale -> RGB
+        return np.repeat(img, 3, axis=2)
+    if ctype == 3:  # palette
+        if plte is None:
+            raise UnsupportedImageError("palette png missing PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        return pal[img[:, :, 0]]
+    if ctype == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB → color-type-2 PNG bytes. ``row_filters``
+    cycles real filter types (0–4) across rows — the fixture writer for
+    tests that must exercise every unfilter path with spec-true filter
+    arithmetic (encode applies the true forward filters)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.int32)
+    z3 = np.zeros(3, np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        left = np.concatenate([z3, line[:-3]])
+        upleft = np.concatenate([z3, prev[:-3]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) & 255
+        elif f == 2:
+            enc = (line - prev) & 255
+        elif f == 3:
+            enc = (line - ((left + prev) >> 1)) & 255
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (line - pred) & 255
+        else:
+            raise ValueError(f"png filter type {f}")
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 # ------------------------------------------------------------------ dispatch
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """Decode any builtin-supported still image → (format, (h,w,3) array).
-    Raises ``UnsupportedImageError`` for compressed formats."""
+    Raises ``UnsupportedImageError`` for formats needing external libs
+    (JPEG/WebP)."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return "ppm", decode_ppm(payload)
     if fmt == "bmp":
         return "bmp", decode_bmp(payload)
+    if fmt == "png":
+        return "png", decode_png(payload)
     raise UnsupportedImageError(f"builtin codecs cannot decode format={fmt!r}")
 
 

@@ -54,10 +54,13 @@ def _decode_real(payload: bytes) -> tuple:
     if fmt == "bmp":
         img = IC.decode_bmp(payload)
         return ("bmp", img.shape[1], img.shape[0], 1)
+    if fmt == "png":
+        img = IC.decode_png(payload)  # stdlib zlib + filters, no Pillow
+        return ("png", img.shape[1], img.shape[0], 1)
     if not _HAS_PIL:
         raise NotImplementedError(
             f"decode of format={fmt!r} requires Pillow (builtin codecs cover "
-            "ppm/bmp/ppmv); install PIL on the cluster or use "
+            "ppm/bmp/png/ppmv); install PIL on the cluster or use "
             "deterministic_fake=True for plumbing tests"
         )
     import io
@@ -140,7 +143,7 @@ def extract_media_meta(
 def resize_images(df: DataFrame, payload_col: str = "payload",
                   key_cols: tuple[str, ...] = ("doc_id",),
                   target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """REAL image resize for builtin-decodable payloads (PPM/BMP):
+    """REAL image resize for builtin-decodable payloads (PPM/BMP/PNG):
     decode → nearest-neighbor resample → re-encode as P6, one Arrow
     batch at a time, map-side only (the payload never shuffles; the
     output is the training-pipeline's fixed-size tensor input).
@@ -148,7 +151,7 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
     Fail-closed: an undecodable payload raises (imagecodec sniffs the
     container first, so the error names the format) — a silent skip
     would corrupt a training set's row alignment. Filter by
-    ``sniff_format`` upstream to route JPEG/PNG to a Pillow cluster.
+    ``sniff_format`` upstream to route JPEG/WebP to a Pillow cluster.
     """
     keys = list(key_cols)
     key_schema = ", ".join(f"{k} bigint" for k in keys)
