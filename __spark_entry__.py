@@ -1209,6 +1209,18 @@ def q_text_classifier(spark, sf):
     ).select("doc_id", "n_tokens", "logit", "label")
 
 
+def q_pipeline_curate(spark, sf):
+    # the composed end-to-end curation recipe (pipeline.curate): scan
+    # rules -> classifier -> exact dedup -> LSH near-dup -> packing
+    # summary; the oracle replays every stage with the SAME SQL its
+    # standalone oracle uses, composed into one query
+    from themis_spark.pipeline import CurationConfig, curate
+
+    cfg = CurationConfig(classifier_weights=X.hashed_weights(256),
+                         classifier_bias=0.0)
+    return curate(_t(spark, sf, "documents"), cfg)["packing"]
+
+
 def q_text_classifier_join(spark, sf):
     # the broadcast-weight-table model path (real fastText-scale models)
     # on the same 256-dim dyadic weights: exact-sum parity means the
@@ -1469,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_arrow": q_text_bpe_arrow,
         "text_classifier_join": q_text_classifier_join,
         "mm_decode_png": q_mm_decode_png,
+        "pipeline_curate": q_pipeline_curate,
     }
 
 
@@ -1484,10 +1497,13 @@ _SHINGLES3 = (
 ).format(t="toks")
 
 
-def _minhash_sql(num_hashes: int, limit: int = 100) -> str:
+def _minhash_sql(num_hashes: int, limit: int = 100,
+                 src: str | None = None) -> str:
     # universal affine family over 2^31-1: ONE md5 per shingle, each
     # permutation i = (a_i*base + b_i) % P — mirrors dedup.py exactly
-    # (all intermediates < 2^62, exact in 64-bit on both engines)
+    # (all intermediates < 2^62, exact in 64-bit on both engines).
+    # ``src`` overrides the source relation (a prior CTE name) so
+    # composed pipelines (pipeline_curate) reuse the same replay.
     P = hashing.MERSENNE_P
     mins = ", ".join(
         f"list_min(list_transform(hb, h -> (h*{a} + {b}) % {P}))"
@@ -1496,8 +1512,9 @@ def _minhash_sql(num_hashes: int, limit: int = 100) -> str:
         ((i, hashing.affine_params(i)) for i in range(num_hashes))
     )
     base = _H.format(x="s")
+    rel = src if src is not None else f"documents WHERE doc_id < {limit}"
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < {limit}),
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {rel}),
     s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
     bh AS (SELECT doc_id, list_transform(sh, s -> ({base}) % {P}) AS hb FROM s)
     SELECT doc_id, {mins} FROM bh
@@ -2047,6 +2064,88 @@ def _lsh_verified_sql(num_hashes: int = 12, bands: int = 6,
     JOIN m sa ON sa.doc_id = a_key
     JOIN m sb ON sb.doc_id = b_key
     WHERE round(({matches}) / {float(num_hashes)}, 6) >= {threshold}
+    """
+
+
+def _curate_sql(num_hashes: int = 12, bands: int = 6, cap: int = 64,
+                threshold: float = 0.5, ctx_len: int = 2048,
+                buckets: int = 64, dim: int = 256,
+                bias: float = 0.0) -> str:
+    """Full pipeline.curate() replay — every stage's SQL is the SAME
+    replay its standalone oracle uses, composed: scan rules (token band
+    + rounded Gopher symbol/alpha ratios) → hashed-linear classifier
+    label → exact dedup (keep min key per normalized-text md5 group) →
+    MinHash-LSH verified near-dup (drop b-side) → per-bucket packing
+    summary of the survivors."""
+    rpb = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        concat = "||'|'||".join(
+            f"minhash_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        bh = _H.format(x=f"({concat})")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bh} AS bh FROM m "
+            f"WHERE minhash_0 IS NOT NULL")
+    bands_sql = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN sa.minhash_{i} = sb.minhash_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    tok_count = ("CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 "
+                 "ELSE len(regexp_split_to_array(trim(text), '\\s+')) "
+                 "END::BIGINT")
+    hkey = _H.format(x="doc_id::VARCHAR")
+    return f"""
+    WITH base AS (SELECT doc_id, text, {tok_count} AS n_tok,
+                         {_TOKS} AS toksl FROM documents),
+    gq AS (SELECT doc_id, text, n_tok,
+        round(((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3.0)
+              / greatest(n_tok, 1), 6) AS sym,
+        round(len(list_filter(toksl, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+              / greatest(n_tok, 1), 6) AS alpha,
+        list_filter(toksl, x -> length(x) > 0) AS ctoks
+        FROM base),
+    kept0 AS (SELECT doc_id, text, n_tok, ctoks FROM gq
+        WHERE coalesce(n_tok BETWEEN 10 AND 100000, FALSE)
+          AND coalesce(sym <= 0.1, FALSE)
+          AND coalesce(alpha >= 0.8, FALSE)),
+    clf AS (SELECT doc_id, text, n_tok,
+        coalesce(list_sum(list_transform(ctoks, x ->
+            ({_weights_sql_list(dim)})[
+                (('0x' || substr(md5(x), 1, 15))::BIGINT % {dim})::INT + 1
+            ])), 0.0) AS wsum, len(ctoks) AS cn FROM kept0),
+    kept_clf AS (SELECT doc_id, text, n_tok FROM clf
+        WHERE ({bias} + CASE WHEN cn > 0 THEN wsum / cn ELSE 0 END) > 0),
+    dig AS (SELECT doc_id, text, n_tok,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+        FROM kept_clf),
+    kept1 AS (SELECT doc_id, text, n_tok FROM dig
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY digest)),
+    m AS ({_minhash_sql(num_hashes, 0, src="kept1")}),
+    bandrows AS ({bands_sql}),
+    capped AS (SELECT * FROM bandrows
+               QUALIFY count(*) OVER (PARTITION BY band, bh) <= {cap}),
+    cand AS (SELECT DISTINCT a.doc_id AS a_key, b.doc_id AS b_key
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    near_losers AS (SELECT DISTINCT b_key FROM cand
+        JOIN m sa ON sa.doc_id = cand.a_key
+        JOIN m sb ON sb.doc_id = cand.b_key
+        WHERE round(({matches}) / {float(num_hashes)}, 6) >= {threshold}),
+    survivors AS (SELECT k.doc_id, k.n_tok FROM kept1 k
+        LEFT JOIN near_losers v ON v.b_key = k.doc_id
+        WHERE v.b_key IS NULL),
+    p AS (SELECT ({hkey} % {buckets})::INT AS bucket, n_tok FROM survivors),
+    agg AS (SELECT bucket, count(*) AS n_docs,
+                   sum(n_tok)::BIGINT AS total_tokens FROM p GROUP BY bucket),
+    ch AS (SELECT bucket, n_docs, total_tokens,
+        (CASE WHEN total_tokens > 0 THEN
+            ((total_tokens + {ctx_len - 1})
+             - (total_tokens + {ctx_len - 1}) % {ctx_len}) / {ctx_len}
+         ELSE 0 END)::BIGINT AS n_chunks FROM agg)
+    SELECT bucket, n_docs, total_tokens, n_chunks,
+           (n_chunks * {ctx_len} - total_tokens)::BIGINT AS tail_waste_tokens
+    FROM ch
     """
 
 
@@ -3124,6 +3223,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": _pagerank_sql(iters=3),
         "text_bpe": _bpe_sql(),
         "text_bpe_arrow": _bpe_sql(),
+        "pipeline_curate": _curate_sql(),
         "validate_dispatch": """
             WITH d AS (SELECT doc_id, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'dlong'

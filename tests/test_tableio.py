@@ -41,3 +41,59 @@ def test_parquet_partition_roundtrip(spark, tmp_path):
     t.overwrite_partitions(spark.createDataFrame([(1, 99)], "p int, v int"))
     assert t.read().count() == 2
     assert {r["v"] for r in t.read(partitions=[2]).collect()} == {20}
+
+
+def _iceberg_runtime_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture
+def iceberg_catalog(spark, tmp_path):
+    """A hadoop-catalog Iceberg namespace, gated on the runtime jar.
+
+    Skips cleanly in this sandbox (no iceberg-spark-runtime on the
+    classpath). On a real cluster the SAME test runs unmodified:
+
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver> \
+            -c spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+            -c spark.sql.catalog.it=org.apache.iceberg.spark.SparkCatalog \
+            -c spark.sql.catalog.it.type=hadoop \
+            -c spark.sql.catalog.it.warehouse=/tmp/warehouse \
+            -m pytest tests/test_tableio.py -k iceberg_parity
+    """
+    if not _iceberg_runtime_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    spark.conf.set("spark.sql.catalog.it",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS it.db")
+    return "it.db"
+
+
+def test_iceberg_parity_read_overwrite_append(spark, iceberg_catalog):
+    # the ParquetTable contract, verbatim, against a real Iceberg table:
+    # list_partitions / pruned read / atomic overwritePartitions / append
+    from pyspark.sql import functions as F
+
+    name = f"{iceberg_catalog}.pages_parity"
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("part_id"))
+    df.writeTo(name).partitionedBy(F.col("part_id")).create()
+    t = open_table(spark, name, format="iceberg")
+    assert t.exists()
+    assert t.list_partitions() == [0, 1, 2, 3]
+    assert t.read(partitions=[1, 3]).count() == 50
+    # atomic partition overwrite: only part 1 replaced
+    repl = spark.range(5).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(1).alias("part_id"))
+    t.overwrite_partitions(repl)
+    assert t.read(partitions=[1]).count() == 5
+    assert t.read(partitions=[0]).count() == 25
+    t.append(repl.withColumn("part_id", F.lit(9)))
+    assert t.list_partitions() == [0, 1, 2, 3, 9]

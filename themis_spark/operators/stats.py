@@ -325,10 +325,13 @@ def frequent_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("value"))
         .limit(k)
     )
-    # constant partition key: same single-partition execution (fine — the
-    # frame is ≤k rows after the limit) without the WindowExec
-    # "No Partition Defined" warning on every run
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("value"))
+    # constant partition key over the ≤k-row frame: F.lit(0) (and cnt*0)
+    # get constant-FOLDED out of the partition spec, leaving a
+    # partition-less WindowExec + its warning; pmod(cnt, 1) evaluates to
+    # the same single partition but survives folding, so the plan
+    # carries a real (≤k-row) hash exchange instead of a global window
+    w = (Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1)))
+         .orderBy(F.desc("cnt"), F.asc("value")))
     return counts.select(
         F.lit(column).alias("column"),
         F.row_number().over(w).alias("rank"),
