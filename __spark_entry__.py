@@ -1368,6 +1368,45 @@ def q_web_pagerank(spark, sf):
     return WB.pagerank(edges, iters=3)
 
 
+# Exact-substring dedup (Lee et al. 2021 window-hash form): the driver's
+# documents table is non-repeating word soup, so the query plants
+# duplication deterministically — shared boilerplate on residue-selected
+# rows (>= window tokens so internal windows collide corpus-wide) — and
+# the oracle rebuilds the identical strings before replaying the same
+# window-hash + gaps-and-islands plan.
+_SUBSTR_BOILER = ("terms of service apply all rights reserved "
+                  "contact support team today")
+_SUBSTR_PROMO = ("subscribe to our newsletter for weekly updates "
+                 "and exclusive member offers")
+
+
+def _substr_docs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    injected = F.concat_ws(
+        " ", F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_SUBSTR_BOILER)),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_SUBSTR_PROMO)),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_SUBSTR_PROMO)),
+    )
+    return d.select("doc_id", injected.alias("text"))
+
+
+def q_dedup_substring_spans(spark, sf):
+    spans = D.duplicate_substring_spans(_substr_docs(spark, sf), window=8)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows")
+
+
+def q_dedup_substring_removed(spark, sf):
+    rem = D.remove_duplicate_substrings(_substr_docs(spark, sf), window=8)
+    return rem.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        "n_tokens", "n_removed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -1482,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_join": q_text_classifier_join,
         "mm_decode_png": q_mm_decode_png,
         "pipeline_curate": q_pipeline_curate,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_removed": q_dedup_substring_removed,
     }
 
 
@@ -2635,6 +2676,75 @@ _PACK_BASE_SQL = """
 """
 
 
+# Exact-substring dedup replay: rebuild the boilerplate-injected docs,
+# hash every 8-token window with the portable 60-bit hash, then classic
+# gaps-and-islands (lag + running sum) — same-length windows chain iff
+# pos - prev_pos <= window, mirroring dedup._merge_window_spans exactly.
+_SUBSTR_CTE = f"""
+    sd AS (SELECT doc_id, concat_ws(' ', text,
+             CASE WHEN doc_id % 5 = 0 THEN '{_SUBSTR_BOILER}' END,
+             CASE WHEN doc_id % 7 = 0 THEN '{_SUBSTR_PROMO}' END,
+             CASE WHEN doc_id % 11 = 0 THEN '{_SUBSTR_PROMO}' END) AS text
+           FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+           FROM sd),
+    swh AS (SELECT doc_id,
+              unnest(range(0, greatest(len(toks) - 7, 0))) AS pos,
+              unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
+                i -> ('0x'||substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')),1,15))::BIGINT)) AS whash
+            FROM st),
+    sdup AS (SELECT whash FROM swh GROUP BY whash HAVING count(*) >= 2)"""
+
+_SUBSTR_SPANS_SQL = f"""
+    WITH {_SUBSTR_CTE},
+    hits AS (SELECT doc_id, pos FROM swh
+             WHERE whash IN (SELECT whash FROM sdup)),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, g"""
+
+_SUBSTR_REMOVED_SQL = f"""
+    WITH {_SUBSTR_CTE},
+    hits AS (SELECT swh.doc_id, swh.pos, swh.whash FROM swh
+             WHERE whash IN (SELECT whash FROM sdup)),
+    ownd AS (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY whash
+                                  ORDER BY doc_id, pos) AS rn
+             FROM hits),
+    nonown AS (SELECT doc_id, pos FROM ownd WHERE rn > 1),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+            FROM nonown WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+    cov AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+            FROM grp GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(0, len(toks))) AS ti FROM st),
+    kept AS (SELECT tp.doc_id, tp.ti, tp.tok FROM tp
+             WHERE NOT EXISTS (SELECT 1 FROM cov
+                               WHERE cov.doc_id = tp.doc_id
+                                 AND tp.ti BETWEEN cov.s AND cov.e)),
+    agg AS (SELECT doc_id,
+                   array_to_string(list(tok ORDER BY ti), ' ') AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT st.doc_id, md5(coalesce(agg.clean_text, '')) AS clean_md5,
+           CAST(len(st.toks) AS BIGINT) AS n_tokens,
+           CAST(len(st.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+    FROM st LEFT JOIN agg USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -3224,6 +3334,8 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe": _bpe_sql(),
         "text_bpe_arrow": _bpe_sql(),
         "pipeline_curate": _curate_sql(),
+        "dedup_substring_spans": _SUBSTR_SPANS_SQL,
+        "dedup_substring_removed": _SUBSTR_REMOVED_SQL,
         "validate_dispatch": """
             WITH d AS (SELECT doc_id, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'dlong'

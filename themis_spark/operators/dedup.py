@@ -764,3 +764,173 @@ def remove_common_lines(
         )
         .select(key, "clean_text", "n_lines", "n_removed")
     )
+
+
+# -------------------------------------------- exact substring dedup (spans)
+#
+# The Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499) exact-substring pass, re-expressed as a
+# distributed DataFrame plan. The reference method builds a corpus-wide
+# suffix array — inherently single-machine; the standard distributed
+# shape (used by every Spark/BigQuery reimplementation) is fixed-length
+# token-window hashing: a span is "duplicated" iff one of its
+# `window`-token windows occurs >= 2 times anywhere in the corpus.
+
+
+def window_hash_positions(df: DataFrame, key: str = "doc_id",
+                          text: str = "text", window: int = 8) -> DataFrame:
+    """``(key, pos, whash)`` — the portable 60-bit hash of every
+    ``window``-token sliding window, ``pos`` = 0-based starting token
+    index. Docs with fewer than ``window`` tokens (or NULL text) emit
+    nothing.
+
+    Plan shape: the window strings are built map-side with the shifted-
+    zip gram formulation (text.grams_zip — O(tokens) tokenizer evals,
+    not O(tokens²)), hashed in the same projection, and posexploded.
+    Output rows = total token count minus (window-1) per doc — the
+    irreducible inverted-index expansion — but each row is a fixed-width
+    (key, int, 8-byte hash) triple: the text itself never leaves the
+    scan stage.
+    """
+    from themis_spark.operators.text import grams_zip
+
+    c = F.col(text)
+    toks = tokens_col(c)
+    grams = F.when(F.size(toks) < F.lit(window),
+                   F.array().cast("array<string>")) \
+             .otherwise(grams_zip(toks, window))
+    return (
+        df.where(c.isNotNull())
+        .select(F.col(key), F.posexplode(grams).alias("pos", "__gram"))
+        .select(key, "pos", hash60(F.col("__gram")).alias("whash"))
+    )
+
+
+def _merge_window_spans(hits: DataFrame, key: str, window: int) -> DataFrame:
+    """Gaps-and-islands merge of overlapping/adjacent window hits into
+    maximal spans: ``(key, span_start, span_end, n_windows)`` with
+    0-based inclusive TOKEN indices. All windows have equal length, so
+    two sorted hits chain iff ``pos - prev_pos <= window`` (overlap or
+    direct adjacency) — a lag + running-sum pair of windows partitioned
+    by document: per-doc state only, no global window, no skew beyond
+    a single document's own hit count.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w)) > window),
+        1).otherwise(0)
+    grp = hits.select(F.col(key), F.col("pos"), brk.alias("__brk")) \
+              .select(key, "pos",
+                      F.sum("__brk").over(
+                          w.rowsBetween(Window.unboundedPreceding, 0))
+                      .alias("__grp"))
+    return grp.groupBy(key, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(key, "span_start", "span_end", "n_windows")
+
+
+def duplicate_substring_spans(df: DataFrame, key: str = "doc_id",
+                              text: str = "text",
+                              window: int = 8) -> DataFrame:
+    """Corpus-wide duplicated substring spans per document:
+    ``(key, span_start, span_end, n_windows)`` — maximal merged runs of
+    ``window``-token windows whose hash occurs >= 2 times across the
+    corpus (self-repetition within one document counts, as in the
+    suffix-array original).
+
+    Plan shape (the whole op is three fixed-width exchanges over
+    O(corpus tokens) rows):
+
+    1. window explode (map-side, scan stage) →
+    2. groupBy(whash) occurrence count, map-side combined — boilerplate
+       mega-hashes (every page sharing a footer) partial-aggregate
+       before the shuffle, so hot hashes don't skew the exchange →
+    3. hash join back on whash (both sides partition on whash, so the
+       aggregation's exchange is reused) keeping only duplicated
+       windows — the post-join stream is hits-only, typically a small
+       fraction of the corpus →
+    4. per-document lag/sum windows (partitioned — no single-task
+       global window) merge hits into maximal spans.
+    """
+    wh = window_hash_positions(df, key, text, window)
+    dup = wh.groupBy("whash").agg(F.count(F.lit(1)).alias("n_occ")) \
+            .where(F.col("n_occ") >= 2)
+    hits = wh.join(dup, "whash").select(key, "pos")
+    return _merge_window_spans(hits, key, window)
+
+
+def remove_duplicate_substrings(df: DataFrame, key: str = "doc_id",
+                                text: str = "text",
+                                window: int = 8) -> DataFrame:
+    """Exact-substring removal, keeping ONE canonical occurrence per
+    duplicated window (the Lee et al. policy): for each duplicated
+    window hash the occurrence with the smallest ``(key, pos)`` is the
+    owner and survives; every other occurrence's token range is cut.
+    Returns ``(key, clean_text, n_tokens, n_removed)`` for every input
+    row (documents with no duplicated content pass through unchanged;
+    cut points join the surviving tokens with single spaces).
+
+    Cut semantics: removal ranges are the merged spans of NON-OWNER
+    duplicated windows; a token inside both an owned and a non-owned
+    window is removed (the same boundary ambiguity the suffix-array
+    original resolves arbitrarily at cut edges).
+
+    Plan shape: window explode → occurrence count (map-side combined) →
+    hash join back (hits only) → per-whash min-struct owner agg (one
+    more fixed-width exchange) → per-doc island merge (partitioned
+    windows) → collect_list of spans per doc (bounded by the doc's own
+    span count) → equi-join spans onto the corpus by key → native
+    higher-order filter drops covered token indices map-side. The
+    document text crosses exactly one exchange (the final key join);
+    everything else moves (key, int, hash) triples.
+    """
+    wh = window_hash_positions(df, key, text, window)
+    dup = wh.groupBy("whash").agg(F.count(F.lit(1)).alias("n_occ")) \
+            .where(F.col("n_occ") >= 2)
+    hits = wh.join(dup, "whash").select("whash", key, "pos")
+    owner = hits.groupBy("whash").agg(
+        F.min(F.struct(key, "pos")).alias("__own"))
+    nonown = (
+        hits.join(owner, "whash")
+        .where(~((F.col(key) == F.col(f"__own.{key}"))
+                 & (F.col("pos") == F.col("__own.pos"))))
+        .select(key, "pos")
+    )
+    spans = _merge_window_spans(nonown, key, window).groupBy(key).agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"))).alias("__spans"))
+
+    c = F.col(text)
+    toks = F.when(c.isNull() | (F.length(F.trim(c)) == 0),
+                  F.array().cast("array<string>")) \
+            .otherwise(tokens_col(c))
+    # staged selects so the token array materializes once per row
+    # (CollapseProject keeps the boundary for multiply-referenced
+    # non-cheap arrays — the remove_common_lines trick)
+    staged = df.join(spans, key, "left").select(
+        F.col(key), toks.alias("__toks"),
+        F.coalesce(F.col("__spans"),
+                   F.array().cast("array<struct<s:long,e:long>>"))
+        .alias("__spans"))
+    kept = F.filter(
+        F.transform(F.col("__toks"),
+                    lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["s"]) & (s["i"] <= sp["e"])))
+    staged2 = staged.select(
+        F.col(key), F.col("__toks"), kept.alias("__kept"))
+    return staged2.select(
+        F.col(key),
+        F.array_join(F.transform(F.col("__kept"), lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        (F.size(F.col("__toks")) - F.size(F.col("__kept")))
+        .cast("long").alias("n_removed"),
+    )
