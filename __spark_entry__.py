@@ -1391,6 +1391,11 @@ def _substr_docs(spark, sf):
     return d.select("doc_id", injected.alias("text"))
 
 
+def q_text_langid_join(spark, sf):
+    d = _t(spark, sf, "documents")
+    return X.language_id_join(d, X.language_model_table(spark))
+
+
 def q_dedup_substring_spans(spark, sf):
     spans = D.duplicate_substring_spans(_substr_docs(spark, sf), window=8)
     return spans.select(
@@ -1523,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_removed": q_dedup_substring_removed,
+        "text_langid_join": q_text_langid_join,
     }
 
 
@@ -2745,6 +2751,32 @@ _SUBSTR_REMOVED_SQL = f"""
     FROM st LEFT JOIN agg USING (doc_id)"""
 
 
+def _langid_join_sql() -> str:
+    """Model-based language-ID replay: the model VALUES are generated
+    from the SAME Python list the Spark table is built from, so both
+    engines score the identical (token, lang, weight) rows; integer-
+    valued weights make the per-doc sums order-independent."""
+    rows = ", ".join(f"('{t}', '{lang}', {w})"
+                     for t, lang, w in X.demo_language_model())
+    return f"""
+    WITH model(token, lang, weight) AS (SELECT * FROM (VALUES {rows})),
+    toks AS (SELECT doc_id, t.token AS token
+             FROM documents,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+             WHERE text IS NOT NULL AND length(t.token) > 0),
+    sc AS (SELECT doc_id, lang, sum(weight) AS score
+           FROM toks JOIN model USING (token) GROUP BY doc_id, lang),
+    best AS (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+             FROM sc)
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang,
+           round(coalesce(b.score, 0.0), 6) AS score
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) b
+           USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -3336,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate": _curate_sql(),
         "dedup_substring_spans": _SUBSTR_SPANS_SQL,
         "dedup_substring_removed": _SUBSTR_REMOVED_SQL,
+        "text_langid_join": _langid_join_sql(),
         "validate_dispatch": """
             WITH d AS (SELECT doc_id, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'dlong'

@@ -261,3 +261,44 @@ def test_classifier_join_parity_and_64k_dims(spark):
     empty_w = spark.createDataFrame([], "feature_hash long, weight double")
     z = classifier_scores_join(df, empty_w, dim=65536, bias=0.25).collect()
     assert all(r["logit"] == 0.25 for r in z)
+
+
+def test_language_id_join_model_path(spark):
+    from themis_spark.operators.text import (
+        language_id_col,
+        language_id_join,
+        language_model_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat of the house is that it was for"),  # en-heavy
+         (2, "der hund und die katze von dem haus"),      # de-heavy
+         (3, "zzz qqq xxx"),                              # no model hits
+         (4, None),                                       # NULL text
+         (5, "le chien et la maison de les des")],        # fr-heavy
+        "doc_id long, text string")
+    model = language_model_table(spark)
+    out = {r.doc_id: r for r in language_id_join(df, model).collect()}
+    assert len(out) == 5  # frame-complete: every input row scored
+    assert out[1].lang == "en" and out[1].score > 0
+    assert out[2].lang == "de"
+    assert out[5].lang == "fr"
+    # unmatched and NULL docs get the default with zero score
+    assert out[3].lang == "und" and out[3].score == 0.0
+    assert out[4].lang == "und" and out[4].score == 0.0
+
+    # the model never shuffles the corpus: broadcast join, no Python
+    plan = language_id_join(df, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+    # distinct=True + unit weights reproduces the stopword heuristic's
+    # winner on tie-free docs (same argmax over distinct-token hits)
+    unit = model.select("token", "lang", F.lit(1.0).alias("weight"))
+    joined = {r.doc_id: r.lang for r in
+              language_id_join(df, unit, distinct=True).collect()}
+    heur = {r.doc_id: r.h for r in df.select(
+        "doc_id", language_id_col("text").alias("h")).collect()}
+    for k in (1, 2, 3, 4, 5):
+        assert joined[k] == heur[k], (k, joined[k], heur[k])
