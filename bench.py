@@ -77,6 +77,9 @@ HEADLINE = [
     # the compressed-format decode kernel
     "pipeline_curate", "text_classifier_join", "text_bpe_arrow",
     "mm_decode_png",
+    # round 3: exact-substring dedup (corpus-wide window hashing) and the
+    # broadcast-model language-ID path
+    "dedup_substring_spans", "dedup_substring_removed", "text_langid_join",
 ]
 
 
@@ -623,6 +626,12 @@ def _write_baseline_md(campaigns: list[dict]) -> None:
         f"{c.get('host_cpu_probe_eff', '—')} |\n"
         for c in campaigns
     )
+    notes_block = "".join(
+        f"- campaign {_fmt_ts(c)}: {c['note']}\n"
+        for c in campaigns if c.get("note"))
+    if notes_block:
+        camp_rows += "\nCampaign notes (kept verbatim — the record never"\
+            " drops or reweights a measurement):\n\n" + notes_block
     stage_rows = "".join(
         f"| {k} | {s['stage_secs_lo'].get(k, 0):.1f} s | "
         f"{s['stage_secs_hi'].get(k, 0):.1f} s | "
