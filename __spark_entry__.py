@@ -1396,6 +1396,78 @@ def q_text_langid_join(spark, sf):
     return X.language_id_join(d, X.language_model_table(spark))
 
 
+def q_con_monotonic(spark, sf):
+    # per-user event sequence ordered by the unique event_id (total
+    # order — deterministic lag in both engines); flags value drops
+    return C.monotonic_violations(
+        _t(spark, sf, "events"), key="user_id", order="event_id",
+        column="value", direction="non_decreasing")
+
+
+# Snapshot diff: two crawl snapshots synthesized from `documents` by
+# residue selection — doc_id % 10 == 0 rows exist only in OLD (removed),
+# doc_id % 7 == 0 only in NEW (added), doc_id % 3 == 0 changed content;
+# digests are the portable 60-bit text hash with NULL text coalesced.
+def q_web_snapshot_diff(spark, sf):
+    d = _t(spark, sf, "documents")
+    dig = hashing.hash60(F.coalesce(F.col("text"), F.lit("<null>")))
+    old = (d.where(F.col("doc_id") % 7 != 0)
+           .select("doc_id", dig.alias("content_digest")))
+    new = (d.where(F.col("doc_id") % 10 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          hashing.hash60(F.concat_ws(
+                              "|", F.coalesce(F.col("text"), F.lit("<null>")),
+                              F.lit("v2"))))
+                   .otherwise(dig).alias("content_digest")))
+    return WB.snapshot_diff(old, new, key="doc_id")
+
+
+def q_dedup_substring_stats(spark, sf):
+    return D.duplicate_substring_stats(_substr_docs(spark, sf), window=8)
+
+
+def q_text_bigram(spark, sf):
+    return X.bigram_logprob(_t(spark, sf, "documents"))
+
+
+# Batch form of the streaming drift monitor (streaming/drift_stream.py):
+# the SAME code path the stream runs (no watermark applied on batch
+# frames), so the oracle checks the stream's bucket + PSI arithmetic.
+_WHIST_REF = [0, 2000, 2000, 2000, 2000, 2000, 0]  # reference bucket counts
+
+
+def _whist(spark, sf):
+    from themis_spark.operators.stats import HistSpec
+    from themis_spark.streaming.drift_stream import windowed_histogram_stream
+
+    spec = HistSpec("value", lo=0.0, hi=500.0, nbins=5)
+    ev = _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    return spec, ev, windowed_histogram_stream(ev, spec, ts_col="ts",
+                                               window="1 day")
+
+
+def q_stat_windowed_hist(spark, sf):
+    _, _, h = _whist(spark, sf)
+    return h.select(
+        F.col("window_start").cast("timestamp").cast("long")
+        .alias("window_start"),
+        F.col("n"),
+        *[F.element_at("hist", i + 1).alias(f"b{i}") for i in range(7)])
+
+
+def q_drift_psi_windowed(spark, sf):
+    from themis_spark.streaming.drift_stream import psi_drift_stream
+
+    spec, ev, _ = _whist(spark, sf)
+    out = psi_drift_stream(ev, spec, _WHIST_REF, ts_col="ts",
+                           window="1 day", threshold=0.25)
+    return out.select(
+        F.col("window_start").cast("timestamp").cast("long")
+        .alias("window_start"),
+        F.col("n"), F.round("psi", 6).alias("psi"), F.col("drifted"))
+
+
 def q_dedup_substring_spans(spark, sf):
     spans = D.duplicate_substring_spans(_substr_docs(spark, sf), window=8)
     return spans.select(
@@ -1529,6 +1601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_removed": q_dedup_substring_removed,
         "text_langid_join": q_text_langid_join,
+        "dedup_substring_stats": q_dedup_substring_stats,
+        "text_bigram": q_text_bigram,
+        "web_snapshot_diff": q_web_snapshot_diff,
+        "con_monotonic": q_con_monotonic,
+        "stat_windowed_hist": q_stat_windowed_hist,
+        "drift_psi_windowed": q_drift_psi_windowed,
     }
 
 
@@ -2751,6 +2829,111 @@ _SUBSTR_REMOVED_SQL = f"""
     FROM st LEFT JOIN agg USING (doc_id)"""
 
 
+_SUBSTR_STATS_SQL = f"""
+    WITH {_SUBSTR_CTE},
+    hits AS (SELECT doc_id, pos FROM swh
+             WHERE whash IN (SELECT whash FROM sdup)),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+    sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM grp GROUP BY doc_id, g),
+    pd AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM sp GROUP BY doc_id)
+    SELECT st.doc_id, CAST(len(st.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CASE WHEN len(st.toks) > 0
+                      THEN CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE)
+                           / len(st.toks)
+                      ELSE 0.0 END, 6) AS dup_fraction
+    FROM st LEFT JOIN pd USING (doc_id)"""
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH d AS (SELECT doc_id, coalesce(text, '<null>') AS t FROM documents),
+    old AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS od
+            FROM d WHERE doc_id % 7 != 0),
+    new AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0
+                   THEN ('0x'||substr(md5(t || '|v2'),1,15))::BIGINT
+                   ELSE ('0x'||substr(md5(t),1,15))::BIGINT END AS nd
+            FROM d WHERE doc_id % 10 != 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN od != nd THEN 'changed' ELSE 'unchanged' END AS status,
+           od AS old_digest, nd AS new_digest
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"""
+
+# Bigram conditional logprob replay: filter empty tokens FIRST, re-rank,
+# then adjacent self-join — matching the Spark side's filtered zip_with.
+_BIGRAM_SQL = """
+    WITH tk AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(1, len(toks) + 1)) AS i FROM tk),
+    ft AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+           FROM ex WHERE length(tok) > 0),
+    pr AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+           FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+    bc AS (SELECT prev, cur, count(*) AS bcnt FROM pr GROUP BY 1, 2),
+    uc AS (SELECT prev, count(*) AS ucnt FROM pr GROUP BY 1),
+    sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(ln(bcnt) - ln(ucnt)), 6) AS mean_logprob
+           FROM pr JOIN bc USING (prev, cur) JOIN uc USING (prev)
+           GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.mean_logprob, 0.0) AS mean_logprob
+    FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+
+_WHIST_CTE = """
+    e AS (SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ws,
+                 CASE WHEN value IS NULL THEN NULL
+                      WHEN value < 0.0 THEN 0
+                      WHEN value >= 500.0 THEN 6
+                      ELSE CAST(floor(value/100.0) AS INT) + 1 END AS b
+          FROM events WHERE ts IS NOT NULL),
+    h AS (SELECT ws AS window_start,
+          """ + ", ".join(
+    f"CAST(sum(CASE WHEN b={i} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+    for i in range(7)) + """
+          FROM e GROUP BY ws)"""
+
+_WHIST_SQL = f"""
+    WITH {_WHIST_CTE}
+    SELECT window_start, {' + '.join(f'b{i}' for i in range(7))} AS n,
+           {', '.join(f'b{i}' for i in range(7))}
+    FROM h"""
+
+
+def _psi_windowed_sql() -> str:
+    """PSI replay with the SAME reference proportions + eps flooring +
+    left-assoc term order as psi_drift_stream (round-6 kills ulp-level
+    libm ln differences between engines)."""
+    tb = float(sum(_WHIST_REF))
+    terms = []
+    for i, c in enumerate(_WHIST_REF):
+        pb = repr(max(c / tb, 1e-6))
+        pa = f"greatest(b{i} / nn, 1e-6)"
+        terms.append(f"(({pa}) - {pb}) * ln(({pa}) / {pb})")
+    psi = " + ".join(terms)
+    return f"""
+    WITH {_WHIST_CTE},
+    p AS (SELECT window_start,
+                 {' + '.join(f'b{i}' for i in range(7))} AS n,
+                 CAST({' + '.join(f'b{i}' for i in range(7))} AS DOUBLE)
+                   AS nn,
+                 {', '.join(f'b{i}' for i in range(7))}
+          FROM h)
+    SELECT window_start, n, round({psi}, 6) AS psi,
+           ({psi}) > 0.25 AS drifted
+    FROM p"""
+
+
 def _langid_join_sql() -> str:
     """Model-based language-ID replay: the model VALUES are generated
     from the SAME Python list the Spark table is built from, so both
@@ -3369,6 +3552,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _SUBSTR_SPANS_SQL,
         "dedup_substring_removed": _SUBSTR_REMOVED_SQL,
         "text_langid_join": _langid_join_sql(),
+        "dedup_substring_stats": _SUBSTR_STATS_SQL,
+        "text_bigram": _BIGRAM_SQL,
+        "web_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "stat_windowed_hist": _WHIST_SQL,
+        "drift_psi_windowed": _psi_windowed_sql(),
+        "con_monotonic": """
+            WITH s AS (SELECT user_id, event_id,
+                         lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS prev_value,
+                         value
+                       FROM events)
+            SELECT user_id, event_id, prev_value, value
+            FROM s WHERE value < prev_value""",
         "validate_dispatch": """
             WITH d AS (SELECT doc_id, n_chars,
                  CASE WHEN doc_id % 3 = 0 THEN 'dlong'

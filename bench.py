@@ -80,6 +80,7 @@ HEADLINE = [
     # round 3: exact-substring dedup (corpus-wide window hashing) and the
     # broadcast-model language-ID path
     "dedup_substring_spans", "dedup_substring_removed", "text_langid_join",
+    "dedup_substring_stats", "text_bigram", "web_snapshot_diff",
 ]
 
 

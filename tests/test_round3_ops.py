@@ -302,3 +302,72 @@ def test_language_id_join_model_path(spark):
         "doc_id", language_id_col("text").alias("h")).collect()}
     for k in (1, 2, 3, 4, 5):
         assert joined[k] == heur[k], (k, joined[k], heur[k])
+
+
+def test_bigram_logprob_exact_counts(spark):
+    import math
+
+    from themis_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo"), (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert len(out) == 4
+    # corpus bigram counts: (a,b)=3 (b,a)=1 (b,c)=1; prefix counts a=3 b=2
+    assert out[1].n_bigrams == 3
+    assert out[1].mean_logprob == round(math.log(0.5) / 3, 6)
+    assert out[2].n_bigrams == 2
+    assert out[2].mean_logprob == round(math.log(0.5) / 2, 6)
+    # <2 tokens and NULL text both yield the (0, 0.0) default
+    assert (out[3].n_bigrams, out[3].mean_logprob) == (0, 0.0)
+    assert (out[4].n_bigrams, out[4].mean_logprob) == (0, 0.0)
+    # zero Python in the plan
+    plan = bigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_statuses_and_single_exchange(spark):
+    from themis_spark.operators.web import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 11), (2, 22), (3, 33)], "url long, content_digest long")
+    new = spark.createDataFrame(
+        [(2, 22), (3, 99), (4, 44)], "url long, content_digest long")
+    out = {r.url: r for r in snapshot_diff(old, new, key="url").collect()}
+    assert out[1].status == "removed" and out[1].new_digest is None
+    assert out[2].status == "unchanged"
+    assert out[3].status == "changed" and (out[3].old_digest,
+                                           out[3].new_digest) == (33, 99)
+    assert out[4].status == "added" and out[4].old_digest is None
+
+    # union-tag shape: exactly ONE shuffle exchange, no join operator
+    plan = snapshot_diff(old, new, key="url")._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_monotonic_violations_directions(spark):
+    from themis_spark.operators.constraints import monotonic_violations
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 12.0), (1, 3, 8.0),   # drop at seq 3
+         (2, 1, 5.0), (2, 2, 5.0),                  # flat: ok for non_dec
+         (3, 1, None), (3, 2, 4.0), (3, 3, None)],  # NULLs never violate
+        "k long, seq long, v double")
+    out = monotonic_violations(df, "k", "seq", "v").collect()
+    assert [(r.k, r.seq, r.prev_value, r.value) for r in out] == [(1, 3, 12.0, 8.0)]
+
+    strict = monotonic_violations(df, "k", "seq", "v",
+                                  direction="strictly_increasing").collect()
+    assert {(r.k, r.seq) for r in strict} == {(1, 3), (2, 2)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        monotonic_violations(df, "k", "seq", "v", direction="sideways")
+
+    plan = monotonic_violations(df, "k", "seq", "v")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

@@ -76,3 +76,15 @@ def test_plan_no_python_no_global_window(spark, corpus):
         # the island-merge windows are partitioned by document — a
         # partition-less window would serialize the corpus onto one task
         assert "SinglePartition" not in plan, plan
+
+
+def test_substring_stats_fraction(spark, corpus):
+    out = {r.doc_id: r for r in
+           D.duplicate_substring_stats(corpus, window=8).collect()}
+    assert len(out) == 6
+    assert (out[1].n_tokens, out[1].dup_tokens, out[1].dup_fraction) == (10, 10, 1.0)
+    assert (out[2].n_tokens, out[2].dup_tokens) == (13, 10)
+    assert out[2].dup_fraction == round(10 / 13, 6)
+    assert out[3].dup_tokens == 0 and out[3].dup_fraction == 0.0
+    assert out[4].n_tokens == 0 and out[4].dup_fraction == 0.0  # NULL text
+    assert out[6].dup_fraction == 1.0  # self-repetition covers the doc

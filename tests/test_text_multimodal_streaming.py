@@ -271,3 +271,67 @@ def test_streaming_packing_continues_across_batches(spark, tmpdir_path):
     got2 = {r["key"]: r for r in spark.read.parquet(sink).collect()}
     assert got2[4]["start_tok"] == 450  # 100+50+300
     assert got2[5]["n_chunks"] == 0 and got2[5]["first_chunk"] is None
+
+
+def test_streaming_psi_drift_matches_batch(spark, tmpdir_path):
+    """Streaming PSI monitor: batch/stream parity on the same input, a
+    drifted window flags, and the whole plan is one stateful agg."""
+    from themis_spark.operators.stats import HistSpec, psi_statistic
+    from themis_spark.sources.pages import generate_pages
+    from themis_spark.streaming.drift_stream import (
+        psi_drift_stream,
+        windowed_histogram_stream,
+    )
+
+    pages = (
+        generate_pages(spark, 2000, n_partitions=4)
+        # pages carry (url, warc_ts, html, text, lang, meta) — derive the
+        # monitored metric; drop the planted NULL warc_ts rows so batch
+        # and stream count the same rows (streaming drops null event time)
+        .where(F.col("warc_ts").isNotNull())
+        .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+    )
+    spec = HistSpec("n_chars", lo=0.0, hi=20000.0, nbins=10)
+
+    # reference = the batch histogram of the SAME data -> PSI must be ~0
+    # (all 2024 timestamps land in one 3650-day epoch-aligned window)
+    ref_row = windowed_histogram_stream(
+        pages, spec, window="3650 days").collect()
+    assert len(ref_row) == 1
+    ref = ref_row[0]["hist"]
+
+    # append mode only emits CLOSED windows: plant one far-future
+    # sentinel row (NULL metric — contributes to no bucket) whose event
+    # time pushes the watermark past the real window's end; its own
+    # window stays open and never emits.
+    sentinel = (pages.limit(1)
+                .withColumn("warc_ts", F.lit("2040-01-01").cast("timestamp"))
+                .withColumn("n_chars", F.lit(None).cast("int")))
+    pages.unionByName(sentinel).write.mode("overwrite") \
+        .parquet(f"{tmpdir_path}/din")
+
+    stream = spark.readStream.schema(pages.schema).parquet(f"{tmpdir_path}/din")
+    out = psi_drift_stream(stream, spec, list(ref), window="3650 days",
+                           watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("psi0")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from psi0").collect()
+    assert len(got) == 1
+    assert got[0]["psi"] is not None and abs(got[0]["psi"]) < 1e-9
+    assert got[0]["drifted"] is False
+    assert got[0]["n"] == sum(ref)
+
+    # a genuinely shifted reference must flag, and the streaming PSI
+    # must equal the batch psi_statistic on the same two histograms
+    shifted = list(ref[1:]) + [ref[0]]  # rotate buckets: hard shift
+    out2 = psi_drift_stream(stream, spec, shifted, window="3650 days",
+                            watermark="0 seconds", threshold=0.25)
+    q2 = (out2.writeStream.format("memory").queryName("psi1")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = spark.sql("select * from psi1").collect()
+    assert len(got2) == 1
+    expect = psi_statistic(list(ref), shifted)
+    assert abs(got2[0]["psi"] - expect) < 1e-9
+    assert got2[0]["drifted"] == (expect > 0.25)

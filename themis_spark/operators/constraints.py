@@ -261,3 +261,41 @@ def fd_violations(df: DataFrame, lhs: str | list[str], rhs: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_rows"))
         .where(F.col("n_rhs") > 1)
     )
+
+
+def monotonic_violations(df: DataFrame, key: str, order: str, column: str,
+                         direction: str = "non_decreasing") -> DataFrame:
+    """Per-key sequence monotonicity check: rows where ``column`` breaks
+    ``direction`` along ``order`` within each ``key`` group —
+    ``(key, order, prev_value, value)``, violations only. The crawl-
+    regression detector: a url whose content_length suddenly collapses
+    between revisions, a counter that runs backwards, an out-of-order
+    event stream all surface here without any full-table comparison.
+
+    NULL values never violate (3-valued comparison stays NULL → filtered);
+    the first row of each group has no predecessor and never violates.
+
+    Plan shape: ONE key exchange for the partitioned lag window (no
+    global window — per-key state only), then a scan-stage filter; the
+    output is violations-only, tiny vs input. At 10¹² rows the exchange
+    is the irreducible cost of any per-key ordering check; hot keys cost
+    their own group size, nothing more.
+    """
+    from pyspark.sql.window import Window
+
+    comparisons = {
+        "non_decreasing": lambda cur, prev: cur < prev,
+        "non_increasing": lambda cur, prev: cur > prev,
+        "strictly_increasing": lambda cur, prev: cur <= prev,
+        "strictly_decreasing": lambda cur, prev: cur >= prev,
+    }
+    if direction not in comparisons:
+        raise ValueError(
+            f"direction must be one of {sorted(comparisons)}, got {direction!r}")
+    w = Window.partitionBy(key).orderBy(order)
+    prev = F.lag(column).over(w)
+    staged = df.select(
+        F.col(key), F.col(order),
+        prev.alias("prev_value"), F.col(column).alias("value"))
+    bad = comparisons[direction](F.col("value"), F.col("prev_value"))
+    return staged.where(F.coalesce(bad, F.lit(False)))

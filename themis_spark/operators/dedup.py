@@ -934,3 +934,41 @@ def remove_duplicate_substrings(df: DataFrame, key: str = "doc_id",
         (F.size(F.col("__toks")) - F.size(F.col("__kept")))
         .cast("long").alias("n_removed"),
     )
+
+
+def duplicate_substring_stats(df: DataFrame, key: str = "doc_id",
+                              text: str = "text", window: int = 8,
+                              round_to: int = 6) -> DataFrame:
+    """Per-document duplicated-token budget from the exact-substring
+    pass: ``(key, n_tokens, dup_tokens, dup_fraction)`` for EVERY input
+    row — the number the Gopher/FineWeb-style "duplicate text fraction"
+    filters threshold on (docs above ~0.3–0.6 dup_fraction get dropped
+    or routed to the removal pass).
+
+    ``dup_tokens`` = total tokens covered by the merged duplicated
+    spans of :func:`duplicate_substring_spans` (spans never overlap
+    after the island merge, so a plain sum is exact);
+    ``dup_fraction`` = dup_tokens / n_tokens (0.0 for empty docs).
+
+    Plan shape: the spans subplan's fixed-width exchanges + one
+    per-document span-length aggregation + one key equi-join back onto
+    the corpus (the only exchange that carries the corpus rows).
+    """
+    spans = duplicate_substring_spans(df, key, text, window)
+    per_doc = spans.groupBy(key).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .alias("__dup_tokens"))
+    c = F.col(text)
+    toks = F.when(c.isNull() | (F.length(F.trim(c)) == 0),
+                  F.array().cast("array<string>")) \
+            .otherwise(tokens_col(c))
+    base = df.select(F.col(key), F.size(toks).cast("long").alias("n_tokens"))
+    j = base.join(per_doc, key, "left")
+    dup = F.coalesce(F.col("__dup_tokens"), F.lit(0)).cast("long")
+    return j.select(
+        key, "n_tokens",
+        dup.alias("dup_tokens"),
+        F.round(F.when(F.col("n_tokens") > 0,
+                       dup.cast("double") / F.col("n_tokens"))
+                 .otherwise(F.lit(0.0)), round_to).alias("dup_fraction"),
+    )

@@ -1025,3 +1025,62 @@ def language_id_join(df, model, key: str = "doc_id", text: str = "text",
                     round_to).alias("score"),
         )
     )
+
+
+def bigram_logprob(df, key: str = "doc_id", text: str = "text",
+                   round_to: int = 6):
+    """Per-document mean CONDITIONAL bigram log-probability under the
+    corpus's own bigram model — one order up from
+    :func:`unigram_logprob` toward the CCNet 5-gram-KenLM fluency
+    signal: ``mean over i of ln c(t_{i-1}, t_i) - ln c(t_{i-1}, ·)``
+    (MLE, no smoothing needed — the model is trained on the corpus
+    being scored, so every observed bigram has count >= 1). Word-soup
+    and shuffled-token docs score sharply lower than docs whose token
+    ORDER repeats across the corpus, which is exactly what the unigram
+    signal cannot see.
+
+    Returns ``(key, n_bigrams, mean_logprob)`` for every input row;
+    docs with fewer than 2 tokens get ``(0, 0.0)``. The mean rounds so
+    the DuckDB oracle replays it despite float summation order.
+
+    Plan shape: bigram pairs are built map-side with one shifted
+    ``zip_with`` over the token array (no O(tokens²) lambda
+    re-evaluation) and exploded — rows = total tokens - docs, each a
+    (key, prev, cur) triple. Two aggregations over that frame — counts
+    by (prev, cur) and by prev — are both map-side combined; the two
+    equi-joins back hash on the same keys (AQE broadcasts vocab-sized
+    sides). Final per-key agg is one exchange of one row per document.
+    """
+    c = F.col(text)
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    pairs = F.when(F.size(toks) < 2,
+                   F.array().cast("array<struct<prev:string,cur:string>>")) \
+             .otherwise(F.zip_with(
+                 F.slice(toks, 1, F.size(toks) - 1),
+                 F.slice(toks, 2, F.size(toks) - 1),
+                 lambda a, b: F.struct(a.alias("prev"), b.alias("cur"))))
+    ex = (
+        df.where(c.isNotNull())
+        .select(F.col(key), F.explode(pairs).alias("__p"))
+        .select(key, F.col("__p.prev").alias("prev"),
+                F.col("__p.cur").alias("cur"))
+    )
+    bc = ex.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
+    uc = ex.groupBy("prev").agg(F.count(F.lit(1)).alias("__uc"))
+    lp = F.log(F.col("__bc")) - F.log(F.col("__uc"))
+    scored = (
+        ex.join(bc, ["prev", "cur"]).join(uc, "prev")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg(lp), round_to).alias("mean_logprob"))
+    )
+    return (
+        df.select(key).join(scored, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("mean_logprob"), F.lit(0.0))
+            .alias("mean_logprob"),
+        )
+    )

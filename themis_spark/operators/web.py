@@ -354,3 +354,41 @@ def blocklist_filter(df: DataFrame, url: str = "url",
     if mode != "flag":
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
     return df.withColumn("blocked", blocked)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url",
+                  digest: str = "content_digest") -> DataFrame:
+    """Crawl-to-crawl incremental diff: which keys were added, removed,
+    changed, or unchanged between two snapshots —
+    ``(key, status, old_digest, new_digest)``. The bookkeeping step an
+    incremental 10¹²-row pipeline runs before revalidating anything:
+    only ``added``/``changed`` rows need the expensive passes.
+
+    Each side must be key-unique (run :func:`latest_revisions` first on
+    multi-revision crawls); ``digest`` is any per-row content hash
+    (e.g. ``hash60(text)``) and must be NON-NULL — a NULL digest is
+    indistinguishable from the row being absent on that side (coalesce
+    NULL text to a sentinel before hashing).
+
+    Plan shape: union-tag, ONE exchange — both sides project
+    ``(key, digest, side)`` and a single groupBy(key) aggregation
+    computes per-side digests with conditional max (map-side combined);
+    no join, no second shuffle, and the diff status is a stateless
+    projection of the agg output. The exchange carries fixed-width
+    (key, hash, byte) rows, never the documents.
+    """
+    a = old.select(F.col(key), F.col(digest).alias("__d"),
+                   F.lit(0).alias("__side"))
+    b = new.select(F.col(key), F.col(digest).alias("__d"),
+                   F.lit(1).alias("__side"))
+    agg = a.unionByName(b).groupBy(key).agg(
+        F.max(F.when(F.col("__side") == 0, F.col("__d"))).alias("old_digest"),
+        F.max(F.when(F.col("__side") == 1, F.col("__d"))).alias("new_digest"),
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return agg.select(key, status.alias("status"), "old_digest", "new_digest")
