@@ -1431,6 +1431,66 @@ def q_text_bigram(spark, sf):
     return X.bigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_web_host_graph(spark, sf):
+    # pages with synthesized markup: two absolute outlinks at
+    # deterministic host residues, one relative href (dropped — no
+    # host) and one self-link (dropped by drop_self); exercises the
+    # binary→string cast + regexp_extract_all + single-agg path
+    u = _urls(spark, sf)
+    own_host = WB.host_col(F.col("url"))
+    l1 = F.concat(F.lit("https://h"), (F.col("doc_id") * 7 % 50).cast("string"),
+                  F.lit(".example.com/p"))
+    l2 = F.concat(F.lit("https://h"),
+                  ((F.col("doc_id") * 13 + 1) % 50).cast("string"),
+                  F.lit(".example.com/q"))
+    html = F.concat(
+        F.lit('<html><a href="'), l1,
+        F.lit('">x</a><p><a href="'), l2,
+        F.lit('"></a><a href="/rel">r</a><a href="https://'), own_host,
+        F.lit('/self"></a></html>')).cast("binary")
+    pages = u.select("url", html.alias("html"))
+    return WB.host_graph(WB.extract_links(pages, key="url", html="html"))
+
+
+def q_web_revision_intervals(spark, sf):
+    # events as a revision stream: user_id = the page key, ts = fetch
+    # time, event_type = the content digest (changes over time, repeats
+    # collapse into versions)
+    ev = _t(spark, sf, "events")
+    out = WB.revision_intervals(ev, key="user_id", ts="ts",
+                                digest="event_type")
+    return out.select(
+        "user_id", "version", "digest", "valid_from", "valid_to",
+        "n_revisions")
+
+
+def q_pipeline_incremental_validate(spark, sf):
+    # two crawl snapshots from `documents` by residue selection (same
+    # trick as web_snapshot_diff): %10 rows removed in NEW, %7 rows
+    # absent from OLD (added), %3 rows' text changed; digest covers the
+    # changed column, all other columns identical by construction —
+    # output must equal validating the whole new snapshot directly.
+    from themis_spark.pipeline import incremental_validate
+
+    d = _t(spark, sf, "documents")
+    mod = F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.col("text"), F.lit("|v2"))) \
+           .otherwise(F.col("text"))
+    new = d.where(F.col("doc_id") % 10 != 0).withColumn("text", mod)
+    old = d.where(F.col("doc_id") % 7 != 0)
+
+    def dig():
+        return hashing.hash60(F.coalesce(F.col("text"), F.lit("<null>")))
+
+    old_digests = old.select(F.col("doc_id"), dig().alias("content_digest"))
+    plan_old = compile_plan(DOCS_SCHEMA, old.schema)
+    old_verdicts = old.select(
+        "doc_id", F.size(plan_old.violations_col()).alias("n_violations"))
+    plan_new = compile_plan(DOCS_SCHEMA, new.schema)
+    return incremental_validate(new, old_digests, old_verdicts, plan_new,
+                                key="doc_id", digest=dig())
+
+
 # Batch form of the streaming drift monitor (streaming/drift_stream.py):
 # the SAME code path the stream runs (no watermark applied on batch
 # frames), so the oracle checks the stream's bucket + PSI arithmetic.
@@ -1607,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "con_monotonic": q_con_monotonic,
         "stat_windowed_hist": q_stat_windowed_hist,
         "drift_psi_windowed": q_drift_psi_windowed,
+        "web_host_graph": q_web_host_graph,
+        "web_revision_intervals": q_web_revision_intervals,
+        "pipeline_incremental_validate": q_pipeline_incremental_validate,
     }
 
 
@@ -2890,6 +2953,79 @@ _BIGRAM_SQL = """
     FROM documents d LEFT JOIN sc USING (doc_id)"""
 
 
+_HOST_RE_SQL = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+
+_HOST_GRAPH_SQL = f"""
+    WITH {{urls}},
+    pg AS (SELECT url,
+        '<html><a href="https://h' || ((doc_id * 7) % 50)::VARCHAR
+        || '.example.com/p">x</a><p><a href="https://h'
+        || ((doc_id * 13 + 1) % 50)::VARCHAR
+        || '.example.com/q"></a><a href="/rel">r</a><a href="https://'
+        || regexp_extract(url, '{_HOST_RE_SQL}', 1)
+        || '/self"></a></html>' AS html
+      FROM u),
+    lk AS (SELECT url,
+             unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+           FROM pg),
+    e AS (SELECT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                 regexp_extract(link, '{_HOST_RE_SQL}', 1) AS dst_host
+          FROM lk)
+    SELECT src_host, dst_host, count(*) AS n_links FROM e
+    WHERE src_host != '' AND dst_host != '' AND src_host != dst_host
+    GROUP BY src_host, dst_host"""
+
+_REVISION_INTERVALS_SQL = """
+    WITH m AS (SELECT user_id, ts, event_type,
+          CASE WHEN row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_type) = 1 THEN 1
+               WHEN event_type IS NOT DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_type)
+               THEN 0 ELSE 1 END AS chg
+        FROM events),
+    v AS (SELECT user_id, ts, event_type,
+            sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_type) AS version
+          FROM m),
+    a AS (SELECT user_id, version, max(event_type) AS digest,
+            min(ts) AS valid_from, count(*) AS n_revisions
+          FROM v GROUP BY user_id, version)
+    SELECT user_id, CAST(version AS BIGINT) AS version, digest, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+           n_revisions
+    FROM a"""
+
+# n_violations = the same 9 DOCS_SCHEMA conditions as the
+# validate_documents oracle, applied directly to the NEW snapshot —
+# the incremental path must be indistinguishable from full revalidation
+_INCR_VALIDATE_SQL = """
+    WITH nw AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN text || '|v2' ELSE text END AS text,
+          lang, source, n_chars
+        FROM documents WHERE doc_id % 10 != 0)
+    SELECT doc_id,
+      CAST((CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN text IS NOT NULL AND length(text) < 50
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN text IS NOT NULL AND length(text) > 20000
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN lang IS NOT NULL
+                  AND lang NOT IN ('en','zh','es','de','fr')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN source IS NOT NULL
+                  AND NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_chars IS NOT NULL AND n_chars < 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      (doc_id % 7 = 0 OR (doc_id % 3 = 0 AND text IS NOT NULL))
+        AS revalidated
+    FROM nw"""
+
 _WHIST_CTE = """
     e AS (SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ws,
                  CASE WHEN value IS NULL THEN NULL
@@ -3557,6 +3693,9 @@ def oracle_sql() -> dict[str, str]:
         "web_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "stat_windowed_hist": _WHIST_SQL,
         "drift_psi_windowed": _psi_windowed_sql(),
+        "web_host_graph": _HOST_GRAPH_SQL.format(urls=_URLS_CTE),
+        "web_revision_intervals": _REVISION_INTERVALS_SQL,
+        "pipeline_incremental_validate": _INCR_VALIDATE_SQL,
         "con_monotonic": """
             WITH s AS (SELECT user_id, event_id,
                          lag(value) OVER (PARTITION BY user_id

@@ -81,6 +81,7 @@ HEADLINE = [
     # broadcast-model language-ID path
     "dedup_substring_spans", "dedup_substring_removed", "text_langid_join",
     "dedup_substring_stats", "text_bigram", "web_snapshot_diff",
+    "pipeline_incremental_validate", "web_host_graph",
 ]
 
 

@@ -371,3 +371,122 @@ def test_monotonic_violations_directions(spark):
     plan = monotonic_violations(df, "k", "seq", "v")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_extract_links_and_host_graph(spark):
+    from themis_spark.operators.web import extract_links, host_graph
+
+    pages = spark.createDataFrame(
+        [("https://a.example.com/x",
+          '<a href="https://b.example.com/1">x</a>'
+          '<a href="https://b.example.com/2"></a>'
+          '<a href="/relative">r</a>'
+          '<a href="https://a.example.com/self"></a>'),
+         ("https://c.example.com/y", "<p>no links</p>"),
+         ("https://d.example.com/z",
+          '<a href="https://b.example.com/3"></a>')],
+        "url string, html string")
+    links = extract_links(pages, key="url", html="html").collect()
+    # ALL hrefs extracted, duplicates + relative preserved
+    assert len(links) == 5
+    assert sum(1 for r in links if r.link == "/relative") == 1
+
+    # binary payloads decode identically
+    bin_pages = pages.select("url", F.col("html").cast("binary").alias("html"))
+    assert sorted((r.url, r.link) for r in
+                  extract_links(bin_pages, key="url", html="html").collect()) \
+        == sorted((r.url, r.link) for r in links)
+
+    g = {(r.src_host, r.dst_host): r.n_links
+         for r in host_graph(extract_links(pages, "url", "html")).collect()}
+    # self-link and relative href dropped; two b-links collapse to n=2
+    assert g == {("a.example.com", "b.example.com"): 2,
+                 ("d.example.com", "b.example.com"): 1}
+
+    plan = host_graph(extract_links(pages, "url", "html")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_revision_intervals_versions(spark):
+    from themis_spark.operators.web import revision_intervals
+
+    rows = [
+        # url 1: A A B A -> versions A(2 revs), B(1), A(1)
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+        # url 2: NULL NULL C -> NULL collapses into one version
+        (2, 10, None), (2, 20, None), (2, 30, "C"),
+        # url 3: single revision, open-ended
+        (3, 10, "Z"),
+    ]
+    df = spark.createDataFrame(
+        [(k, float(t), d) for k, t, d in rows],
+        "url long, fetched_at double, content_digest string")
+    out = sorted(
+        revision_intervals(df).collect(),
+        key=lambda r: (r.url, r.version))
+    got = [(r.url, r.version, r.digest, r.valid_from, r.valid_to,
+            r.n_revisions) for r in out]
+    assert got == [
+        (1, 1, "A", 10.0, 30.0, 2),
+        (1, 2, "B", 30.0, 40.0, 1),
+        (1, 3, "A", 40.0, None, 1),
+        (2, 1, None, 10.0, 30.0, 2),
+        (2, 2, "C", 30.0, None, 1),
+        (3, 1, "Z", 10.0, None, 1),
+    ]
+    plan = revision_intervals(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_incremental_validate_equals_full(spark):
+    from themis_spark.pipeline import incremental_validate
+    from themis_spark.plans.compiler import compile_plan
+
+    schema = {
+        "id": "p", "type": "object", "required": ["k", "txt"],
+        "properties": {"txt": {"type": "string", "minLength": 5},
+                       "k": {"type": "integer", "minimum": 0}},
+    }
+    old = spark.createDataFrame(
+        [(1, "hello world"), (2, "ok"), (3, "carried along"), (5, None)],
+        "k long, txt string")
+    # new crawl: 1 unchanged, 2 changed (now valid), 3 unchanged,
+    # 5 removed, 4 added (invalid: too short)
+    new = spark.createDataFrame(
+        [(1, "hello world"), (2, "ok now longer"), (3, "carried along"),
+         (4, "abc")],
+        "k long, txt string")
+
+    def dig(df):
+        return F.xxhash64(F.coalesce(F.col("txt"), F.lit("<null>")))
+
+    plan_old = compile_plan(schema, old.schema)
+    old_digests = old.select("k", dig(old).alias("content_digest"))
+    old_verdicts = old.select(
+        "k", F.size(plan_old.violations_col()).alias("n_violations"))
+    plan_new = compile_plan(schema, new.schema)
+
+    out = {r.k: r for r in incremental_validate(
+        new, old_digests, old_verdicts, plan_new,
+        key="k", digest=dig(new)).collect()}
+    # exactly the new snapshot's keys
+    assert set(out) == {1, 2, 3, 4}
+    # carried rows keep cached verdicts without revalidation
+    assert out[1].revalidated is False and out[1].n_violations == 0
+    assert out[3].revalidated is False and out[3].n_violations == 0
+    # changed + added rows are revalidated fresh
+    assert out[2].revalidated is True and out[2].n_violations == 0
+    assert out[4].revalidated is True and out[4].n_violations == 1
+
+    # the invariant: identical to validating the whole new snapshot
+    full = {r.k: r.n for r in new.select(
+        "k", F.size(plan_new.violations_col()).alias("n")).collect()}
+    assert {k: r.n_violations for k, r in out.items()} == full
+
+    with pytest.raises(ValueError):
+        incremental_validate(new, old_digests, old_verdicts, plan_new,
+                             key="k", digest=None)

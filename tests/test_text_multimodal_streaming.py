@@ -335,3 +335,50 @@ def test_streaming_psi_drift_matches_batch(spark, tmpdir_path):
     expect = psi_statistic(list(ref), shifted)
     assert abs(got2[0]["psi"] - expect) < 1e-9
     assert got2[0]["drifted"] == (expect > 0.25)
+
+
+def test_streaming_psi_checkpoint_resume(spark, tmpdir_path):
+    """Kill-and-resume: the windowed histogram state survives a
+    checkpoint restart — the second run processes only the new file and
+    closed windows carry counts from BOTH batches."""
+    from themis_spark.operators.stats import HistSpec
+    from themis_spark.streaming.drift_stream import psi_drift_stream
+
+    src, ckpt, sink = (f"{tmpdir_path}/{d}" for d in ("src", "ck", "out"))
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(t, float(v)) for t, v in rows], "ts string, value double") \
+            .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    # window = 1 day epoch-aligned; watermark 0: the sentinel at day D+2
+    # closes day D. batch 1: 3 rows in day one bucket 1
+    batch([("2024-01-01 01:00:00", 10.0), ("2024-01-01 02:00:00", 20.0),
+           ("2024-01-01 03:00:00", 30.0)]).write.parquet(f"{src}/b1")
+
+    def run():
+        stream = spark.readStream.schema(
+            "ts timestamp, value double").option(
+            "pathGlobFilter", "*.parquet").parquet(f"{src}/*")
+        out = psi_drift_stream(
+            stream, HistSpec("value", lo=0.0, hi=100.0, nbins=2),
+            [5, 5, 5, 5], ts_col="ts", window="1 day",
+            watermark="0 seconds")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()  # no window closes yet (watermark == max ts, < day-1 end)
+    # batch 2: one more day-1 row + a day-3 sentinel that closes day 1
+    batch([("2024-01-01 04:00:00", 80.0),
+           ("2024-01-03 01:00:00", 50.0)]).write.parquet(f"{src}/b2")
+    run()
+
+    got = spark.read.schema(
+        "window_start timestamp, window_end timestamp, n long, "
+        "psi double, drifted boolean").parquet(sink).collect()
+    assert len(got) == 1
+    # 3 rows from the pre-restart batch + 1 after: state continued
+    assert got[0]["n"] == 4
+    assert got[0]["psi"] is not None

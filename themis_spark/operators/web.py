@@ -392,3 +392,104 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url",
         .otherwise(F.lit("unchanged"))
     )
     return agg.select(key, status.alias("status"), "old_digest", "new_digest")
+
+
+# href extraction regex: double-quoted hrefs only — crawl-extracted
+# markup is normalized upstream; single-quoted/bare forms are a
+# documented non-goal (swap the pattern in via the parameter).
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_links(df: DataFrame, key: str = "url", html: str = "html",
+                  href_re: str = _HREF_RE) -> DataFrame:
+    """Outlink edges from raw page markup: one ``(key, link)`` row per
+    href occurrence (document order, duplicates preserved — the caller
+    decides whether multiplicity matters). ``html`` may be the raw
+    ``binary`` crawl payload (cast to UTF-8 string in-plan) or an
+    already-decoded string column.
+
+    Plan shape: ``regexp_extract_all`` + ``explode`` inside the scan
+    stage — zero shuffle, zero Python; output rows ≈ total hrefs, and
+    the page bytes themselves never leave the scan projection (only the
+    extracted link strings flow downstream).
+    """
+    c = F.col(html)
+    s = c.cast("string")
+    links = F.regexp_extract_all(s, F.lit(href_re), F.lit(1))
+    return df.select(F.col(key), F.explode(links).alias("link"))
+
+
+def host_graph(links: DataFrame, src_url: str = "url",
+               link: str = "link", drop_self: bool = True) -> DataFrame:
+    """Host-level link graph from :func:`extract_links` output:
+    ``(src_host, dst_host, n_links)`` — the edge list
+    :func:`pagerank` and per-domain crawl-budget policies consume.
+
+    ``drop_self`` removes same-host edges (intra-site navigation, which
+    otherwise dominates every crawl graph). Links whose host does not
+    parse (relative hrefs, fragments) are dropped — host-graph edges
+    need two resolvable endpoints.
+
+    Plan shape: host parsing is scan-stage regex on both endpoints; ONE
+    hash aggregation whose exchange carries (host-pair, partial count)
+    rows — O(distinct host pairs), never O(links). Hub hosts skew the
+    GROUPS' sizes, not the exchange (counts partial-aggregate map-side).
+    """
+    src_h = host_col(F.col(src_url))
+    dst_h = host_col(F.col(link))
+    edges = links.select(src_h.alias("src_host"), dst_h.alias("dst_host"))
+    edges = edges.where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        edges = edges.where(F.col("src_host") != F.col("dst_host"))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"))
+
+
+def revision_intervals(df: DataFrame, key: str = "url",
+                       ts: str = "fetched_at",
+                       digest: str = "content_digest") -> DataFrame:
+    """SCD2-style content-version intervals per key: consecutive
+    revisions with the same digest collapse into one row
+    ``(key, version, digest, valid_from, valid_to, n_revisions)``,
+    ``valid_to`` NULL for the currently-open version. This is the
+    content-change ledger an incremental crawl keeps so "when did this
+    page last change?" is an index lookup, not a scan.
+
+    Digest comparison is null-safe: consecutive NULL digests belong to
+    one version (a fetch that yielded no content is itself a state).
+    Ties on ``ts`` within a key are broken by ``digest`` so the version
+    numbering is deterministic.
+
+    Plan shape: one key exchange shared by the lag window and the
+    running-sum window (same partitioning + ordering — Spark plans ONE
+    sort), a (key, version) aggregation, and a final lead window back on
+    the key partitioning for ``valid_to``. Every exchange carries
+    fixed-width (key, ts, digest) rows; per-key cost is the key's own
+    revision count.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts, digest)
+    prev = F.lag(digest).over(w)
+    # the first row of a key always opens version 1 — lag() returns NULL
+    # both for "no previous row" and "previous digest was NULL", so the
+    # null-safe compare alone would number NULL-first keys from 0
+    first = F.row_number().over(w) == 1
+    chg = F.when(first, F.lit(1)) \
+           .when(F.col(digest).eqNullSafe(prev), F.lit(0)) \
+           .otherwise(F.lit(1))
+    # two selects: window functions cannot nest in one projection; the
+    # partitioning + ordering are identical so Spark plans ONE sort
+    marked = df.select(F.col(key), F.col(ts), F.col(digest),
+                       chg.alias("__chg"))
+    staged = marked.select(
+        F.col(key), F.col(ts), F.col(digest),
+        F.sum("__chg").over(w).alias("version"))
+    agg = staged.groupBy(key, "version").agg(
+        F.min(ts).alias("valid_from"),
+        F.max(digest).alias("digest"),  # constant within a version
+        F.count(F.lit(1)).alias("n_revisions"))
+    w2 = Window.partitionBy(key).orderBy("version")
+    return agg.select(
+        key, "version", "digest", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"), "n_revisions")

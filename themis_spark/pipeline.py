@@ -129,3 +129,63 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> dict:
     packing = pack_summary(survivors, key=cfg.key, tokens="n_tokens",
                            ctx_len=cfg.ctx_len, buckets=cfg.pack_buckets)
     return {"survivors": survivors, "funnel": funnel, "packing": packing}
+
+
+def incremental_validate(
+    new_df: DataFrame,
+    old_digests: DataFrame,
+    old_verdicts: DataFrame,
+    plan,
+    key: str = "url",
+    digest: Column | None = None,
+) -> DataFrame:
+    """Incremental revalidation of a new crawl snapshot: validate ONLY
+    the rows :func:`~themis_spark.operators.web.snapshot_diff` marks
+    ``added``/``changed``, carry the cached verdict for ``unchanged``
+    rows, drop ``removed`` keys — output
+    ``(key, n_violations, revalidated)`` for exactly the new snapshot's
+    keys, provably equal to validating the whole new crawl (validation
+    is a pure per-row function, so an unchanged digest implies an
+    unchanged verdict — PROVIDED ``digest`` covers every column the
+    plan validates; that contract is the caller's).
+
+    Inputs: ``old_digests`` = ``(key, content_digest)`` of the prior
+    crawl; ``old_verdicts`` = ``(key, n_violations)`` cached from the
+    prior run; ``plan`` = a CompiledPlan built against ``new_df``'s
+    schema; ``digest`` = the content-digest Column evaluated on
+    ``new_df`` (e.g. ``hashing.hash60(concat of validated cols)``) —
+    required, no default, because guessing the covered column set is
+    exactly the bug this operator must not have.
+
+    Plan shape (the 10¹²-row payoff): the diff is snapshot_diff's ONE
+    fixed-width exchange; the expensive validation pass runs over the
+    added+changed slice only (typically ~1% of a crawl), reached by an
+    equi-join that AQE broadcasts when the slice is small; carried
+    verdicts join on the same key. Total heavy-column movement is
+    O(changed rows), not O(crawl).
+    """
+    from themis_spark.operators.web import snapshot_diff
+
+    if digest is None:
+        raise ValueError(
+            "digest is required: pass the content-digest Column covering "
+            "every column the plan validates")
+    new_digests = new_df.select(F.col(key), digest.alias("content_digest"))
+    diff = snapshot_diff(old_digests, new_digests, key=key,
+                         digest="content_digest")
+    unchanged = diff.where(F.col("status") == "unchanged").select(key)
+    carried = (
+        old_verdicts.join(unchanged, key)
+        .select(F.col(key),
+                F.col("n_violations").cast("long").alias("n_violations"),
+                F.lit(False).alias("revalidated"))
+    )
+    todo = diff.where(F.col("status").isin("added", "changed")).select(key)
+    fresh = (
+        new_df.join(todo, key)
+        .select(F.col(key),
+                F.size(plan.violations_col()).cast("long")
+                .alias("n_violations"),
+                F.lit(True).alias("revalidated"))
+    )
+    return carried.unionByName(fresh)
