@@ -1491,6 +1491,39 @@ def q_pipeline_incremental_validate(spark, sf):
                                 key="doc_id", digest=dig())
 
 
+def q_web_robots_verdicts(spark, sf):
+    # synthetic robots corpus over 7 hosts: every host publishes
+    # '*' rules (Disallow /a/, Allow /a/b — longest-prefix + allow
+    # tie-break), even hosts ALSO publish a ccbot-specific group
+    # (Disallow /c) which, per REP, REPLACES the '*' group for ccbot;
+    # the oracle derives the expected verdicts independently, so the
+    # parser (comments, consecutive UA lines, empty Disallow dropped)
+    # and the enforcement are both checked end to end.
+    d = _t(spark, sf, "documents")
+    hid = F.col("doc_id") % 7
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/a/x"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/a/b/y"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/c/z"))
+        .otherwise(F.lit("/ok")))
+    pages = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-Agent: *\nDisallow: /a/\n"
+              "Allow: /a/b\nDisallow:\n"),
+        F.when(F.col("hid") % 2 == 0,
+               F.lit("User-agent: ccbot\nDisallow: /c\n"
+                     "User-agent: extra\nDisallow: /\n"))
+        .otherwise(F.lit("")))
+    robots = d.select(hid.alias("hid")).distinct().select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"))
+    rules = WB.parse_robots(robots)
+    return WB.robots_verdicts(pages, rules, key="doc_id", agent="ccbot")
+
+
 # Batch form of the streaming drift monitor (streaming/drift_stream.py):
 # the SAME code path the stream runs (no watermark applied on batch
 # frames), so the oracle checks the stream's bucket + PSI arithmetic.
@@ -1670,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_graph": q_web_host_graph,
         "web_revision_intervals": q_web_revision_intervals,
         "pipeline_incremental_validate": q_pipeline_incremental_validate,
+        "web_robots_verdicts": q_web_robots_verdicts,
     }
 
 
@@ -3026,6 +3060,25 @@ _INCR_VALIDATE_SQL = """
         AS revalidated
     FROM nw"""
 
+# Independently-derived expected robots verdicts (no parser replay —
+# the synthetic bodies are a known function of host parity, so the
+# oracle states the REP outcome directly: even hosts' ccbot-specific
+# group REPLACES '*'; odd hosts use '*' with longest-prefix and
+# allow-on-tie; no matching rule = allowed with NULL match columns).
+_ROBOTS_SQL = """
+    SELECT doc_id,
+      CASE WHEN (doc_id % 7) % 2 = 0 THEN doc_id % 4 = 2
+           ELSE doc_id % 4 = 0 END AS robots_blocked,
+      CASE WHEN (doc_id % 7) % 2 = 0 AND doc_id % 4 = 2 THEN 'disallow'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 0 THEN 'disallow'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 1 THEN 'allow'
+           END AS matched_directive,
+      CASE WHEN (doc_id % 7) % 2 = 0 AND doc_id % 4 = 2 THEN '/c'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 0 THEN '/a/'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 1 THEN '/a/b'
+           END AS matched_prefix
+    FROM documents"""
+
 _WHIST_CTE = """
     e AS (SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ws,
                  CASE WHEN value IS NULL THEN NULL
@@ -3696,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "web_host_graph": _HOST_GRAPH_SQL.format(urls=_URLS_CTE),
         "web_revision_intervals": _REVISION_INTERVALS_SQL,
         "pipeline_incremental_validate": _INCR_VALIDATE_SQL,
+        "web_robots_verdicts": _ROBOTS_SQL,
         "con_monotonic": """
             WITH s AS (SELECT user_id, event_id,
                          lag(value) OVER (PARTITION BY user_id

@@ -490,3 +490,65 @@ def test_incremental_validate_equals_full(spark):
     with pytest.raises(ValueError):
         incremental_validate(new, old_digests, old_verdicts, plan_new,
                              key="k", digest=None)
+
+
+def test_parse_robots_grammar(spark):
+    from themis_spark.operators.web import parse_robots
+
+    body = (
+        "# top comment\n"
+        "User-Agent: *\n"            # case-insensitive field name
+        "Disallow: /private/  # trailing comment\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"                # empty pattern: dropped
+        "\n"
+        "User-agent: GoodBot\n"      # consecutive UA lines share rules
+        "user-agent: OtherBot\n"
+        "Disallow: /tmp\n"
+    )
+    df = spark.createDataFrame([("h1", body), ("h2", "no rules here")],
+                               "host string, robots_txt string")
+    rules = {(r.host, r.agent, r.directive, r.path_prefix)
+             for r in parse_robots(df).collect()}
+    assert rules == {
+        ("h1", "*", "disallow", "/private/"),
+        ("h1", "*", "allow", "/private/ok"),
+        ("h1", "goodbot", "disallow", "/tmp"),
+        ("h1", "otherbot", "disallow", "/tmp"),
+    }
+
+
+def test_robots_verdicts_semantics(spark):
+    from themis_spark.operators.web import parse_robots, robots_verdicts
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\nAllow: /x/pub\n"
+                   "User-agent: mybot\nDisallow: /y\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    rules = parse_robots(robots)
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x/secret"),   # '*' rule, but mybot group exists
+         (2, "https://a.com/y/z"),        # mybot disallow
+         (3, "https://a.com/x/pub/ok"),   # would be allow-tie, but mybot group replaces '*'
+         (4, "https://b.com/anything"),   # '*' disallow /
+         (5, "https://c.com/free"),       # host without robots
+         (6, None)],                      # unparseable url
+        "k long, url string")
+    got = {r.k: r for r in robots_verdicts(
+        pages, rules, key="k", agent="MyBot").collect()}
+    # a.com has a mybot group -> ONLY it applies: /x rules ignored
+    assert got[1].robots_blocked is False and got[1].matched_prefix is None
+    assert got[2].robots_blocked is True and got[2].matched_prefix == "/y"
+    assert got[3].robots_blocked is False
+    assert got[4].robots_blocked is True and got[4].matched_prefix == "/"
+    assert got[5].robots_blocked is False
+    assert got[6].robots_blocked is False
+
+    # '*'-fallback + longest-prefix + allow-on-tie for an agent with no
+    # specific group anywhere
+    got2 = {r.k: r for r in robots_verdicts(
+        pages, rules, key="k", agent="anon").collect()}
+    assert got2[1].robots_blocked is True and got2[1].matched_prefix == "/x"
+    assert got2[3].robots_blocked is False  # Allow /x/pub is longer
+    assert got2[2].robots_blocked is False  # /y is mybot-only

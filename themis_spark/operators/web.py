@@ -493,3 +493,123 @@ def revision_intervals(df: DataFrame, key: str = "url",
     return agg.select(
         key, "version", "digest", "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"), "n_revisions")
+
+
+def parse_robots(df: DataFrame, host: str = "host",
+                 body: str = "robots_txt") -> DataFrame:
+    """Parse per-host robots.txt bodies into a rules table:
+    ``(host, agent, directive 'allow'|'disallow', path_prefix)`` — one
+    row per (user-agent, rule) pair, the broadcastable input of
+    :func:`robots_verdicts`.
+
+    Implements the original REP subset (documented simplifications):
+    ``#`` comments stripped, field names case-insensitive, consecutive
+    ``User-agent`` lines share the rules that follow (a rule belongs to
+    the nearest preceding user-agent block; blank/other lines do not
+    close a block), agents lowercased, empty-path rules dropped (RFC
+    9309: an empty pattern matches nothing). ``*``/``$`` wildcards in
+    paths are a NON-goal — prefix matching only, like the original
+    1994 REP; swap the startswith in robots_verdicts for a regex
+    compile to add them.
+
+    Plan shape: line split + classification are scan-stage; block
+    assignment is a lag + running-sum pair over ONE per-host sort
+    (robots bodies are small — the window partition is a file's own
+    lines); the ua×rules join is per-(host, block) equi-join that AQE
+    broadcasts at real sizes. Everything is O(robots corpus), which is
+    O(hosts) — negligible next to the page corpus.
+    """
+    from pyspark.sql.window import Window
+
+    lines = F.posexplode(F.split(F.col(body), "\n"))
+    raw = df.select(F.col(host).alias("host"), lines.alias("pos", "line"))
+    t = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    lt = F.lower(t)
+    ty = (
+        F.when(lt.startswith("user-agent:"), F.lit("ua"))
+        .when(lt.startswith("allow:"), F.lit("allow"))
+        .when(lt.startswith("disallow:"), F.lit("disallow"))
+        .otherwise(F.lit("other"))
+    )
+    classified = raw.select("host", "pos", t.alias("t"), ty.alias("ty"))
+    w = Window.partitionBy("host").orderBy("pos")
+    st = F.when(
+        (F.col("ty") == "ua")
+        & (F.coalesce(F.lag("ty").over(w), F.lit("x")) != "ua"),
+        F.lit(1)).otherwise(F.lit(0))
+    marked = classified.select("host", "pos", "t", "ty", st.alias("__st"))
+    grouped = marked.select(
+        "host", "pos", "t", "ty",
+        F.sum("__st").over(w).alias("grp"))
+    value = F.trim(F.regexp_extract(F.col("t"), "^[^:]*:(.*)$", 1))
+    ua = grouped.where(F.col("ty") == "ua").select(
+        "host", "grp", F.lower(value).alias("agent"))
+    rules = grouped.where(F.col("ty").isin("allow", "disallow")) \
+        .where(value != "") \
+        .select("host", "grp", F.col("ty").alias("directive"),
+                value.alias("path_prefix"))
+    return ua.join(rules, ["host", "grp"]).select(
+        "host", "agent", "directive", "path_prefix")
+
+
+def robots_verdicts(df: DataFrame, rules: DataFrame, key: str = "url",
+                    url: str = "url", agent: str = "*") -> DataFrame:
+    """Robots-exclusion verdict per page:
+    ``(key, robots_blocked, matched_directive, matched_prefix)`` for
+    EVERY input row — the crawl-politeness filter a Common-Crawl-style
+    pipeline applies before anything else touches a page.
+
+    Group selection follows REP: if a host has any rules for exactly
+    ``agent`` (lowercased), ONLY those apply; otherwise the host's
+    ``*`` rules apply; a host with neither allows everything. Among
+    matching rules the LONGEST path prefix wins; on a length tie,
+    allow wins (the Google tie-break). No matching rule = allowed.
+
+    Plan shape: the rules table is O(hosts) and enters via a broadcast
+    equi-join on host (hinted); the page↔rule fan-out is each page's
+    applicable-rule count, filtered to prefix matches in the same
+    stage; ONE key aggregation (max over a (prefix-length, is-allow,
+    directive, prefix) struct — map-side combined) picks the winning
+    rule, and a left join re-attaches no-rule pages. The corpus rows
+    cross exactly that one aggregation exchange and the final key join.
+    """
+    pages = df.select(
+        F.col(key).alias("__k"),
+        F.lower(F.regexp_extract(
+            F.col(url), r"^(?i)[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+        .alias("host"),
+        F.regexp_extract(
+            F.col(url), r"^(?i)[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        .alias("__path"))
+    a = agent.lower()
+    scoped = rules.select(
+        F.col("host"), F.lower(F.col("agent")).alias("agent"),
+        "directive", "path_prefix")
+    # per-host REP group selection: exact-agent rules if any, else '*'
+    specific_hosts = scoped.where(F.col("agent") == a) \
+        .select("host").distinct()
+    applicable = (
+        scoped.where(F.col("agent").isin(a, "*"))
+        .join(F.broadcast(specific_hosts.withColumnRenamed("host", "__sh")),
+              F.col("host") == F.col("__sh"), "left")
+        .where((F.col("agent") == a) |
+               (F.col("__sh").isNull() & (F.col("agent") == "*")))
+        .select("host", "directive", "path_prefix")
+    )
+    hits = (
+        pages.join(F.broadcast(applicable), "host")
+        .where(F.col("__path").startswith(F.col("path_prefix")))
+        .groupBy("__k")
+        .agg(F.max(F.struct(
+            F.length("path_prefix").alias("l"),
+            (F.col("directive") == "allow").alias("is_allow"),
+            F.col("directive").alias("directive"),
+            F.col("path_prefix").alias("prefix"))).alias("__win"))
+    )
+    out = df.select(F.col(key).alias("__k")).join(hits, "__k", "left")
+    return out.select(
+        F.col("__k").alias(key),
+        F.coalesce(F.col("__win.directive") == "disallow", F.lit(False))
+        .alias("robots_blocked"),
+        F.col("__win.directive").alias("matched_directive"),
+        F.col("__win.prefix").alias("matched_prefix"))
