@@ -638,6 +638,38 @@ def _png_media(spark, sf, limit=64):
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
+def _jpeg_media(spark, sf, limit=64):
+    # real ENTROPY-CODED payloads: constant-fill images JPEG-encoded
+    # with all-ones quant tables — the regime where baseline JPEG is
+    # EXACTLY lossless (constant block → integer DC only, every step
+    # integer-preserving), so the decoded pixels are formula-replayable
+    # by the DuckDB oracle even though the Huffman bytes are not
+    # SQL-expressible. Layouts alternate 4:4:4 / 4:2:0 (constant chroma
+    # averages to itself) and every third payload carries restart
+    # markers, so subsampled upsampling + RST resync both run.
+    import numpy as np
+
+    from themis_spark.functions import jpegcodec as JC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+        payload = JC.encode_jpeg_baseline(
+            img, subsampling="420" if doc_id % 2 else "444",
+            restart_interval=2 if doc_id % 3 == 0 else 0)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_decode_jpeg(spark, sf):
+    # baseline JPEG (pure-stdlib huffman + IDCT) → resize → P6
+    # re-encode: the pixel sha replays bit-exactly from the fill formula
+    out = M.resize_images(_jpeg_media(spark, sf), target=(5, 4))
+    return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
+                      "out_w", "out_h", "src_format")
+
+
 def q_mm_decode_png(spark, sf):
     # PNG (zlib inflate + scanline unfilter) → resize → P6 re-encode:
     # the pixel sha replays bit-exactly from the fill formula
@@ -1690,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_arrow": q_text_bpe_arrow,
         "text_classifier_join": q_text_classifier_join,
         "mm_decode_png": q_mm_decode_png,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
         "pipeline_curate": q_pipeline_curate,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_removed": q_dedup_substring_removed,
@@ -3533,6 +3566,13 @@ def oracle_sql() -> dict[str, str]:
                    sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
                           || repeat(c, 60)) AS resized_sha,
                    5 AS out_w, 4 AS out_h, 'png' AS src_format FROM t""",
+        "mm_decode_jpeg": """
+            WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 64)
+            SELECT doc_id,
+                   sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
+                          || repeat(c, 60)) AS resized_sha,
+                   5 AS out_w, 4 AS out_h, 'jpeg' AS src_format FROM t""",
         "mm_resize": """
             WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
                        FROM documents WHERE doc_id < 200)

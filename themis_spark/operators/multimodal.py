@@ -57,11 +57,18 @@ def _decode_real(payload: bytes) -> tuple:
     if fmt == "png":
         img = IC.decode_png(payload)  # stdlib zlib + filters, no Pillow
         return ("png", img.shape[1], img.shape[0], 1)
+    if fmt == "jpeg":
+        # header-only dims (no entropy decode) — the metadata fast path;
+        # full pixel decode lives in decode_image/resize paths
+        from themis_spark.functions.jpegcodec import jpeg_dims
+
+        w, h = jpeg_dims(payload)
+        return ("jpeg", w, h, 1)
     if not _HAS_PIL:
         raise NotImplementedError(
             f"decode of format={fmt!r} requires Pillow (builtin codecs cover "
-            "ppm/bmp/png/ppmv); install PIL on the cluster or use "
-            "deterministic_fake=True for plumbing tests"
+            "ppm/bmp/png/jpeg(baseline)/ppmv); install PIL on the cluster or "
+            "use deterministic_fake=True for plumbing tests"
         )
     import io
 
