@@ -1523,6 +1523,20 @@ def q_pipeline_incremental_validate(spark, sf):
                                 key="doc_id", digest=dig())
 
 
+def q_web_host_mirrors(spark, sf):
+    # 6 hosts × 40 content groups by residue: hosts of equal parity
+    # share every even/odd digest reachable under the doc count, hosts
+    # of opposite parity share none (gcd(6,40)=2) — a planted mirror
+    # structure both engines derive from the same arithmetic
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 6).cast("string"),
+                 F.lit(".example.com/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 40).alias("content_digest"))
+    return WB.host_mirrors(pages, min_shared=3)
+
+
 def q_web_robots_verdicts(spark, sf):
     # synthetic robots corpus over 7 hosts: every host publishes
     # '*' rules (Disallow /a/, Allow /a/b — longest-prefix + allow
@@ -1737,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_revision_intervals": q_web_revision_intervals,
         "pipeline_incremental_validate": q_pipeline_incremental_validate,
         "web_robots_verdicts": q_web_robots_verdicts,
+        "web_host_mirrors": q_web_host_mirrors,
     }
 
 
@@ -3790,6 +3805,20 @@ def oracle_sql() -> dict[str, str]:
         "web_revision_intervals": _REVISION_INTERVALS_SQL,
         "pipeline_incremental_validate": _INCR_VALIDATE_SQL,
         "web_robots_verdicts": _ROBOTS_SQL,
+        "web_host_mirrors": """
+            WITH ph AS (SELECT DISTINCT
+                          'h' || (doc_id % 6)::VARCHAR || '.example.com'
+                            AS host,
+                          doc_id % 40 AS dig
+                        FROM documents),
+            c AS (SELECT dig, count(*) AS n FROM ph GROUP BY dig),
+            p AS (SELECT a.dig, a.host AS ha, b.host AS hb
+                  FROM ph a JOIN ph b ON a.dig = b.dig AND a.host < b.host
+                  WHERE a.dig IN (SELECT dig FROM c
+                                  WHERE n BETWEEN 2 AND 16))
+            SELECT ha AS host_a, hb AS host_b,
+                   count(*) AS shared_digests
+            FROM p GROUP BY ha, hb HAVING count(*) >= 3""",
         "con_monotonic": """
             WITH s AS (SELECT user_id, event_id,
                          lag(value) OVER (PARTITION BY user_id

@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_substring_spans", "dedup_substring_removed", "text_langid_join",
     "dedup_substring_stats", "text_bigram", "web_snapshot_diff",
     "pipeline_incremental_validate", "web_host_graph",
+    "web_robots_verdicts", "mm_decode_jpeg", "web_host_mirrors",
 ]
 
 

@@ -251,3 +251,51 @@ def test_rank_buckets_no_single_partition_window(spark):
     # than one distinct partition id contributed offsets
     pids = out.select(F.spark_partition_id().alias("p")).distinct().count()
     assert pids > 1
+
+
+def test_host_mirrors_two_exchanges_no_python(spark):
+    from themis_spark.operators.web import host_mirrors
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 4}.com/p{i}", i % 9) for i in range(40)],
+        "url string, content_digest long")
+    plan = _plan(host_mirrors(df, min_shared=1))
+    # one (digest) agg exchange + one (host pair) agg exchange — the
+    # corpus rows cross only the first, already collapsed map-side
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan  # pair explode, not a self-join
+
+
+def test_incremental_validate_no_python_no_cartesian(spark):
+    from themis_spark.pipeline import incremental_validate
+    from themis_spark.plans.compiler import compile_plan
+
+    schema = {"id": "p", "type": "object", "required": ["k"],
+              "properties": {"txt": {"type": "string", "minLength": 5}}}
+    new = spark.createDataFrame([(1, "hello world")], "k long, txt string")
+    old = new
+    plan_c = compile_plan(schema, new.schema)
+    dig = F.xxhash64(F.coalesce(F.col("txt"), F.lit("-")))
+    out = incremental_validate(
+        new, old.select("k", dig.alias("content_digest")),
+        old.select("k", F.size(plan_c.violations_col()).alias("n_violations")),
+        plan_c, key="k", digest=dig)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_verdicts_broadcast_rules(spark):
+    from themis_spark.operators.web import parse_robots, robots_verdicts
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x/1")], "k long, url string")
+    plan = _plan(robots_verdicts(pages, parse_robots(robots), key="k"))
+    # the rules side enters broadcast (hinted) — the page corpus is
+    # never shuffled for the rules join itself
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

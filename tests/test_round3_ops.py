@@ -552,3 +552,40 @@ def test_robots_verdicts_semantics(spark):
     assert got2[1].robots_blocked is True and got2[1].matched_prefix == "/x"
     assert got2[3].robots_blocked is False  # Allow /x/pub is longer
     assert got2[2].robots_blocked is False  # /y is mybot-only
+
+
+def test_host_mirrors_detection_and_cap(spark):
+    from themis_spark.operators.web import host_mirrors
+
+    rows = []
+    # m1.com and m2.com mirror 4 docs; m3.com shares only 1 with m1
+    for i in range(4):
+        rows.append((f"https://m1.com/p{i}", 100 + i))
+        rows.append((f"https://M2.com/q{i}", 100 + i))  # case-folded host
+    rows.append(("https://m3.com/a", 100))
+    # boilerplate digest 999 served by 20 hosts: capped out, no pairs
+    for i in range(20):
+        rows.append((f"https://bp{i}.com/x", 999))
+    # NULL digests ignored
+    rows.append(("https://m1.com/null", None))
+    df = spark.createDataFrame(rows, "url string, content_digest long")
+
+    got = {(r.host_a, r.host_b): r.shared_digests
+           for r in host_mirrors(df, min_shared=2).collect()}
+    assert got == {("m1.com", "m2.com"): 4}
+
+    # lowering the threshold surfaces the weak pair too
+    got1 = {(r.host_a, r.host_b): r.shared_digests
+            for r in host_mirrors(df, min_shared=1).collect()}
+    assert got1[("m1.com", "m3.com")] == 1 and got1[("m2.com", "m3.com")] == 1
+
+    # disabling the cap lets the boilerplate pairs through (20*19/2)
+    n = host_mirrors(df, min_shared=1,
+                     max_hosts_per_digest=None).count()
+    assert n == 3 + 20 * 19 // 2
+
+    # duplicate (digest, host) rows count each digest once
+    df2 = df.union(df)
+    got2 = {(r.host_a, r.host_b): r.shared_digests
+            for r in host_mirrors(df2, min_shared=2).collect()}
+    assert got2 == {("m1.com", "m2.com"): 4}

@@ -613,3 +613,43 @@ def robots_verdicts(df: DataFrame, rules: DataFrame, key: str = "url",
         .alias("robots_blocked"),
         F.col("__win.directive").alias("matched_directive"),
         F.col("__win.prefix").alias("matched_prefix"))
+
+
+def host_mirrors(df: DataFrame, url: str = "url",
+                 digest: Column | str = "content_digest",
+                 min_shared: int = 3,
+                 max_hosts_per_digest: int | None = 16) -> DataFrame:
+    """Mirror-site detection: host pairs that serve the same content —
+    ``(host_a, host_b, shared_digests)`` for pairs sharing at least
+    ``min_shared`` distinct content digests (``host_a < host_b``). The
+    dedup planner's host-level view: a mirrored site is cheaper to drop
+    at the HOST level than to near-dup every page pair.
+
+    ``digest`` is a per-row content hash column or Column expression
+    (e.g. ``hashing.hash60(text)``); NULL digests are ignored.
+    ``max_hosts_per_digest`` is the boilerplate guard (same contract as
+    the LSH ``_bucket_pairs`` cap): a digest served by hundreds of
+    hosts is boilerplate (empty pages, soft-404s), not mirroring —
+    unbounded it would explode quadratically. Pass None to disable.
+
+    Plan shape: one (digest, host) distinct-style aggregation (map-side
+    combined — the corpus collapses to its distinct digest-host pairs
+    before the exchange), capped in-bucket pair explode (reuses the
+    LSH machinery), then ONE (host_a, host_b) count agg. No corpus
+    row ever crosses more than the first fixed-width exchange.
+    """
+    from themis_spark.operators.dedup import _bucket_pairs
+
+    d = F.col(digest) if isinstance(digest, str) else digest
+    host = F.lower(F.regexp_extract(
+        F.col(url), r"^(?i)[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+    pairs = _bucket_pairs(
+        df.where(d.isNotNull())
+          .select(d.alias("__digest"), host.alias("__host"))
+          .where(F.col("__host") != ""),
+        ["__digest"], F.col("__host"), max_hosts_per_digest)
+    return (
+        pairs.groupBy(F.col("a").alias("host_a"), F.col("b").alias("host_b"))
+        .agg(F.count(F.lit(1)).alias("shared_digests"))
+        .where(F.col("shared_digests") >= min_shared)
+    )
