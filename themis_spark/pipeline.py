@@ -157,6 +157,13 @@ def incremental_validate(
     required, no default, because guessing the covered column set is
     exactly the bug this operator must not have.
 
+    Input contracts (inherited from snapshot_diff + the cache): every
+    side is key-unique (consolidate multi-revision crawls with
+    ``latest_revisions`` first), and ``old_verdicts`` covers every key
+    of ``old_digests`` — a key cached as unchanged but absent from the
+    verdict cache would silently drop from the output (the prior run's
+    own output satisfies this by construction).
+
     Plan shape (the 10¹²-row payoff): the diff is snapshot_diff's ONE
     fixed-width exchange; the expensive validation pass runs over the
     added+changed slice only (typically ~1% of a crawl), reached by an
