@@ -1540,26 +1540,33 @@ def q_web_host_mirrors(spark, sf):
 def q_web_robots_verdicts(spark, sf):
     # synthetic robots corpus over 7 hosts: every host publishes
     # '*' rules (Disallow /a/, Allow /a/b — longest-prefix + allow
-    # tie-break), even hosts ALSO publish a ccbot-specific group
-    # (Disallow /c) which, per REP, REPLACES the '*' group for ccbot;
-    # the oracle derives the expected verdicts independently, so the
-    # parser (comments, consecutive UA lines, empty Disallow dropped)
-    # and the enforcement are both checked end to end.
+    # tie-break — plus RFC 9309 wildcard rules /*?sid= and /*.pdf$),
+    # even hosts ALSO publish a ccbot-specific group (Disallow /c +
+    # the /*.pdf$ wildcard) which, per REP, REPLACES the '*' group for
+    # ccbot; the oracle derives the expected verdicts independently, so
+    # the parser (comments, consecutive UA lines, empty Disallow
+    # dropped), the wildcard compile, and the enforcement are all
+    # checked end to end.
     d = _t(spark, sf, "documents")
     hid = F.col("doc_id") % 7
     host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+    m = F.col("doc_id") % 6
     path = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("/a/x"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("/a/b/y"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("/c/z"))
-        .otherwise(F.lit("/ok")))
+        F.when(m == 0, F.lit("/a/x"))
+        .when(m == 1, F.lit("/a/b/y"))
+        .when(m == 2, F.lit("/c/z"))
+        .when(m == 3, F.lit("/ok"))
+        .when(m == 4, F.lit("/p?sid=42"))
+        .otherwise(F.lit("/file.pdf")))
     pages = d.select(
         "doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
     body = F.concat(
         F.lit("# synthetic robots\nUser-Agent: *\nDisallow: /a/\n"
-              "Allow: /a/b\nDisallow:\n"),
+              "Allow: /a/b\nDisallow: /*?sid=\nDisallow: /*.pdf$\n"
+              "Disallow:\n"),
         F.when(F.col("hid") % 2 == 0,
                F.lit("User-agent: ccbot\nDisallow: /c\n"
+                     "Disallow: /*.pdf$\n"
                      "User-agent: extra\nDisallow: /\n"))
         .otherwise(F.lit("")))
     robots = d.select(hid.alias("hid")).distinct().select(
@@ -2943,6 +2950,10 @@ _SUBSTR_SPANS_SQL = f"""
 
 _SUBSTR_REMOVED_SQL = f"""
     WITH {_SUBSTR_CTE},
+    stc AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM sd),
     hits AS (SELECT swh.doc_id, swh.pos, swh.whash FROM swh
              WHERE whash IN (SELECT whash FROM sdup)),
     ownd AS (SELECT doc_id, pos,
@@ -2959,7 +2970,7 @@ _SUBSTR_REMOVED_SQL = f"""
     cov AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
             FROM grp GROUP BY doc_id, g),
     tp AS (SELECT doc_id, unnest(toks) AS tok,
-                  unnest(range(0, len(toks))) AS ti FROM st),
+                  unnest(range(0, len(toks))) AS ti FROM stc),
     kept AS (SELECT tp.doc_id, tp.ti, tp.tok FROM tp
              WHERE NOT EXISTS (SELECT 1 FROM cov
                                WHERE cov.doc_id = tp.doc_id
@@ -3111,19 +3122,28 @@ _INCR_VALIDATE_SQL = """
 # Independently-derived expected robots verdicts (no parser replay —
 # the synthetic bodies are a known function of host parity, so the
 # oracle states the REP outcome directly: even hosts' ccbot-specific
-# group REPLACES '*'; odd hosts use '*' with longest-prefix and
-# allow-on-tie; no matching rule = allowed with NULL match columns).
+# group (Disallow /c, Disallow /*.pdf$) REPLACES '*'; odd hosts use
+# the '*' group (Disallow /a/, Allow /a/b, Disallow /*?sid=,
+# Disallow /*.pdf$) with longest-pattern precedence and allow-on-tie;
+# no matching rule = allowed with NULL match columns. Path cases by
+# doc_id % 6: /a/x, /a/b/y, /c/z, /ok, /p?sid=42, /file.pdf.
 _ROBOTS_SQL = """
     SELECT doc_id,
-      CASE WHEN (doc_id % 7) % 2 = 0 THEN doc_id % 4 = 2
-           ELSE doc_id % 4 = 0 END AS robots_blocked,
-      CASE WHEN (doc_id % 7) % 2 = 0 AND doc_id % 4 = 2 THEN 'disallow'
-           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 0 THEN 'disallow'
-           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 1 THEN 'allow'
+      CASE WHEN (doc_id % 7) % 2 = 0
+           THEN doc_id % 6 IN (2, 5)
+           ELSE doc_id % 6 IN (0, 4, 5) END AS robots_blocked,
+      CASE WHEN (doc_id % 7) % 2 = 0 AND doc_id % 6 IN (2, 5)
+             THEN 'disallow'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 6 IN (0, 4, 5)
+             THEN 'disallow'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 6 = 1 THEN 'allow'
            END AS matched_directive,
-      CASE WHEN (doc_id % 7) % 2 = 0 AND doc_id % 4 = 2 THEN '/c'
-           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 0 THEN '/a/'
-           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 4 = 1 THEN '/a/b'
+      CASE WHEN (doc_id % 7) % 2 = 0 AND doc_id % 6 = 2 THEN '/c'
+           WHEN (doc_id % 7) % 2 = 0 AND doc_id % 6 = 5 THEN '/*.pdf$'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 6 = 0 THEN '/a/'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 6 = 1 THEN '/a/b'
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 6 = 4 THEN '/*?sid='
+           WHEN (doc_id % 7) % 2 = 1 AND doc_id % 6 = 5 THEN '/*.pdf$'
            END AS matched_prefix
     FROM documents"""
 

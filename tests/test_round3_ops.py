@@ -554,6 +554,44 @@ def test_robots_verdicts_semantics(spark):
     assert got2[2].robots_blocked is False  # /y is mybot-only
 
 
+def test_robots_wildcards_rfc9309(spark):
+    """RFC 9309 §2.2.3 '*' / '$' wildcards + query-string matching +
+    the empty-path-is-'/' rule (RFC 3986 §6.2.3)."""
+    from themis_spark.operators.web import parse_robots, robots_verdicts
+
+    robots = spark.createDataFrame(
+        [("w.com",
+          "User-agent: *\n"
+          "Disallow: /*?sessionid=\n"     # mid-pattern * crossing into query
+          "Disallow: /private*\n"
+          "Allow: /private-ok\n"          # longer pattern beats /private*
+          "Disallow: /*.pdf$\n"           # anchored suffix rule
+          "Disallow: /exact$\n"           # anchored exact rule
+          "Disallow: /a.b*\n"),           # '.' must be literal, not regex-any
+         ("root.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    rules = parse_robots(robots)
+    pages = spark.createDataFrame(
+        [(1, "https://w.com/page?sessionid=abc"),  # blocked: /*?sessionid=
+         (2, "https://w.com/page?other=1"),        # allowed
+         (3, "https://w.com/private/data"),        # blocked: /private*
+         (4, "https://w.com/private-ok/page"),     # allow wins (longer)
+         (5, "https://w.com/doc.pdf"),             # blocked: /*.pdf$
+         (6, "https://w.com/doc.pdf?dl=1"),        # NOT blocked: $ anchors past query
+         (7, "https://w.com/exact"),               # blocked: /exact$
+         (8, "https://w.com/exact/sub"),           # allowed: anchor fails
+         (9, "https://w.com/axbz"),                # '.' literal: /a.b* no match
+         (10, "https://w.com/a.bz"),               # blocked: /a.b*
+         (11, "https://root.com"),                 # empty path == '/': blocked
+         (12, "https://root.com/")],               # explicit '/': blocked
+        "k long, url string")
+    got = {r.k: r.robots_blocked for r in
+           robots_verdicts(pages, rules, key="k").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True,
+                   6: False, 7: True, 8: False, 9: False, 10: True,
+                   11: True, 12: True}
+
+
 def test_host_mirrors_detection_and_cap(spark):
     from themis_spark.operators.web import host_mirrors
 

@@ -50,6 +50,28 @@ def test_removal_keeps_one_canonical_occurrence(spark, corpus):
     assert out[6].clean_text == "r" and out[6].n_removed == 9
 
 
+def test_removal_preserves_original_casing(spark):
+    # hashing is case-insensitive (lowercased tokenization) but the
+    # reconstructed clean_text must keep the ORIGINAL casing — docs with
+    # no duplicated content pass through byte-identical modulo
+    # whitespace runs, and survivors of a cut keep their case
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps Over The Lazy Dog Daily"),
+         (2, "PRE the quick brown fox jumps over the lazy dog daily POST"),
+         (3, "Unique Mixed-Case Sentence With NO Duplicated Window Here OK")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.remove_duplicate_substrings(df, window=8).collect()}
+    # owner (doc 1) untouched, original casing intact
+    assert out[1].clean_text == "The Quick Brown Fox Jumps Over The Lazy Dog Daily"
+    # non-owner copy cut; surviving flanks keep THEIR casing
+    assert out[2].clean_text == "PRE POST"
+    # never-duplicated doc is byte-identical
+    assert out[3].clean_text == \
+        "Unique Mixed-Case Sentence With NO Duplicated Window Here OK"
+    assert out[3].n_removed == 0
+
+
 def test_spans_empty_when_no_duplication(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),

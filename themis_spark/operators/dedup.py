@@ -872,8 +872,13 @@ def remove_duplicate_substrings(df: DataFrame, key: str = "doc_id",
     window hash the occurrence with the smallest ``(key, pos)`` is the
     owner and survives; every other occurrence's token range is cut.
     Returns ``(key, clean_text, n_tokens, n_removed)`` for every input
-    row (documents with no duplicated content pass through unchanged;
-    cut points join the surviving tokens with single spaces).
+    row. ``clean_text`` is rebuilt from a CASE-PRESERVING whitespace
+    split — the surviving tokens keep their original casing; only
+    whitespace is normalized (runs collapse to single spaces, since the
+    kept tokens are re-joined with " "). Window hashing/ownership still
+    uses the lowercased tokenization (``tokens_col``): lowercasing never
+    changes whitespace, so token POSITIONS are identical between the
+    two splits and span indices transfer exactly.
 
     Cut semantics: removal ranges are the merged spans of NON-OWNER
     duplicated windows; a token inside both an owned and a non-owned
@@ -907,9 +912,12 @@ def remove_duplicate_substrings(df: DataFrame, key: str = "doc_id",
             F.col("span_end").alias("e"))).alias("__spans"))
 
     c = F.col(text)
+    # case-preserving split for RECONSTRUCTION: same delimiters as the
+    # lowercased hashing tokenization, so positions line up 1:1 while
+    # the output keeps the corpus's original casing
     toks = F.when(c.isNull() | (F.length(F.trim(c)) == 0),
                   F.array().cast("array<string>")) \
-            .otherwise(tokens_col(c))
+            .otherwise(F.split(F.trim(c), r"\s+"))
     # staged selects so the token array materializes once per row
     # (CollapseProject keeps the boundary for multiply-referenced
     # non-cheap arrays — the remove_common_lines trick)

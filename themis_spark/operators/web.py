@@ -507,10 +507,9 @@ def parse_robots(df: DataFrame, host: str = "host",
     ``User-agent`` lines share the rules that follow (a rule belongs to
     the nearest preceding user-agent block; blank/other lines do not
     close a block), agents lowercased, empty-path rules dropped (RFC
-    9309: an empty pattern matches nothing). ``*``/``$`` wildcards in
-    paths are a NON-goal — prefix matching only, like the original
-    1994 REP; swap the startswith in robots_verdicts for a regex
-    compile to add them.
+    9309: an empty pattern matches nothing). ``*``/``$`` wildcards are
+    kept verbatim in ``path_prefix`` — :func:`robots_verdicts` compiles
+    them to anchored regexes per RFC 9309 §2.2.3.
 
     Plan shape: line split + classification are scan-stage; block
     assignment is a lag + running-sum pair over ONE per-host sort
@@ -562,8 +561,24 @@ def robots_verdicts(df: DataFrame, rules: DataFrame, key: str = "url",
     Group selection follows REP: if a host has any rules for exactly
     ``agent`` (lowercased), ONLY those apply; otherwise the host's
     ``*`` rules apply; a host with neither allows everything. Among
-    matching rules the LONGEST path prefix wins; on a length tie,
-    allow wins (the Google tie-break). No matching rule = allowed.
+    matching rules the LONGEST rule pattern wins (RFC 9309 "most
+    octets", counted on the pattern as written, wildcards included); on
+    a length tie, allow wins (the Google tie-break). No matching rule =
+    allowed. Rules match against the PATH + QUERY of the URL (fragment
+    excluded) — RFC 9309 §2.2.2 / the Google matcher, which is what
+    makes ``Disallow: /*?sessionid=`` rules work. An empty URL path
+    (``https://example.com``) is ``/`` per RFC 3986 §6.2.3 — so
+    ``Disallow: /`` blocks root pages.
+
+    Wildcards (RFC 9309 §2.2.3): ``*`` in a rule matches any character
+    run (including ``/``); a trailing ``$`` anchors the rule at the end
+    of the path; a non-trailing ``$`` is a literal (the de-facto
+    interpretation of Google's matcher). Each wildcard rule compiles —
+    NATIVELY, inside the broadcast-side projection — to an anchored
+    Java regex (literals escaped, ``*``→``.*``), matched with
+    ``regexp_like``; wildcard-FREE rules (the overwhelming majority of
+    real robots lines) keep the cheap ``startswith`` path, so the
+    per-row regex compile only runs for rules that need it.
 
     Plan shape: the rules table is O(hosts) and enters via a broadcast
     equi-join on host (hinted); the page↔rule fan-out is each page's
@@ -573,13 +588,16 @@ def robots_verdicts(df: DataFrame, rules: DataFrame, key: str = "url",
     rule, and a left join re-attaches no-rule pages. The corpus rows
     cross exactly that one aggregation exchange and the final key join.
     """
+    raw_path = F.regexp_extract(
+        F.col(url), r"^(?i)[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     pages = df.select(
         F.col(key).alias("__k"),
         F.lower(F.regexp_extract(
             F.col(url), r"^(?i)[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
         .alias("host"),
-        F.regexp_extract(
-            F.col(url), r"^(?i)[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        # empty path -> '/', and a bare '?query' gets the implicit '/'
+        F.when(raw_path.startswith("/"), raw_path)
+        .otherwise(F.concat(F.lit("/"), raw_path))
         .alias("__path"))
     a = agent.lower()
     scoped = rules.select(
@@ -596,9 +614,25 @@ def robots_verdicts(df: DataFrame, rules: DataFrame, key: str = "url",
                (F.col("__sh").isNull() & (F.col("agent") == "*")))
         .select("host", "directive", "path_prefix")
     )
+    # RFC 9309 §2.2.3 wildcard compile (broadcast side, O(rules) rows):
+    # a trailing '$' anchors; every Java-regex special in the remaining
+    # pattern is escaped EXCEPT '*', which then becomes '.*'
+    p = F.col("path_prefix")
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(body, r"([\\^$.|?+()\[\]{}])", r"\\$1")
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    wild = p.contains("*") | anchored
+    applicable = applicable.select(
+        "host", "directive", "path_prefix", wild.alias("__wild"),
+        F.when(wild, rx).alias("__rx"))
+    matched = F.when(F.col("__wild"),
+                     F.regexp_like(F.col("__path"), F.col("__rx"))) \
+               .otherwise(F.col("__path").startswith(F.col("path_prefix")))
     hits = (
         pages.join(F.broadcast(applicable), "host")
-        .where(F.col("__path").startswith(F.col("path_prefix")))
+        .where(matched)
         .groupBy("__k")
         .agg(F.max(F.struct(
             F.length("path_prefix").alias("l"),
