@@ -701,6 +701,45 @@ def q_ann_cosine_topk(spark, sf):
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
 
 
+def _mixed_media(spark, sf, limit=60):
+    # mixed REAL payloads for the decode-backed metadata path:
+    # doc_id%3==0 baseline JPEG (decodable), ==1 a progressive SOF2
+    # header-only stream (dims readable from the frame header; full
+    # decode refuses — exactly what a real crawl's progressive JPEGs
+    # look like to this engine), ==2 PNG. Dims derive from doc_id
+    # formulas so the DuckDB oracle can state them independently.
+    import struct as _s
+
+    import numpy as np
+
+    from themis_spark.functions import imagecodec as IC
+    from themis_spark.functions import jpegcodec as JC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        if doc_id % 3 == 0:
+            img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+            payload = JC.encode_jpeg_baseline(img)
+        elif doc_id % 3 == 1:
+            seg = _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+            payload = (b"\xff\xd8\xff\xc2" + _s.pack(">H", len(seg) + 2)
+                       + seg + b"\xff\xd9")
+        else:
+            img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+            payload = IC.encode_png(img)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_meta_dims(spark, sf):
+    # REAL header decode (deterministic_fake=False): format + dims via
+    # the builtin codecs, incl. SOF2 progressive headers (jpeg_dims)
+    return M.extract_media_meta(
+        _mixed_media(spark, sf), deterministic_fake=False,
+        fields=("format", "width", "height", "n_frames"))
+
+
 def q_mm_meta(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -1687,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "stat_quantiles": q_stat_quantiles,
         "mm_meta": q_mm_meta,
+        "mm_meta_dims": q_mm_meta_dims,
         "mm_decode": q_mm_decode,
         "mm_resize": q_mm_resize,
         "web_url_features": q_web_url_features,
@@ -3582,6 +3622,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_partkey' AS column, rank, value::VARCHAR AS value, cnt
             FROM r WHERE rank <= 10""",
         "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
+        "mm_meta_dims": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 2 THEN 'png' ELSE 'jpeg' END AS format,
+              CAST(doc_id % 13 + 4 AS INT) AS width,
+              CAST(doc_id % 7 + 3 AS INT) AS height,
+              CAST(1 AS INT) AS n_frames
+            FROM range(60) t(doc_id)""",
         "mm_meta": """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                       sha256(text) AS sha FROM documents WHERE doc_id < 200""",
         "mm_decode": """

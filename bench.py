@@ -83,6 +83,8 @@ HEADLINE = [
     "dedup_substring_stats", "text_bigram", "web_snapshot_diff",
     "pipeline_incremental_validate", "web_host_graph",
     "web_robots_verdicts", "mm_decode_jpeg", "web_host_mirrors",
+    # round 4: decode-backed metadata incl. SOF2 progressive headers
+    "mm_meta_dims",
 ]
 
 

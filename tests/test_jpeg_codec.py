@@ -99,6 +99,63 @@ def test_structural_failures_are_loud():
         encode_jpeg_baseline(img, subsampling="422")
 
 
+def test_non_interleaved_multiscan_refused():
+    # a conformant baseline stream MAY carry one scan per component;
+    # the decoder reads only the first SOS, so it must refuse rather
+    # than return a grayscale-replicated Y plane as "the image"
+    import struct as _s
+    img = np.full((8, 8, 3), 42, dtype=np.uint8)
+    enc = bytes(encode_jpeg_baseline(img))
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    ln = _s.unpack(">H", enc[sos + 2:sos + 4])[0]
+    seg = enc[sos + 4:sos + 2 + ln]
+    ns = seg[0]
+    assert ns == 3
+    # rewrite the SOS header to claim a single-component scan (Y only);
+    # entropy bytes stay — the refusal fires before any entropy decode
+    new_seg = bytes([1]) + seg[1:3] + seg[1 + 2 * ns:]
+    new_sos = b"\xff\xda" + _s.pack(">H", len(new_seg) + 2) + new_seg
+    patched = enc[:sos] + new_sos + enc[sos + 2 + ln:]
+    with pytest.raises(UnsupportedImageError, match="non-interleaved"):
+        decode_jpeg_baseline(patched)
+
+
+def test_decode_bomb_guard():
+    # hostile SOF dims must raise BEFORE allocating MCU planes
+    import struct as _s
+    from themis_spark.functions import jpegcodec as JC
+    img = np.full((8, 8, 3), 42, dtype=np.uint8)
+    enc = bytes(encode_jpeg_baseline(img))
+    sof = enc.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) H(2) W(2) ... -> patch H and W
+    bomb = (enc[:sof + 5] + _s.pack(">HH", 65535, 65535)
+            + enc[sof + 9:])
+    with pytest.raises(UnsupportedImageError, match="MAX_PIXELS"):
+        decode_jpeg_baseline(bomb)
+    # but the header-only metadata path still reads the dims fine
+    assert JC.jpeg_dims(bomb) == (65535, 65535)
+
+
+def test_jpeg_dims_reads_every_sof_type():
+    # metadata must succeed on progressive/arithmetic streams the full
+    # decoder rejects (mm_meta over a real crawl hits SOF2 constantly)
+    import struct as _s
+    from themis_spark.functions import jpegcodec as JC
+
+    def header_only(marker: int, w: int, h: int) -> bytes:
+        seg = _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        return (b"\xff\xd8" + bytes([0xFF, marker])
+                + _s.pack(">H", len(seg) + 2) + seg + b"\xff\xd9")
+
+    for marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        assert JC.jpeg_dims(header_only(marker, 123, 45)) == (123, 45)
+    # SOF2 payload through the Arrow metadata path end-to-end is
+    # covered by the mm_meta_dims oracle query
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg_baseline(header_only(0xC2, 123, 45))
+
+
 def test_idct_matches_direct_definition():
     # the codec's matrix IDCT vs the textbook O(n^4) DCT-III sum
     import math

@@ -5,8 +5,12 @@ Common-Crawl multimodal pipeline actually meets: JFIF **baseline
 sequential DCT** (SOF0) — generic Huffman tables from DHT, 8/16-bit
 DQT, arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 by
 pixel-replication upsampling), restart intervals, byte unstuffing,
-1- or 3-component scans. Progressive (SOF2) and arithmetic coding are
-explicit non-goals and fail loudly.
+1- or 3-component INTERLEAVED scans. Progressive (SOF2), arithmetic
+coding, and non-interleaved multi-scan layouts are explicit non-goals
+and fail loudly (``jpeg_dims`` still reads every SOFn header, so the
+metadata path works on streams the decoder rejects). ``MAX_PIXELS``
+guards against decode bombs: hostile SOF dims in untrusted crawl bytes
+raise before any plane allocation.
 
 An encoder is included for the same reason the PNG/PPM codecs have one:
 the container has no image library, so tests are round-trips plus
@@ -33,6 +37,12 @@ import struct
 import numpy as np
 
 from themis_spark.functions.imagecodec import UnsupportedImageError
+
+#: decode-bomb ceiling (pixels) — same posture as Pillow's
+#: MAX_IMAGE_PIXELS: 64 MPix of float64 planes is ~1.5 GB peak, the
+#: most an executor task should ever spend on one crawl image. Checked
+#: BEFORE plane allocation so a hostile 65535x65535 header cannot OOM.
+MAX_PIXELS = 64_000_000
 
 # ------------------------------------------------------------ constants
 
@@ -337,11 +347,21 @@ def encode_jpeg_baseline(img: np.ndarray,
 # ------------------------------------------------------------ decoder
 
 
+# every SOFn frame marker (T.81 table B.1): baseline C0, extended C1,
+# progressive C2, lossless C3, differential C5-C7, arithmetic C9-CB,
+# differential-arithmetic CD-CF (C4=DHT, C8=JPG, CC=DAC are NOT frames)
+_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC))
+
+
 def jpeg_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) from the SOF header — no entropy decode, the
-    metadata fast path."""
+    metadata fast path. Reads EVERY SOFn frame type (progressive SOF2,
+    arithmetic SOF9... included): metadata extraction must succeed on
+    streams the full decoder rejects, so ``mm_meta`` works across a
+    real crawl while ``decode_jpeg_baseline`` keeps failing loudly."""
     for marker, seg, _ in _segments(payload):
-        if marker in (0xC0, 0xC1, 0xC2):
+        if marker in _SOF_MARKERS:
             _, h, w = struct.unpack(">BHH", seg[:5])
             return (w, h)
     raise UnsupportedImageError("jpeg: no SOF marker found")
@@ -427,6 +447,22 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
             data_pos = nxt
     if data_pos < 0 or not scan:
         raise UnsupportedImageError("jpeg: no scan found")
+    if len(scan) < len(comps):
+        # conformant baseline MAY ship one scan per component
+        # (non-interleaved); _segments stops at the first SOS, so
+        # decoding would silently return just the first scan's plane —
+        # refuse loudly instead of returning wrong pixels
+        raise UnsupportedImageError(
+            "jpeg: non-interleaved multi-scan baseline unsupported "
+            f"(first scan covers {len(scan)}/{len(comps)} components)")
+    if H * W > MAX_PIXELS:
+        # decode-bomb guard: SOF dims are attacker-controlled in crawl
+        # bytes (65535x65535 would allocate ~34 GB of planes before any
+        # entropy data is validated); same posture as Pillow's
+        # MAX_IMAGE_PIXELS — raise before allocating
+        raise UnsupportedImageError(
+            f"jpeg: {W}x{H} exceeds MAX_PIXELS={MAX_PIXELS} "
+            "(decode-bomb guard; raise jpegcodec.MAX_PIXELS to override)")
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
