@@ -468,10 +468,34 @@ def q_con_ref(spark, sf):
     )
 
 
+def _urlish(spark, sf):
+    # mostly-unique url-like string key (the regime duplicate_keys_hashed
+    # targets: long strings, ~1% duplicate rate — every 97th doc collides
+    # on one planted canonical url)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.when(F.col("doc_id") % 97 == 0,
+               F.lit("https://dup.example.com/p/0"))
+        .otherwise(F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string")))
+        .alias("url"))
+
+
 def q_con_unique_hashed(spark, sf):
     # hash-compressed two-stage uniqueness (8-byte shuffle rows + exact
-    # re-count over the broadcast candidate set) — identical output
-    return C.duplicate_keys_hashed(_t(spark, sf, "events"), "user_id").select(
+    # re-count over the broadcast candidate set) on the MOSTLY-UNIQUE
+    # url regime its contract targets (the r3 bench ran it on the
+    # dup-heavy events table, the variant's own anti-recommendation)
+    return C.duplicate_keys_hashed(_urlish(spark, sf), "url").select(
+        "url", "cnt"
+    )
+
+
+def q_con_unique_auto(spark, sf):
+    # probe-and-pick: HLL dup-rate probe routes the dup-heavy events
+    # table to the grouped plan (plan shape asserted in pytest)
+    return C.duplicate_keys_auto(_t(spark, sf, "events"), "user_id").select(
         "user_id", "cnt"
     )
 
@@ -1699,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "con_unique": q_con_unique,
         "con_unique_salted": q_con_unique_salted,
         "con_unique_hashed": q_con_unique_hashed,
+        "con_unique_auto": q_con_unique_auto,
         "con_ref": q_con_ref,
         "con_dup_window": q_con_dup_window,
         "con_text_invariant": q_con_text_invariant,
@@ -3487,8 +3512,16 @@ def oracle_sql() -> dict[str, str]:
                          GROUP BY user_id HAVING count(*) > 1""",
         "con_unique_salted": """SELECT user_id, count(*) AS cnt FROM events
                                 GROUP BY user_id HAVING count(*) > 1""",
-        "con_unique_hashed": """SELECT user_id, count(*) AS cnt FROM events
-                                GROUP BY user_id HAVING count(*) > 1""",
+        "con_unique_hashed": """
+            WITH u AS (SELECT CASE WHEN doc_id % 97 = 0
+                         THEN 'https://dup.example.com/p/0'
+                         ELSE 'https://h' || (doc_id % 40)::VARCHAR
+                              || '.example.com/p/' || doc_id::VARCHAR
+                       END AS url FROM documents)
+            SELECT url, count(*) AS cnt FROM u
+            GROUP BY url HAVING count(*) > 1""",
+        "con_unique_auto": """SELECT user_id, count(*) AS cnt FROM events
+                              GROUP BY user_id HAVING count(*) > 1""",
         "con_text_invariant": """
             SELECT CAST(doc_id AS VARCHAR) AS url, '0' AS partition_id,
                    'r0' AS run_id, 'text_invariant' AS keyword,

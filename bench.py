@@ -83,8 +83,10 @@ HEADLINE = [
     "dedup_substring_stats", "text_bigram", "web_snapshot_diff",
     "pipeline_incremental_validate", "web_host_graph",
     "web_robots_verdicts", "mm_decode_jpeg", "web_host_mirrors",
-    # round 4: decode-backed metadata incl. SOF2 progressive headers
-    "mm_meta_dims",
+    # round 4: decode-backed metadata incl. SOF2 progressive headers,
+    # probe-and-pick uniqueness on the dup-heavy table (con_unique_hashed
+    # now runs on the mostly-unique url regime its contract targets)
+    "mm_meta_dims", "con_unique_auto", "ann_semdedup_keep",
 ]
 
 

@@ -162,6 +162,30 @@ def test_hashed_uniqueness_shuffles_hashes_not_keys(spark, pages_table):
     assert a == b and a  # pages generator plants dup urls
 
 
+def test_auto_uniqueness_picks_variant_by_dup_rate(spark):
+    """duplicate_keys_auto routes by the HLL dup-rate probe: a mostly-
+    unique key gets the hash-compressed two-stage plan, a dup-heavy key
+    the plain grouped plan — the decision rule duplicate_keys_hashed's
+    docstring states, executed (the r3 bench ran the hashed variant on
+    a dup-heavy table, its own anti-recommendation)."""
+    uniq = spark.range(2000).select(
+        F.concat(F.lit("https://u"), F.col("id").cast("string")).alias("k"))
+    heavy = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("k"))
+
+    p_uniq = _plan(C.duplicate_keys_auto(uniq, "k"))
+    assert "xxhash64" in p_uniq and "LeftSemi" in p_uniq
+
+    p_heavy = _plan(C.duplicate_keys_auto(heavy, "k"))
+    assert "xxhash64" not in p_heavy and "LeftSemi" not in p_heavy
+
+    # identical output contract either way
+    got = {(r.k, r.cnt) for r in C.duplicate_keys_auto(heavy, "k").collect()}
+    exp = {(str(i), 2000 // 7 + (1 if i < 2000 % 7 else 0)) for i in range(7)}
+    assert got == exp
+    assert C.duplicate_keys_auto(uniq, "k").count() == 0
+
+
 def test_new_keyword_queries_compile_pure_native(spark):
     """The round-2 oracle queries for $ref/format/tuple-items, allOf/
     items-schema/dependencies, and map property-count keywords must stay

@@ -92,6 +92,38 @@ def duplicate_keys_hashed(df: DataFrame, key: str,
     )
 
 
+def duplicate_keys_auto(df: DataFrame, key: str,
+                        hashed_max_dup_rate: float = 0.10,
+                        salt_buckets: int = 64) -> DataFrame:
+    """Probe-and-pick uniqueness plan — the decision rule from
+    :func:`duplicate_keys_hashed`'s docstring, executed instead of
+    documented: ONE map-side-combined probe agg over the column-pruned
+    key (count + HLL approx distinct, a single 1-row collect) estimates
+    the duplicate rate, then
+
+    * dup_rate <= ``hashed_max_dup_rate`` → the hash-compressed
+      two-stage plan (mostly-unique regime: 8-byte shuffle rows beat
+      shuffling every key string, candidates broadcast);
+    * otherwise → the plain grouped plan (dup-heavy regime: map-side
+      combine already collapses the exchange; a second pass would only
+      add cost).
+
+    The probe is one extra scan of ONE column — at the 10¹²-row scale
+    the wrong variant costs 2× on the big exchange, the probe costs a
+    pruned-column read; cache the choice per (table, key) upstream if
+    even that matters. Output is identical either way (both variants
+    return exact (key, cnt>1) rows).
+    """
+    row = df.agg(
+        F.count(key).alias("n"),
+        F.approx_count_distinct(key).alias("d")).collect()[0]
+    n, d = row["n"], row["d"]
+    dup_rate = 0.0 if not n else max(0.0, 1.0 - d / n)
+    if dup_rate <= hashed_max_dup_rate:
+        return duplicate_keys_hashed(df, key)
+    return duplicate_keys(df, key)
+
+
 def duplicate_examples(df: DataFrame, key: str, n_examples: int = 3,
                        salt_buckets: int = 64) -> DataFrame:
     """Duplicate keys with example payloads — the case where salting
