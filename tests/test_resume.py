@@ -46,7 +46,9 @@ def test_kill_and_resume(spark, tmpdir_path):
         b = spark.read.parquet(f"{tmpdir_path}/full/{out}")
         # sketch bytes are merge-order-dependent; `batch` is layout
         # metadata and legitimately differs between batch splits
-        drop = {"metrics": ["hll_sketch"], "violations": ["batch"]}.get(out, [])
+        drop = {"metrics": ["hll_sketch", "batch"],
+                "violations": ["batch"],
+                "verdicts": ["batch"]}.get(out, [])
         a, b = a.drop(*drop), b.drop(*drop)
         assert a.count() == b.count(), out
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, out
