@@ -1,0 +1,179 @@
+"""Regex dialect-triage quantification over a real-world pattern corpus.
+
+Round-3 verdict ("What's missing" #4): the ECMA-262 / Java / Python
+semantic gaps behind plans/regex_triage.py were documented but never
+QUANTIFIED against patterns users actually put in schemas. This corpus
+is drawn from the pattern idioms of widely-published JSON Schemas (API
+specs, config validators, the semver.org / RFC regexes): dates, emails,
+UUIDs, semver (ECMA named groups), IPv4, E.164, slugs, ISO-8601
+durations (lookahead), password rules (multiple lookaheads), backrefs,
+inline flags, unicode escapes.
+
+Three properties are asserted:
+
+1. COVERAGE — at least 80% of the corpus routes to the NATIVE path
+   (the whole point of the triage: the Arrow fallback is the slow
+   exception, not the rule).
+2. SAFETY — every native-routed pattern agrees with the Python
+   ground truth (``re.search`` over ``python_pattern``'s translation)
+   on every probe string, evaluated against the REAL Java engine
+   (java.util.regex via the driver JVM, ``find()`` = rlike semantics).
+   Zero divergence: triage may only send a pattern native when the two
+   dialects agree on it.
+3. LOUDNESS — patterns neither dialect-safe nor Python-compilable
+   (e.g. ``\\p{L}``, valid ECMA-with-/u and Java but not Python ``re``)
+   fail the schema compile with an exception, never a silent verdict.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from themis_spark.plans.regex_triage import java_safe_pattern, python_pattern
+
+# (pattern, expected_route) — route is 'native', 'arrow', or None
+# (= don't assert the route, only the safety property if it goes native)
+CORPUS = [
+    # --- anchored identifiers / tokens
+    (r"^[a-zA-Z0-9]+$", "native"),
+    (r"^[a-z0-9]+(?:-[a-z0-9]+)*$", "native"),          # slug
+    (r"^[A-Za-z_][A-Za-z0-9_]*$", "native"),            # identifier
+    (r"^.{1,255}$", "native"),
+    (r"^\S+$", "native"),
+    # --- dates / times
+    (r"^\d{4}-\d{2}-\d{2}$", "native"),
+    (r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$",
+     "native"),
+    (r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+S)?)?$",
+     "native"),                                          # ISO-8601 duration
+    # --- net / identifiers
+    (r"^[^@\s]+@[^@\s]+\.[^@\s]+$", "native"),           # email
+    (r"^(?:[0-9]{1,3}\.){3}[0-9]{1,3}$", "native"),      # loose ipv4
+    (r"^(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+     r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$", "native"),  # strict ipv4
+    (r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
+     "native"),                                          # uuid
+    (r"^\+?[1-9]\d{1,14}$", "native"),                   # E.164
+    (r"^(https?|wss?|ftp)://", "native"),
+    (r"^#([A-Fa-f0-9]{6}|[A-Fa-f0-9]{3})$", "native"),   # hex color
+    # --- lookaheads (password-style rules)
+    (r"^(?=.*[A-Z])(?=.*[a-z])(?=.*\d).{8,}$", "native"),
+    # --- class shorthands ((?U) alignment) + word boundary
+    (r"^\w+$", "native"),
+    (r"\bfoo\b", "native"),
+    (r"^\d+(\.\d+)?$", "native"),
+    # --- backrefs, numeric and ECMA-named
+    (r"^(\w+) \1$", "native"),
+    # semver.org's ECMA-named-group form (Java-native spelling;
+    # python_pattern translates for the ground truth)
+    (r"^(?<major>0|[1-9]\d*)\.(?<minor>0|[1-9]\d*)\.(?<patch>0|[1-9]\d*)"
+     r"(?:-(?<prerelease>[0-9A-Za-z.-]+))?(?:\+(?<build>[0-9A-Za-z.-]+))?$",
+     "native"),
+    (r"^(?<tag>[a-z]+): \k<tag>$", "native"),            # named backref
+    # --- unicode escapes / CJK ranges
+    (r"^[\u4e00-\u9fa5]+$", "native"),
+    # --- windows path (escaped backslash)
+    (r"^[a-zA-Z]:\\\\", None),
+    # --- Python-spelling named groups: must take the Arrow path
+    (r"^(?P<y>\d{4})-(?P=y)$", "arrow"),
+    (r"(?#comment)abc", "arrow"),
+    (r"\A[0-9]+\Z", "arrow"),
+]
+
+# probe battery: generic strings exercising anchors, unicode classes,
+# multiline-ish content, digits in other scripts, long inputs
+PROBES = [
+    "", "abc", "ABC-123", "hello_world-42", "a" * 300,
+    "2024-01-31", "2024-1-3", "2024-02-29T23:59:59Z",
+    "2024-02-29T23:59:59.123+05:30", "P3Y6M4DT12H30M5S", "P", "PT5S",
+    "user@example.com", "not an email", "user@@x.com",
+    "192.168.0.1", "999.999.999.999", "256.1.1.1",
+    "550e8400-e29b-41d4-a716-446655440000", "#ff00AA", "#zzz",
+    "+14155552671", "0123", "v1.2.3", "1.2.3", "1.2.3-alpha.1+b7",
+    "foo bar", "xfoox", "foo foo", "tag: tag", "tag: other",
+    "Secret123", "secret123", "héllo wörld", "ñ123", "\u4f60\u597d",
+    "\u0661\u0662\u0663", "C:\\temp", "  spaced  ", "line\nbreak",
+    "Ω≈ç√", "tab\tsep", "https://x.example/a?b=1",
+]
+
+
+def _java_find(spark, pattern: str, s: str) -> bool:
+    jp = spark._jvm.java.util.regex.Pattern.compile(pattern)  # noqa: SLF001
+    return bool(jp.matcher(s).find())
+
+
+def test_corpus_coverage_and_routes(spark):
+    routed_native = 0
+    for pat, route in CORPUS:
+        jp = java_safe_pattern(pat)
+        if route == "native":
+            assert jp is not None, f"expected native: {pat!r}"
+        elif route == "arrow":
+            assert jp is None, f"expected arrow: {pat!r}"
+        if jp is not None:
+            routed_native += 1
+    frac = routed_native / len(CORPUS)
+    assert frac >= 0.80, f"native coverage {frac:.0%} of {len(CORPUS)}"
+
+
+def test_native_routed_patterns_agree_with_ground_truth(spark):
+    """SAFETY: for every pattern the triage sends native, Java find()
+    and Python re.search agree on every probe — a triage false-accept
+    would be a silently wrong verdict at 10^12 rows."""
+    divergences = []
+    for pat, _ in CORPUS:
+        jp = java_safe_pattern(pat)
+        if jp is None:
+            continue
+        rx = re.compile(python_pattern(pat))
+        for s in PROBES:
+            py = bool(rx.search(s))
+            jv = _java_find(spark, jp, s)
+            if py != jv:
+                divergences.append((pat, s, py, jv))
+    assert not divergences, divergences
+
+
+def test_ecma_named_groups_validate_end_to_end(spark):
+    """The ECMA named-group spelling (Java-native, Python-hostile) must
+    work through the REAL pattern keyword on both compile paths."""
+    from pyspark.sql import functions as F
+
+    from themis_spark import compile_plan
+
+    schema = {
+        "id": "sv", "type": "object",
+        "properties": {"ver": {
+            "type": "string",
+            "pattern": r"^(?<major>0|[1-9]\d*)\.(?<minor>\d+)\.(?<patch>\d+)$",
+        }},
+    }
+    df = spark.createDataFrame(
+        [("1.2.3",), ("0.0.1",), ("01.2.3",), ("x.y.z",), (None,)],
+        "ver string")
+    plan = compile_plan(schema, df.schema)
+    bad = (df.select(F.explode(plan.violations_col()).alias("v"))
+             .where(F.col("v.keyword") == "pattern").count())
+    assert bad == 2  # 01.2.3 (leading zero) and x.y.z
+    # and the plan stayed native: no Arrow spec for this pattern
+    assert not plan.arrow_specs, plan.arrow_specs
+
+
+def test_non_python_compilable_pattern_fails_loudly(spark):
+    """\\p{L} is valid ECMA (/u) and Java but not Python re: neither
+    path can take it with a Python ground truth — the compile must
+    raise, never silently skip the keyword."""
+    from themis_spark import compile_plan
+    from themis_spark.plans.pyvalidator import compile_python_validator
+
+    schema = {"id": "pl", "type": "object",
+              "properties": {"name": {"type": "string",
+                                      "pattern": r"^\p{L}+$"}}}
+    df = spark.createDataFrame([("abc",)], "name string")
+    with pytest.raises(Exception):
+        plan = compile_plan(schema, df.schema)
+        # if the native compile deferred it to Arrow, the Python
+        # ground-truth compile is where it must blow up
+        compile_python_validator(schema)

@@ -52,7 +52,7 @@ from themis_spark.plans.pyvalidator import (
     PyValidator,
     compile_python_validator,
 )
-from themis_spark.plans.regex_triage import java_safe_pattern
+from themis_spark.plans.regex_triage import java_safe_pattern, python_pattern
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
@@ -818,7 +818,7 @@ def _compile_struct(col, node, dt: T.StructType, spath, ipath, colname,
                                 colname, reg, base, stack))
     for rx, psub in pat_props.items():
         try:
-            crx = re.compile(rx)
+            crx = re.compile(python_pattern(rx))
         except re.error as exc:
             raise _NotNative(f"bad patternProperties regex {rx!r}") from exc
         for k in fields:
@@ -829,7 +829,7 @@ def _compile_struct(col, node, dt: T.StructType, spath, ipath, colname,
 
     addl = node.get("additionalProperties", True)
     declared = set(props)
-    pat_res = [re.compile(rx) for rx in pat_props]
+    pat_res = [re.compile(python_pattern(rx)) for rx in pat_props]
     if addl is not True:
         for k in fields:
             if k in declared or any(crx.search(k) for crx in pat_res):
@@ -1153,7 +1153,7 @@ def _compile_object_level(node: dict, spath: str, plan: CompiledPlan,
     # patternProperties at root: compile-time name matching over columns
     for rx, psub in (node.get("patternProperties") or {}).items():
         try:
-            crx = re.compile(rx)
+            crx = re.compile(python_pattern(rx))
         except re.error as exc:
             raise UnsupportedSchemaError(f"bad root patternProperties {rx!r}") from exc
         for name in fields:
@@ -1167,7 +1167,8 @@ def _compile_object_level(node: dict, spath: str, plan: CompiledPlan,
     # they must be NULL for additionalProperties=false rows to validate)
     addl = node.get("additionalProperties", True)
     if addl is not True:
-        pat_res = [re.compile(rx) for rx in (node.get("patternProperties") or {})]
+        pat_res = [re.compile(python_pattern(rx))
+                   for rx in (node.get("patternProperties") or {})]
         for name in fields:
             if name in props or any(crx.search(name) for crx in pat_res):
                 continue

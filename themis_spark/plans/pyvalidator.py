@@ -27,6 +27,7 @@ from decimal import Decimal, InvalidOperation
 from typing import Any, Callable, NamedTuple
 
 from themis_spark.plans.parser import SchemaRegistry, parse_schema
+from themis_spark.plans.regex_triage import python_pattern
 
 
 class Violation(NamedTuple):
@@ -314,8 +315,9 @@ def compile_python_validator(
             add(lambda value, ipath, out, n=n, p=p: out.append(Violation("minLength", ipath, p))
                 if isinstance(value, str) and len(value) < n else None)
         if "pattern" in node:
-            # ECMA-262 'search' semantics: unanchored — re.search
-            rx = re.compile(node["pattern"])
+            # ECMA-262 'search' semantics: unanchored — re.search;
+            # python_pattern translates ECMA named groups/backrefs
+            rx = re.compile(python_pattern(node["pattern"]))
             p = f"{spath}/pattern"
             add(lambda value, ipath, out, rx=rx, p=p: out.append(Violation("pattern", ipath, p))
                 if isinstance(value, str) and not rx.search(value) else None)
@@ -422,7 +424,8 @@ def compile_python_validator(
                 for k, s in (props or {}).items()
             }
             pat_subs = [
-                (re.compile(rx), compile_node(s, f"{spath}/patternProperties/{rx}", base_uri))
+                (re.compile(python_pattern(rx)),
+                 compile_node(s, f"{spath}/patternProperties/{rx}", base_uri))
                 for rx, s in (pat_props or {}).items()
             ]
             addl_sub = (

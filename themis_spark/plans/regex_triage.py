@@ -32,6 +32,23 @@ _PY_ONLY_TOKENS = ("(?P<", "(?P=", "(?#", r"\A", r"\Z")
 # pattern with (?U) (UNICODE_CHARACTER_CLASS) aligns them with Python re.
 _CLASS_SHORTHAND = re.compile(r"\\[dwbsDWBS]")
 
+# ECMA-262 named groups `(?<name>...)` and backrefs `\k<name>`: Java
+# accepts the ECMA spelling natively; Python `re` requires `(?P<name>`
+# / `(?P=name)`. The `[A-Za-z_]` first char keeps lookbehinds `(?<=`
+# `(?<!` out of the match.
+_ECMA_NAMED_GROUP = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
+_ECMA_NAMED_BACKREF = re.compile(r"\\k<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def python_pattern(pattern: str) -> str:
+    """Python-``re`` form of an ECMA-262 schema pattern: translates the
+    ECMA named-group/backref spellings Python rejects. Every Python
+    compile site of a schema ``pattern`` (the Arrow ground-truth path,
+    patternProperties key matching) must go through this, or a
+    conformant schema like ``(?<y>\\d{4})-\\k<y>`` fails to compile."""
+    out = _ECMA_NAMED_GROUP.sub(r"(?P<\1>", pattern)
+    return _ECMA_NAMED_BACKREF.sub(r"(?P=\1)", out)
+
 
 def _jvm_pattern_compiles(pattern: str) -> bool | None:
     """Driver-side java.util.regex.Pattern.compile probe. Returns None
@@ -59,7 +76,10 @@ def java_safe_pattern(pattern: str) -> str | None:
     if any(tok in pattern for tok in _PY_ONLY_TOKENS):
         return None
     try:
-        re.compile(pattern)  # ground truth must accept it too
+        # ground truth must accept it too — in ITS dialect: the Python
+        # side compiles the ECMA→Python translation, so ECMA named
+        # groups (Java-native spelling) stay on the native path
+        re.compile(python_pattern(pattern))
     except re.error:
         return None
     out = pattern
