@@ -143,6 +143,20 @@ def _sweep_one(master: str) -> dict:
                 return lambda: df.select(
                     F.sum(F.length("text")), F.sum(F.length("url"))
                 ).collect()
+            if name == "i3_constraints":
+                # the engine's constraints stage in isolation (round-4:
+                # stage efficiencies 0.742/0.672 straddle the bare-scan
+                # ceiling 0.734 — this probe pins each stage against it)
+                from themis_spark.operators import constraints as C
+
+                def go_c():
+                    C.duplicate_keys_hashed(df, "url").count()
+                return go_c
+            if name == "i4_stats":
+                def go_s():
+                    column_stats(df, ["url", "text", "lang", "warc_ts"],
+                                 "part_id", [], "a").collect()
+                return go_s
             plan = plans[name]
             ann = V.annotate(df, plan, keep=["url", "part_id"],
                              defer_residual=True)
@@ -158,7 +172,8 @@ def _sweep_one(master: str) -> dict:
             return go
 
         out = {}
-        for name in ("i0_scan", "i1_kernel", "i2_heavy"):
+        for name in ("i0_scan", "i1_kernel", "i2_heavy",
+                     "i3_constraints", "i4_stats"):
             fn = run_intensity(name)
             fn()  # warm: JIT/codegen/python daemons outside the window
             times = []
