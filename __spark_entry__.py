@@ -694,6 +694,37 @@ def q_mm_decode_jpeg(spark, sf):
                       "out_w", "out_h", "src_format")
 
 
+def _jpeg_progressive_media(spark, sf, limit=48):
+    # progressive (SOF2) payloads in the same exactly-lossless regime
+    # as _jpeg_media: constant fill + all-ones quant tables, so decoded
+    # pixels replay from the fill formula. The scan scripts rotate
+    # through successive-approximation (default), spectral-selection-
+    # only, and restart-marker variants so every Annex-G decode path
+    # (DC/AC first + refinement, EOB runs, RST resync) runs under Spark.
+    import numpy as np
+
+    from themis_spark.functions import jpegprogressive as JP
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+        payload = JP.encode_jpeg_progressive(
+            img, subsampling="420" if doc_id % 2 else "444",
+            scans=(JP.spectral_only_script(3) if doc_id % 4 == 1 else None),
+            restart_interval=2 if doc_id % 3 == 0 else 0)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_decode_jpeg_prog(spark, sf):
+    # progressive JPEG (T.81 Annex G: successive approximation + EOB
+    # runs) → resize → P6 re-encode; sha replays from the fill formula
+    out = M.resize_images(_jpeg_progressive_media(spark, sf), target=(5, 4))
+    return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
+                      "out_w", "out_h", "src_format")
+
+
 def q_mm_decode_png(spark, sf):
     # PNG (zlib inflate + scanline unfilter) → resize → P6 re-encode:
     # the pixel sha replays bit-exactly from the fill formula
@@ -1809,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_join": q_text_classifier_join,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_decode_jpeg_prog": q_mm_decode_jpeg_prog,
         "pipeline_curate": q_pipeline_curate,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_removed": q_dedup_substring_removed,
@@ -3684,6 +3716,13 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_jpeg": """
             WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
                        FROM documents WHERE doc_id < 64)
+            SELECT doc_id,
+                   sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
+                          || repeat(c, 60)) AS resized_sha,
+                   5 AS out_w, 4 AS out_h, 'jpeg' AS src_format FROM t""",
+        "mm_decode_jpeg_prog": """
+            WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 48)
             SELECT doc_id,
                    sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
                           || repeat(c, 60)) AS resized_sha,

@@ -87,6 +87,8 @@ HEADLINE = [
     # probe-and-pick uniqueness on the dup-heavy table (con_unique_hashed
     # now runs on the mostly-unique url regime its contract targets)
     "mm_meta_dims", "con_unique_auto", "ann_semdedup_keep",
+    # round 4: progressive (SOF2) decode kernel
+    "mm_decode_jpeg_prog",
 ]
 
 

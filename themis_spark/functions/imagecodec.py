@@ -296,7 +296,7 @@ def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """Decode any builtin-supported still image → (format, (h,w,3) array).
     Raises ``UnsupportedImageError`` for formats needing external libs
-    (WebP; progressive JPEG)."""
+    (WebP; arithmetic/lossless JPEG)."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return "ppm", decode_ppm(payload)
@@ -305,9 +305,9 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     if fmt == "png":
         return "png", decode_png(payload)
     if fmt == "jpeg":
-        from themis_spark.functions.jpegcodec import decode_jpeg_baseline
+        from themis_spark.functions.jpegcodec import decode_jpeg
 
-        return "jpeg", decode_jpeg_baseline(payload)
+        return "jpeg", decode_jpeg(payload)
     raise UnsupportedImageError(f"builtin codecs cannot decode format={fmt!r}")
 
 

@@ -5,10 +5,12 @@ Common-Crawl multimodal pipeline actually meets: JFIF **baseline
 sequential DCT** (SOF0) — generic Huffman tables from DHT, 8/16-bit
 DQT, arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 by
 pixel-replication upsampling), restart intervals, byte unstuffing,
-1- or 3-component INTERLEAVED scans. Progressive (SOF2), arithmetic
-coding, and non-interleaved multi-scan layouts are explicit non-goals
+1- or 3-component INTERLEAVED scans. Progressive (SOF2) streams decode
+via :mod:`themis_spark.functions.jpegprogressive` (``decode_jpeg``
+dispatches on the frame marker); arithmetic coding, lossless, and
+non-interleaved multi-scan BASELINE layouts remain explicit non-goals
 and fail loudly (``jpeg_dims`` still reads every SOFn header, so the
-metadata path works on streams the decoder rejects). ``MAX_PIXELS``
+metadata path works on streams the decoders reject). ``MAX_PIXELS``
 guards against decode bombs: hostile SOF dims in untrusted crawl bytes
 raise before any plane allocation.
 
@@ -386,6 +388,26 @@ def _segments(payload: bytes):
         if marker == 0xDA:  # SOS: entropy data follows, caller takes over
             return
         pos += 2 + ln
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode any supported JFIF stream → ``(h, w, 3)`` uint8 RGB,
+    dispatching on the frame type: SOF0/SOF1 → the baseline-sequential
+    decoder below, SOF2 → the progressive decoder
+    (:mod:`themis_spark.functions.jpegprogressive`). Everything else
+    (lossless, arithmetic, hierarchical) still fails loudly."""
+    for marker, _seg, _ in _segments(payload):
+        if marker in _SOF_MARKERS:
+            if marker in (0xC0, 0xC1):
+                return decode_jpeg_baseline(payload)
+            if marker == 0xC2:
+                from themis_spark.functions.jpegprogressive import (
+                    decode_jpeg_progressive)
+                return decode_jpeg_progressive(payload)
+            raise UnsupportedImageError(
+                f"jpeg: frame type SOF{marker - 0xC0} unsupported "
+                "(baseline sequential and progressive-Huffman only)")
+    raise UnsupportedImageError("jpeg: no SOF marker found")
 
 
 def decode_jpeg_baseline(payload: bytes) -> np.ndarray:

@@ -67,7 +67,8 @@ def _decode_real(payload: bytes) -> tuple:
     if not _HAS_PIL:
         raise NotImplementedError(
             f"decode of format={fmt!r} requires Pillow (builtin codecs cover "
-            "ppm/bmp/png/jpeg(baseline)/ppmv); install PIL on the cluster or "
+            "ppm/bmp/png/jpeg(baseline+progressive)/ppmv); install PIL on "
+            "the cluster or "
             "use deterministic_fake=True for plumbing tests"
         )
     import io
