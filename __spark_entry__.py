@@ -1557,6 +1557,47 @@ def q_text_bigram(spark, sf):
     return X.bigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_text_script(spark, sf):
+    # per-script char counts + dominant script; the corpus is Latin, so
+    # plant deterministic Cyrillic/CJK/Arabic suffixes on residue rows
+    # to exercise every range and the tie/zero ('und') branches
+    d = _t(spark, sf, "documents")
+    extra = (F.when(F.col("doc_id") % 11 == 0, F.lit(" привет мир"))
+             .when(F.col("doc_id") % 11 == 1, F.lit(" 训练数据管道"))
+             .when(F.col("doc_id") % 11 == 2, F.lit(" بيانات التدريب"))
+             .when(F.col("doc_id") % 11 == 3, F.lit("데이터 파이프라인"))
+             .otherwise(F.lit("")))
+    mixed = d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+    return X.script_profile(mixed)
+
+
+def q_text_chunks(spark, sf):
+    # context-window layout: 32-token chunks, stride 24 (8-token overlap)
+    return X.chunk_spans(_t(spark, sf, "documents"), size=32, stride=24)
+
+
+# page synthesis for the main-content oracle: nav (pure links), an h1
+# (kept), the doc text in <p> (kept when >= 3 words), an ad div (link-
+# dense — dropped) and a short footer (dropped); script/style subtrees
+# carry decoy markup that must not leak into blocks
+_MC_PRE = ('<html><head><script>var a="<p>x</p>";</script>'
+           '<style>p{color:red}</style></head>'
+           '<body><nav><a href="/">Home</a> <a href="/about">About</a>'
+           ' <a href="/c">Contact</a></nav>'
+           '<h1>Page title words here</h1><p>')
+_MC_POST = ('</p><div class="ads"><a href="s">click</a>'
+            ' <a href="t">win now</a></div>'
+            '<footer>copyright foo</footer></body></html>')
+
+
+def q_text_main_content(spark, sf):
+    # jusText-lite boilerplate removal, end to end on synthesized pages
+    d = _t(spark, sf, "documents")
+    html = F.encode(
+        F.concat(F.lit(_MC_PRE), F.col("text"), F.lit(_MC_POST)), "UTF-8")
+    return X.main_content(d.select("doc_id", html.alias("html")))
+
+
 def q_web_host_graph(spark, sf):
     # pages with synthesized markup: two absolute outlinks at
     # deterministic host residues, one relative href (dropped — no
@@ -1856,6 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_incremental_validate": q_pipeline_incremental_validate,
         "web_robots_verdicts": q_web_robots_verdicts,
         "web_host_mirrors": q_web_host_mirrors,
+        "text_script": q_text_script,
+        "text_chunks": q_text_chunks,
+        "text_main_content": q_text_main_content,
     }
 
 
@@ -3314,6 +3358,100 @@ def _langid_join_sql() -> str:
            USING (doc_id)"""
 
 
+def _script_sql() -> str:
+    # generated from the SAME SCRIPT_RANGES table the operator compiles
+    # from, so the two engines test identical code-point ranges; the
+    # planted suffixes replay the q_text_script residue construction
+    ranges = X.SCRIPT_RANGES
+    cnt = ("(length(text) - length(regexp_replace(text, '[{cls}]', '', 'g')))"
+           "::BIGINT")
+    count_cols = ",\n              ".join(
+        cnt.format(cls=cls) + f" AS n_{name}" for name, cls in ranges)
+    total = " + ".join(f"n_{name}" for name, _ in ranges)
+    best = "greatest(" + ", ".join(f"n_{name}" for name, _ in ranges) + ")"
+    dom = "'und'"
+    for name, _ in reversed(ranges):
+        dom = (f"CASE WHEN {best} > 0 AND n_{name} = {best} "
+               f"THEN '{name}' ELSE {dom} END")
+    return f"""
+        WITH m AS (SELECT doc_id, text ||
+              CASE WHEN doc_id % 11 = 0 THEN ' привет мир'
+                   WHEN doc_id % 11 = 1 THEN ' 训练数据管道'
+                   WHEN doc_id % 11 = 2 THEN ' بيانات التدريب'
+                   WHEN doc_id % 11 = 3 THEN '데이터 파이프라인'
+                   ELSE '' END AS text FROM documents),
+        c AS (SELECT doc_id, {count_cols} FROM m)
+        SELECT doc_id, {', '.join('n_' + n for n, _ in ranges)},
+               ({total})::BIGINT AS n_script_chars, {dom} AS dominant_script
+        FROM c"""
+
+
+_CHUNKS_SQL = """
+    WITH t AS (SELECT doc_id,
+        CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, len(toks), 24)) AS start
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+           start::BIGINT AS token_start,
+           least(start + 32, n)::BIGINT AS token_end,
+           (least(start + 32, n) - start)::BIGINT AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : least(start + 32, n)], ' ')
+             AS chunk_text
+    FROM s"""
+
+
+def _main_content_sql() -> str:
+    # replays the jusText-lite pipeline over the SAME synthesized pages:
+    # body → script/style strip → block split → per-block word/anchor
+    # counts → integer link-density keep rule. NULL traps: DuckDB's
+    # regexp_extract_all returns NULL (not []) inside the lambda when a
+    # block has no anchors — coalesce before counting, or anchor-free
+    # blocks silently drop out of `kept`.
+    block_split = (
+        r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article"
+        r"|aside|main|header|footer|nav|blockquote|form)[^>]*>")
+    strip = ("trim(regexp_replace(regexp_replace({x}, '<[^>]+>', ' ', 'g'),"
+             " '\\s+', ' ', 'g'))")
+    words = ("CASE WHEN length({t}) = 0 THEN 0"
+             " ELSE len(regexp_split_to_array({t}, '\\s+')) END")
+    anchors = ("coalesce(array_to_string(regexp_extract_all("
+               "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+    pre = _MC_PRE.replace("'", "''")
+    post = _MC_POST.replace("'", "''")
+    return f"""
+        WITH h AS (SELECT doc_id, '{pre}' || text || '{post}' AS page
+                   FROM documents),
+        b AS (SELECT doc_id,
+            regexp_split_to_array(
+              regexp_replace(regexp_replace(
+                regexp_extract(page, '(?s)<body[^>]*>(.*)</body>', 1),
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '{block_split}') AS blocks FROM h),
+        s AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
+                t := {strip.format(x='x')},
+                a := {strip.format(x=anchors)})) AS raw FROM b),
+        w AS (SELECT doc_id, list_transform(raw, x -> struct_pack(
+                t := x.t, w := {words.format(t='x.t')},
+                aw := {words.format(t='x.a')})) AS scored FROM s),
+        k AS (SELECT doc_id,
+              list_filter(scored, x -> x.w > 0) AS nonempty,
+              list_filter(scored, x -> x.w > 0 AND x.w >= 3
+                          AND x.aw * 100 <= 34 * x.w) AS kept FROM w)
+        SELECT doc_id,
+          coalesce(array_to_string(list_transform(kept, x -> x.t), ' '), '')
+            AS main_text,
+          coalesce(len(nonempty), 0)::BIGINT AS n_blocks,
+          coalesce(len(kept), 0)::BIGINT AS n_kept,
+          (coalesce(list_sum(list_transform(nonempty, x -> x.w)), 0)
+           - coalesce(list_sum(list_transform(kept, x -> x.w)), 0))::BIGINT
+            AS n_boiler_words
+        FROM k"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -4031,4 +4169,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*) OVER (PARTITION BY canonical_url) AS n_revisions
                  FROM u)
             SELECT doc_id, canonical_url, n_revisions FROM r WHERE rn = 1""",
+        "text_script": _script_sql(),
+        "text_chunks": _CHUNKS_SQL,
+        "text_main_content": _main_content_sql(),
     }

@@ -89,6 +89,9 @@ HEADLINE = [
     "mm_meta_dims", "con_unique_auto", "ann_semdedup_keep",
     # round 4: progressive (SOF2) decode kernel
     "mm_decode_jpeg_prog",
+    # round 4: script profiling, context-window chunking, jusText-lite
+    # main-content extraction (all scan-stage native)
+    "text_script", "text_chunks", "text_main_content",
 ]
 
 

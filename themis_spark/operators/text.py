@@ -1084,3 +1084,207 @@ def bigram_logprob(df, key: str = "doc_id", text: str = "text",
             .alias("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------- script profiling
+
+# Unicode script ranges as regex character classes, portable between
+# Java regex (Spark) and RE2 (DuckDB/pyarrow): plain literal-character
+# ranges only, no \p{Script=...} (Java supports it, RE2's table differs
+# by Unicode version — literal ranges pin the exact same code points on
+# both engines). Order matters: dominant-script ties resolve to the
+# FIRST entry here, like language_id_col.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    ("cjk", "一-鿿"),
+    ("hangul", "가-힯"),
+    ("kana", "぀-ヿ"),
+]
+
+
+def script_count_col(text: Column | str, char_class: str) -> Column:
+    """Count of characters in ``char_class`` — length minus length after
+    deleting the class (exact integer, code-point counting on both
+    engines; regexp_count would need a per-char match loop instead)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c)
+            - F.length(F.regexp_replace(c, f"[{char_class}]", ""))).cast("long")
+
+
+def script_profile_cols(text: Column | str) -> list[Column]:
+    """Per-script character counts + dominant script for a text column.
+
+    The writing-system complement of language_id_col: langid's stopword
+    lists only separate languages that share an alphabet; a Cyrillic or
+    CJK page scores 0 on every list and lands in 'und'. Script counts
+    are pure scan-stage integer arithmetic (zero shuffle, zero Python)
+    and feed corpus mixture dashboards (what fraction of the crawl is
+    CJK?) and routing (send Arabic-script pages to the Arabic pipeline).
+
+    Columns: n_<script> per SCRIPT_RANGES entry, n_script_chars (their
+    sum), dominant_script ('und' when no script char occurs; ties break
+    to the earlier SCRIPT_RANGES entry). All exact integers/strings —
+    the DuckDB oracle replays them verbatim.
+    """
+    counts = {name: script_count_col(text, cls) for name, cls in SCRIPT_RANGES}
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    best = F.greatest(*counts.values())
+    dominant = F.lit("und")
+    for name in reversed([n for n, _ in SCRIPT_RANGES]):
+        dominant = F.when((best > 0) & (counts[name] == best), F.lit(name)) \
+                    .otherwise(dominant)
+    return (
+        [counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES]
+        + [total.alias("n_script_chars"), dominant.alias("dominant_script")]
+    )
+
+
+def script_profile(df, key: str = "doc_id", text: str = "text"):
+    """(key, n_<script>..., n_script_chars, dominant_script) per doc."""
+    return df.select(F.col(key), *script_profile_cols(F.col(text)))
+
+
+# ------------------------------------------------------- document chunking
+
+def chunk_spans(df, key: str = "doc_id", text: str = "text",
+                size: int = 128, stride: int | None = None):
+    """Fixed-size token chunks with optional overlap — the layout step
+    for context-window training samples and RAG passage indexes.
+
+    Chunk starts are ``0, stride, 2·stride, …`` while ``start <
+    n_tokens`` (``stride`` defaults to ``size`` — disjoint chunks;
+    ``stride < size`` overlaps adjacent chunks by ``size - stride``
+    tokens). The final chunk may be shorter than ``size``; empty
+    documents yield no chunks (explode drops them).
+
+    Scale shape: one scan-stage projection (split → sequence of starts →
+    posexplode → slice) — ZERO shuffle, zero Python; output rows ≈
+    corpus tokens / stride. ``chunk_id = start / stride`` is derived
+    arithmetic, not an ordinal over an exchange, so the operator is
+    deterministic under any partitioning and resume-safe. DuckDB
+    replays it with range()/list_slice().
+    """
+    if stride is None:
+        stride = size
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    c = F.col(text)
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.when(c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0)) \
+         .otherwise(F.size(toks))
+    starts = F.when(n == 0, F.array().cast("array<int>")) \
+              .otherwise(F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    ex = df.select(
+        F.col(key), toks.alias("__toks"), n.alias("__n"),
+        F.explode(starts).alias("__start"),
+    )
+    chunk_toks = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return ex.select(
+        key,
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.col("__start").cast("long").alias("token_start"),
+        F.least(F.col("__start") + size, F.col("__n"))
+         .cast("long").alias("token_end"),
+        F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+    )
+
+
+# ------------------------------------------- boilerplate / main content
+
+_BLOCK_TAG_SPLIT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article"
+    r"|aside|main|header|footer|nav|blockquote|form)[^>]*>"
+)
+
+
+def main_content_cols(html: Column | str, encoding: str = "UTF-8",
+                      min_words: int = 3,
+                      max_link_density_pct: int = 34) -> list[Column]:
+    """jusText-lite boilerplate removal from an ``html: binary`` column.
+
+    The standard web-curation step between raw markup and every text
+    filter: navigation bars, link farms, footers and cookie banners are
+    mostly anchor text in short blocks, article bodies are long
+    low-link-density blocks. Pipeline: decode → take <body> → drop
+    <script>/<style> subtrees → split on block-level tags → per block
+    strip inline tags and score (word count, anchor-word count) → keep
+    blocks with ``words >= min_words`` and integer link density
+    ``anchor_words * 100 <= max_link_density_pct * words`` (exact
+    arithmetic — no float threshold, so the DuckDB oracle replays the
+    classification bit-for-bit).
+
+    Pure scan-stage native columns (regex + higher-order functions over
+    the block array — each block's text materializes once inside the
+    transform, zero shuffle, zero Python). Columns: ``main_text`` (kept
+    blocks joined by single spaces), ``n_blocks`` (non-empty blocks),
+    ``n_kept`` and ``n_boiler_words`` (dropped-word audit). A model-based
+    extractor slots in behind the same signature.
+
+    RE2-portable by construction: no backreferences (script/style strip
+    is two separate non-greedy replaces), (?i)/(?s) flags only.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    s = F.decode(c, encoding)
+    body = F.regexp_extract(s, r"(?s)<body[^>]*>(.*)</body>", 1)
+    nos = F.regexp_replace(body, r"(?is)<script[^>]*>.*?</script>", " ")
+    nos = F.regexp_replace(nos, r"(?is)<style[^>]*>.*?</style>", " ")
+    blocks = F.split(nos, _BLOCK_TAG_SPLIT)
+
+    def words_of(t: Column) -> Column:
+        return F.when(F.length(t) == 0, F.lit(0)) \
+                .otherwise(F.size(F.split(t, r"\s+")))
+
+    def block_text(b: Column) -> Column:
+        return F.trim(F.regexp_replace(
+            F.regexp_replace(b, r"<[^>]+>", " "), r"\s+", " "))
+
+    def anchor_words(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1)
+        joined = block_text(F.array_join(anchors, " "))
+        return words_of(joined)
+
+    # strip each block ONCE (Catalyst does no CSE inside HOF lambdas —
+    # the round-2 grams_zip lesson), then zip the stripped text back
+    # with the raw block for the anchor scan
+    texts = F.transform(blocks, block_text)
+    scored = F.zip_with(texts, blocks, lambda t, b: F.struct(
+        t.alias("t"),
+        words_of(t).alias("w"),
+        anchor_words(b).alias("aw"),
+    ))
+    nonempty = F.filter(scored, lambda x: x["w"] > 0)
+    kept = F.filter(
+        nonempty,
+        lambda x: (x["w"] >= min_words)
+        & (x["aw"] * 100 <= F.lit(max_link_density_pct) * x["w"]))
+    boiler_words = (
+        F.aggregate(nonempty, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["w"])
+        - F.aggregate(kept, F.lit(0).cast("long"),
+                      lambda acc, x: acc + x["w"]))
+    return [
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ")
+         .alias("main_text"),
+        F.size(nonempty).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        boiler_words.alias("n_boiler_words"),
+    ]
+
+
+def main_content(df, key: str = "doc_id", html: str = "html",
+                 encoding: str = "UTF-8", min_words: int = 3,
+                 max_link_density_pct: int = 34):
+    """(key, main_text, n_blocks, n_kept, n_boiler_words) per page."""
+    return df.select(
+        F.col(key),
+        *main_content_cols(F.col(html), encoding=encoding,
+                           min_words=min_words,
+                           max_link_density_pct=max_link_density_pct))
