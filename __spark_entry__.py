@@ -795,6 +795,51 @@ def q_mm_meta_dims(spark, sf):
         fields=("format", "width", "height", "n_frames"))
 
 
+def _gradient_media(spark, sf, limit=64):
+    # gradient-fill P6 payloads built NATIVELY for the perceptual-hash
+    # kernels: v(x,y) = 32 + (ax·x + ay·y) % 56, params derived from the
+    # GROUP id (doc_id // 4) so each group of 4 shares one gradient, and
+    # a per-variant bump of 11·(doc_id % 4) on the (0,0) corner pixel
+    # plants near-duplicates (within-group dhash hamming <= 2). All
+    # integer/ASCII, so the DuckDB oracle states the decoded grayscale
+    # directly from this formula without parsing the payload.
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < limit)
+    did = F.col("doc_id")
+    gid = F.floor(did / 4).cast("long")
+    w = (gid % 9 + 8).cast("int")
+    h = (gid % 5 + 8).cast("int")
+    ax = (gid % 5 + 3).cast("long")
+    ay = (gid % 3 + 5).cast("long")
+    idx = F.sequence(F.lit(0), (w * h - 1).cast("int"))
+
+    def v(i):
+        x = i % w
+        y = F.floor(i / w).cast("long")
+        base = F.lit(32) + (ax * x + ay * y) % 56
+        bump = F.when((x == 0) & (y == 0), 11 * (did % 4)).otherwise(F.lit(0))
+        return (base + bump).cast("int")
+
+    fill = F.array_join(F.transform(idx, lambda i: F.repeat(F.char(v(i)), 3)), "")
+    payload = F.encode(
+        F.concat(F.format_string("P6\n%d %d\n255\n", w, h), fill), "UTF-8")
+    return d.select("doc_id", payload.alias("payload"))
+
+
+def q_mm_phash(spark, sf):
+    # REAL decode → aHash/dHash (integer-exact kernels); the oracle
+    # recomputes both hashes from the gradient formula alone
+    return M.perceptual_hashes(_gradient_media(spark, sf),
+                               methods=("ahash", "dhash"))
+
+
+def q_mm_image_neardup(spark, sf):
+    # perceptual near-dup: dHash + banded Hamming blocking (exact recall
+    # for hamming <= 3 under 64/16 banding) — the oracle replays the
+    # hashes from the formula and self-joins all pairs
+    return M.image_near_duplicates(_gradient_media(spark, sf),
+                                   method="dhash", max_hamming=3)
+
+
 def q_mm_meta(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -1900,6 +1945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script": q_text_script,
         "text_chunks": q_text_chunks,
         "text_main_content": q_text_main_content,
+        "mm_phash": q_mm_phash,
+        "mm_image_neardup": q_mm_image_neardup,
     }
 
 
@@ -3452,6 +3499,64 @@ def _main_content_sql() -> str:
         FROM k"""
 
 
+def _gradient_hash_cte() -> str:
+    # recomputes the _gradient_media grayscale from its construction
+    # formula (constant-channel pixels gray to exactly v under BT.601
+    # floor division), then replays the aHash/dHash kernels: nearest-
+    # neighbor sample index = x*W//grid, strict > compares, bit i at
+    # grid position (x, y) = (i%8, i//8). HUGEINT accumulates bit 63
+    # (BIGINT << 63 overflows in DuckDB); signed conversion at the end.
+    def g(sx: str, sy: str) -> str:
+        return (f"32 + ((ax * ({sx}) + ay * ({sy})) % 56)"
+                f" + CASE WHEN ({sx}) = 0 AND ({sy}) = 0"
+                f" THEN 11 * (doc_id % 4) ELSE 0 END")
+
+    return f"""
+        p AS (SELECT doc_id, doc_id // 4 AS gid FROM documents
+              WHERE doc_id < 64),
+        q AS (SELECT doc_id, 8 + gid % 9 AS W, 8 + gid % 5 AS H,
+                     3 + gid % 5 AS ax, 5 + gid % 3 AS ay FROM p),
+        c AS (SELECT doc_id, W, H, ax, ay, i, i % 8 AS x, i // 8 AS y
+              FROM (SELECT *, unnest(range(64)) AS i FROM q)),
+        dh AS (SELECT doc_id,
+                sum(CASE WHEN ({g("((x+1) * W) // 9", "(y * H) // 8")})
+                          > ({g("(x * W) // 9", "(y * H) // 8")})
+                    THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS s
+               FROM c GROUP BY doc_id),
+        av AS (SELECT doc_id, i,
+                ({g("(x * W) // 8", "(y * H) // 8")}) AS gval FROM c),
+        at AS (SELECT doc_id, sum(gval) AS total FROM av GROUP BY doc_id),
+        ah AS (SELECT av.doc_id,
+                sum(CASE WHEN gval * 64 > total
+                    THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS s
+               FROM av JOIN at ON av.doc_id = at.doc_id
+               GROUP BY av.doc_id),
+        hashes AS (SELECT dh.doc_id,
+          (CASE WHEN ah.s >= 9223372036854775808::HUGEINT
+                THEN ah.s - 18446744073709551616::HUGEINT ELSE ah.s
+           END)::BIGINT AS ahash,
+          (CASE WHEN dh.s >= 9223372036854775808::HUGEINT
+                THEN dh.s - 18446744073709551616::HUGEINT ELSE dh.s
+           END)::BIGINT AS dhash
+         FROM dh JOIN ah ON dh.doc_id = ah.doc_id)"""
+
+
+def _mm_phash_sql() -> str:
+    return f"WITH {_gradient_hash_cte()}\n" \
+           "SELECT doc_id, ahash, dhash FROM hashes"
+
+
+def _mm_image_neardup_sql() -> str:
+    # ground truth for the banded-blocking plan: ALL pairs within
+    # hamming 3 by brute force over the formula-derived hashes (the
+    # banding's pigeonhole recall guarantee says the sets must be equal)
+    return f"""WITH {_gradient_hash_cte()}
+        SELECT a.doc_id AS a_key, b.doc_id AS b_key,
+               bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi, n, w = 0.0, 600000.0, 20, 30000.0
     return {
@@ -4172,4 +4277,6 @@ def oracle_sql() -> dict[str, str]:
         "text_script": _script_sql(),
         "text_chunks": _CHUNKS_SQL,
         "text_main_content": _main_content_sql(),
+        "mm_phash": _mm_phash_sql(),
+        "mm_image_neardup": _mm_image_neardup_sql(),
     }

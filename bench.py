@@ -92,6 +92,8 @@ HEADLINE = [
     # round 4: script profiling, context-window chunking, jusText-lite
     # main-content extraction (all scan-stage native)
     "text_script", "text_chunks", "text_main_content",
+    # round 4: perceptual image hashing + Hamming-blocked image near-dup
+    "mm_phash", "mm_image_neardup",
 ]
 
 

@@ -980,3 +980,50 @@ def duplicate_substring_stats(df: DataFrame, key: str = "doc_id",
                        dup.cast("double") / F.col("n_tokens"))
                  .otherwise(F.lit(0.0)), round_to).alias("dup_fraction"),
     )
+
+
+def hamming_near_duplicates(sigs: DataFrame, key: str = "doc_id",
+                            sig: str = "sig", bits: int = 64,
+                            max_hamming: int = 3, block_bits: int = 16,
+                            max_bucket_size: int | None = 256) -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED 64-bit-or-less fingerprints by
+    banded Hamming blocking — the signature-agnostic core behind
+    simhash_near_duplicates, reused for perceptual image hashes
+    (multimodal.image_near_duplicates) or any other bitwise sketch.
+
+    Bands are the ``bits/block_bits`` disjoint ``block_bits``-bit slices
+    of the signature; by pigeonhole, two signatures within Hamming
+    distance ``d < bits/block_bits`` agree on at least one band, so
+    recall is EXACT (not probabilistic) for ``max_hamming <=
+    bits/block_bits - 1`` — the default 64/16 covers d <= 3. Candidates
+    pair inside each (band, value) bucket via the capped single-exchange
+    plan (_bucket_pairs, degenerate buckets capped like LSH), then
+    verify with bit_count(xor). Signatures shuffle once as 8-byte rows;
+    arithmetic shiftright sign-extension on negative longs is masked off
+    by the band mask.
+    """
+    if bits % block_bits != 0:
+        raise ValueError("block_bits must divide bits")
+    if max_hamming > bits // block_bits - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{bits // block_bits - 1} for {bits}/{block_bits} banding")
+    mask = F.lit((1 << block_bits) - 1).cast("long")
+    bands = [
+        F.struct(F.lit(r).alias("rot"),
+                 F.shiftright(F.col(sig), r).bitwiseAND(mask).alias("blk"))
+        for r in range(0, bits, block_bits)
+    ]
+    ex = (sigs.select(F.col(key).alias("__k"), F.col(sig).alias("__sig"),
+                      F.explode(F.array(*bands)).alias("b"))
+          .select("__k", "__sig", "b.rot", "b.blk"))
+    member = F.struct(F.col("__k").alias("k"), F.col("__sig").alias("sh"))
+    cand = _bucket_pairs(ex, ["rot", "blk"], member, max_bucket_size)
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        cand.select(F.col("a.k").alias("a_key"), F.col("b.k").alias("b_key"),
+                    ham.alias("hamming"))
+        .where((F.col("a_key") != F.col("b_key"))
+               & (F.col("hamming") <= max_hamming))
+        .distinct()
+    )

@@ -312,3 +312,58 @@ def binary_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.max(size).alias("max_bytes"),
         F.avg(size).alias("avg_bytes"),
     )
+
+
+def perceptual_hashes(df: DataFrame, payload_col: str = "payload",
+                      key_cols: tuple[str, ...] = ("doc_id",),
+                      methods: tuple[str, ...] = ("ahash", "dhash")) -> DataFrame:
+    """Perceptual hashes (aHash/dHash/pHash) from REAL decoded pixels —
+    the content-defined fingerprint step of an image dedup pipeline
+    (exact byte-dedup misses re-encoded/resized copies; these don't).
+
+    Map-side only, like every multimodal op: decode + hash inside one
+    Arrow batch, payload bytes never shuffle, output is (keys, one long
+    per method). Hashes wrap to signed 64-bit for LongType; aHash/dHash
+    are integer-exact (oracle-replayable from formula-built payloads),
+    pHash is float DCT (test-verified against a direct O(n^4) DCT).
+    """
+    from themis_spark.functions import perceptual as P
+
+    fns = {"ahash": P.average_hash, "dhash": P.diff_hash, "phash": P.dct_hash}
+    bad = set(methods) - set(fns)
+    if bad:
+        raise ValueError(f"unknown perceptual hash methods: {sorted(bad)}")
+    keys = list(key_cols)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = key_schema + "".join(f", {m} bigint" for m in methods)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf[payload_col].to_numpy()]
+            imgs = [IC.decode_image(p)[1] for p in payloads]
+            out = {k: pdf[k].to_numpy() for k in keys}
+            for m in methods:
+                out[m] = [P.to_signed64(fns[m](img)) for img in imgs]
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, payload_col).mapInPandas(process, out_schema)
+
+
+def image_near_duplicates(df: DataFrame, payload_col: str = "payload",
+                          key: str = "doc_id", method: str = "dhash",
+                          max_hamming: int = 3,
+                          max_bucket_size: int | None = 256) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash map-side, then the
+    banded Hamming blocking shared with text SimHash
+    (dedup.hamming_near_duplicates — exact recall for hamming <= 3 under
+    64/16 banding). Only (key, 8-byte hash) rows cross the exchange; the
+    pixel payloads never shuffle.
+    """
+    from themis_spark.operators import dedup as _dedup
+
+    sigs = perceptual_hashes(df, payload_col=payload_col, key_cols=(key,),
+                             methods=(method,))
+    return _dedup.hamming_near_duplicates(
+        sigs, key=key, sig=method, bits=64, max_hamming=max_hamming,
+        block_bits=16, max_bucket_size=max_bucket_size)
