@@ -840,6 +840,48 @@ def q_mm_image_neardup(spark, sf):
                                    method="dhash", max_hamming=3)
 
 
+def _wav_media(spark, sf, limit=48):
+    # real 16-bit PCM WAV payloads, hand-packed so the planted integer
+    # samples survive exactly (encode_wav's float scaling is lossy by
+    # design): sawtooth v_i = ((a·i) % p) - p//2 with params from the
+    # GROUP id (doc_id // 4), plus a per-variant +3·(doc_id % 4) bump on
+    # frame 0 only (n is a multiple of 65, so frame membership is
+    # exact) — within-group clips differ in <= 1 energy-profile bit.
+    # The DuckDB oracle restates frame energies from this formula.
+    import struct as _s
+
+    import numpy as np
+
+    rows = []
+    for doc_id in range(limit):
+        gid = doc_id // 4
+        n = 650 + 65 * (gid % 5)
+        a = 3 + gid % 7
+        pp = 50 + gid % 13
+        i = np.arange(n, dtype=np.int64)
+        v = (a * i) % pp - pp // 2
+        v[: n // 65] += 3 * (doc_id % 4)
+        data = v.astype("<i2").tobytes()
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        payload = (b"RIFF"
+                   + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+                   + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                   + b"data" + len(data).to_bytes(4, "little") + data)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_audio_hash(spark, sf):
+    # REAL WAV decode → integer-exact energy-profile fingerprint
+    return M.audio_fingerprints(_wav_media(spark, sf))
+
+
+def q_mm_audio_neardup(spark, sf):
+    # fingerprint + banded Hamming blocking; oracle brute-forces all
+    # pairs from the formula-derived hashes (exact-recall check)
+    return M.audio_near_duplicates(_wav_media(spark, sf), max_hamming=3)
+
+
 def q_mm_meta(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -1947,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_main_content": q_text_main_content,
         "mm_phash": q_mm_phash,
         "mm_image_neardup": q_mm_image_neardup,
+        "mm_audio_hash": q_mm_audio_hash,
+        "mm_audio_neardup": q_mm_audio_neardup,
     }
 
 
@@ -3541,6 +3585,48 @@ def _gradient_hash_cte() -> str:
          FROM dh JOIN ah ON dh.doc_id = ah.doc_id)"""
 
 
+_SIGNED64 = ("(CASE WHEN {s} >= 9223372036854775808::HUGEINT "
+             "THEN {s} - 18446744073709551616::HUGEINT ELSE {s} END)::BIGINT")
+
+
+def _audio_hash_cte() -> str:
+    # restates _wav_media's sawtooth + frame-0 bump, sums |PCM| per
+    # 65th-span (span of sample i = i*65//n, n a multiple of 65), and
+    # replays the energy-profile dHash bit by bit
+    return f"""
+        p AS (SELECT doc_id, doc_id // 4 AS gid FROM documents
+              WHERE doc_id < 48),
+        q AS (SELECT doc_id, 650 + 65 * (gid % 5) AS n,
+                     3 + gid % 7 AS a, 50 + gid % 13 AS pp FROM p),
+        s AS (SELECT doc_id, n, a, pp, unnest(range(n)) AS i FROM q),
+        v AS (SELECT doc_id, (i * 65) // n AS j,
+                abs(((a * i) % pp) - pp // 2
+                    + CASE WHEN i < n // 65 THEN 3 * (doc_id % 4)
+                      ELSE 0 END) AS av
+              FROM s),
+        e AS (SELECT doc_id, j, sum(av) AS ej FROM v GROUP BY doc_id, j),
+        t AS (SELECT l.doc_id,
+                CASE WHEN r.ej > l.ej THEN 1::HUGEINT << l.j
+                     ELSE 0::HUGEINT END AS term
+              FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.j = l.j + 1),
+        hashes AS (SELECT doc_id,
+                {_SIGNED64.format(s='sum(term)')} AS audio_hash
+              FROM t GROUP BY doc_id)"""
+
+
+def _mm_audio_hash_sql() -> str:
+    return f"WITH {_audio_hash_cte()}\n" \
+           "SELECT doc_id, audio_hash FROM hashes"
+
+
+def _mm_audio_neardup_sql() -> str:
+    return f"""WITH {_audio_hash_cte()}
+        SELECT a.doc_id AS a_key, b.doc_id AS b_key,
+               bit_count(xor(a.audio_hash, b.audio_hash))::INT AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.audio_hash, b.audio_hash)) <= 3"""
+
+
 def _mm_phash_sql() -> str:
     return f"WITH {_gradient_hash_cte()}\n" \
            "SELECT doc_id, ahash, dhash FROM hashes"
@@ -4279,4 +4365,6 @@ def oracle_sql() -> dict[str, str]:
         "text_main_content": _main_content_sql(),
         "mm_phash": _mm_phash_sql(),
         "mm_image_neardup": _mm_image_neardup_sql(),
+        "mm_audio_hash": _mm_audio_hash_sql(),
+        "mm_audio_neardup": _mm_audio_neardup_sql(),
     }

@@ -94,6 +94,8 @@ HEADLINE = [
     "text_script", "text_chunks", "text_main_content",
     # round 4: perceptual image hashing + Hamming-blocked image near-dup
     "mm_phash", "mm_image_neardup",
+    # round 4: audio energy-profile fingerprint + near-dup
+    "mm_audio_hash", "mm_audio_neardup",
 ]
 
 

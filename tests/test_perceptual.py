@@ -192,3 +192,53 @@ def test_image_near_duplicates_plan_shape(spark):
             assert "payload" not in line, line
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------ audio fingerprint
+
+def _wav(vals: np.ndarray) -> bytes:
+    import struct
+
+    data = np.asarray(vals).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+            + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def test_audio_energy_hash_hand_computed():
+    from themis_spark.functions import audiocodec as AC
+
+    # 65 spans of 2 samples with strictly rising |amplitude| -> all bits
+    vals = np.repeat(np.arange(1, 66), 2)
+    _, samples = AC.decode_wav(_wav(vals))
+    assert P.audio_energy_hash(samples) == (1 << 64) - 1
+    # constant amplitude -> no strict increase -> 0
+    _, flat = AC.decode_wav(_wav(np.full(130, 7)))
+    assert P.audio_energy_hash(flat) == 0
+    # silence / empty
+    assert P.audio_energy_hash(np.zeros((0, 1))) == 0
+
+
+def test_audio_energy_hash_gain_invariant():
+    from themis_spark.functions import audiocodec as AC
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(-500, 500, 1300)
+    _, a = AC.decode_wav(_wav(vals))
+    _, b = AC.decode_wav(_wav(vals * 8))  # +18 dB, no clipping
+    assert P.audio_energy_hash(a) == P.audio_energy_hash(b)
+
+
+def test_audio_near_duplicates_end_to_end(spark):
+    rng = np.random.default_rng(17)
+    base = rng.integers(-800, 800, 1300)
+    tweak = base.copy()
+    tweak[:20] = tweak[:20] + 50          # one span's energy nudged
+    other = rng.integers(-800, 800, 1300)
+    rows = [(i, bytearray(_wav(v))) for i, v in enumerate([base, tweak, other])]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r["a_key"], r["b_key"]): r["hamming"]
+             for r in M.audio_near_duplicates(df, max_hamming=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 2
+    assert (0, 2) not in pairs and (1, 2) not in pairs

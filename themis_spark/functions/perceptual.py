@@ -108,3 +108,39 @@ def dct_hash(img: np.ndarray) -> int:
         if c > med:
             h |= 1 << i
     return h
+
+
+def audio_energy_hash(samples: np.ndarray, frames: int = 65) -> int:
+    """Audio dHash: 64-bit fingerprint of a PCM clip's energy PROFILE.
+
+    The time-domain analogue of diff_hash: split the clip into
+    ``frames`` equal spans (sample i belongs to span ``i*frames//n`` —
+    the same integer index mapping as the image downsampler), sum
+    |integer PCM| per span, bit j = span j+1 strictly louder than span
+    j. Robust to uniform volume changes (a positive gain preserves the
+    > order of span energies) and to re-encoding at the same depth
+    (integer-exact end to end: decode_wav's float32 values are dyadic
+    rationals, ``* 32768`` recovers the raw ints exactly — except that
+    large gains may clip, which is a real signal change, not hash
+    noise). A chromaprint-style spectral
+    fingerprint would slot in behind the same 64-bit contract.
+
+    Pairs near-dup via dedup.hamming_near_duplicates exactly like
+    SimHash/pHash signatures.
+    """
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    q = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+    mono = q.sum(axis=1)
+    n = len(mono)
+    if n == 0:
+        return 0
+    idx = np.arange(n) * frames // n
+    e = np.zeros(frames, dtype=np.int64)
+    np.add.at(e, idx, np.abs(mono))
+    bits = e[1:] > e[:-1]
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h

@@ -367,3 +367,44 @@ def image_near_duplicates(df: DataFrame, payload_col: str = "payload",
     return _dedup.hamming_near_duplicates(
         sigs, key=key, sig=method, bits=64, max_hamming=max_hamming,
         block_bits=16, max_bucket_size=max_bucket_size)
+
+
+def audio_fingerprints(df: DataFrame, payload_col: str = "payload",
+                       key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """64-bit energy-profile fingerprint per PCM WAV payload
+    (perceptual.audio_energy_hash) — map-side decode + hash in one Arrow
+    batch, payloads never shuffle, output one long per clip. Integer-
+    exact, so the DuckDB oracle replays it from formula-built clips."""
+    from themis_spark.functions import audiocodec as AC
+    from themis_spark.functions import perceptual as P
+
+    keys = list(key_cols)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[payload_col].to_numpy():
+                _, samples = AC.decode_wav(bytes(p) if p is not None else b"")
+                hashes.append(P.to_signed64(P.audio_energy_hash(samples)))
+            out = {k: pdf[k].to_numpy() for k in keys}
+            out["audio_hash"] = hashes
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, payload_col).mapInPandas(
+        process, f"{key_schema}, audio_hash bigint")
+
+
+def audio_near_duplicates(df: DataFrame, payload_col: str = "payload",
+                          key: str = "doc_id", max_hamming: int = 3,
+                          max_bucket_size: int | None = 256) -> DataFrame:
+    """Near-duplicate AUDIO pairs: energy fingerprint map-side, banded
+    Hamming blocking (exact recall for hamming <= 3 under 64/16) — the
+    same plan shape as image_near_duplicates; only (key, 8-byte hash)
+    rows cross the exchange."""
+    from themis_spark.operators import dedup as _dedup
+
+    sigs = audio_fingerprints(df, payload_col=payload_col, key_cols=(key,))
+    return _dedup.hamming_near_duplicates(
+        sigs, key=key, sig="audio_hash", bits=64, max_hamming=max_hamming,
+        block_bits=16, max_bucket_size=max_bucket_size)
