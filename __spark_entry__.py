@@ -725,6 +725,32 @@ def q_mm_decode_jpeg_prog(spark, sf):
                       "out_w", "out_h", "src_format")
 
 
+def _gif_media(spark, sf, limit=64):
+    # real LZW-coded payloads: constant-fill images GIF-encoded with the
+    # stdlib codec (GIF is lossless, so decoded pixels ARE the fill
+    # formula), interlace on every third payload so the deinterlace
+    # path runs under Spark; dims/fill reuse _ppm_media's doc_id formulas
+    import numpy as np
+
+    from themis_spark.functions import gifcodec as GC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+        payload = GC.encode_gif(img, interlace=(doc_id % 3 == 0))
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_decode_gif(spark, sf):
+    # GIF (stdlib LZW + palette + optional interlace) → resize → P6
+    # re-encode: the pixel sha replays bit-exactly from the fill formula
+    out = M.resize_images(_gif_media(spark, sf), target=(5, 4))
+    return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
+                      "out_w", "out_h", "src_format")
+
+
 def q_mm_decode_png(spark, sf):
     # PNG (zlib inflate + scanline unfilter) → resize → P6 re-encode:
     # the pixel sha replays bit-exactly from the fill formula
@@ -1991,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_neardup": q_mm_image_neardup,
         "mm_audio_hash": q_mm_audio_hash,
         "mm_audio_neardup": q_mm_audio_neardup,
+        "mm_decode_gif": q_mm_decode_gif,
     }
 
 
@@ -4367,4 +4394,11 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_neardup": _mm_image_neardup_sql(),
         "mm_audio_hash": _mm_audio_hash_sql(),
         "mm_audio_neardup": _mm_audio_neardup_sql(),
+        "mm_decode_gif": """
+            WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 64)
+            SELECT doc_id,
+                   sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
+                          || repeat(c, 60)) AS resized_sha,
+                   5 AS out_w, 4 AS out_h, 'gif' AS src_format FROM t""",
     }

@@ -96,6 +96,8 @@ HEADLINE = [
     "mm_phash", "mm_image_neardup",
     # round 4: audio energy-profile fingerprint + near-dup
     "mm_audio_hash", "mm_audio_neardup",
+    # round 4: GIF decode kernel (stdlib LZW)
+    "mm_decode_gif",
 ]
 
 

@@ -46,6 +46,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -308,6 +310,10 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         from themis_spark.functions.jpegcodec import decode_jpeg
 
         return "jpeg", decode_jpeg(payload)
+    if fmt == "gif":
+        from themis_spark.functions.gifcodec import decode_gif
+
+        return "gif", decode_gif(payload)[0]  # first frame for stills
     raise UnsupportedImageError(f"builtin codecs cannot decode format={fmt!r}")
 
 

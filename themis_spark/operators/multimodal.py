@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode is REAL for uncompressed formats: PPM (P6), 24-bit BMP, and
-concatenated-P6 "video" parse with numpy alone
-(functions/imagecodec.py) — metadata extraction, nearest-neighbor
-resize, and frame sampling all run end-to-end on actual pixels in this
-container. Compressed formats (JPEG/PNG/WebP) additionally route
-through Pillow when installed and otherwise raise loudly (fail-closed —
-never a silently skipped row). ``deterministic_fake=True`` remains for
-plumbing tests over arbitrary payload bytes.
+Decode is REAL with no external libraries for PPM (P6), 24-bit BMP,
+PNG (stdlib zlib + filters), GIF (stdlib LZW, incl. animation), JPEG
+(baseline + progressive, functions/jpegcodec.py) and concatenated-P6
+"video" — metadata extraction, nearest-neighbor resize, perceptual
+hashing and frame sampling all run end-to-end on actual pixels in this
+container. Remaining formats (WebP, AVIF, …) route through Pillow when
+installed and otherwise raise loudly (fail-closed — never a silently
+skipped row). ``deterministic_fake=True`` remains for plumbing tests
+over arbitrary payload bytes.
 
 Design point for 100 TB of media: binary payloads NEVER shuffle — all
 feature extraction is map-side (mapInPandas over the scan), and outputs
@@ -64,12 +65,18 @@ def _decode_real(payload: bytes) -> tuple:
 
         w, h = jpeg_dims(payload)
         return ("jpeg", w, h, 1)
+    if fmt == "gif":
+        # block-structure walk only (no LZW decode) — animated GIFs
+        # report their real frame count here
+        from themis_spark.functions.gifcodec import gif_frame_meta
+
+        w, h, n_frames = gif_frame_meta(payload)
+        return ("gif", w, h, n_frames)
     if not _HAS_PIL:
         raise NotImplementedError(
             f"decode of format={fmt!r} requires Pillow (builtin codecs cover "
-            "ppm/bmp/png/jpeg(baseline+progressive)/ppmv); install PIL on "
-            "the cluster or "
-            "use deterministic_fake=True for plumbing tests"
+            "ppm/bmp/png/gif/jpeg(baseline+progressive)/ppmv); install PIL "
+            "on the cluster or use deterministic_fake=True for plumbing tests"
         )
     import io
 
@@ -151,15 +158,16 @@ def extract_media_meta(
 def resize_images(df: DataFrame, payload_col: str = "payload",
                   key_cols: tuple[str, ...] = ("doc_id",),
                   target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """REAL image resize for builtin-decodable payloads (PPM/BMP/PNG):
-    decode → nearest-neighbor resample → re-encode as P6, one Arrow
-    batch at a time, map-side only (the payload never shuffles; the
-    output is the training-pipeline's fixed-size tensor input).
+    """REAL image resize for builtin-decodable payloads (PPM/BMP/PNG/
+    GIF/JPEG): decode → nearest-neighbor resample → re-encode as P6,
+    one Arrow batch at a time, map-side only (the payload never
+    shuffles; the output is the training-pipeline's fixed-size tensor
+    input).
 
     Fail-closed: an undecodable payload raises (imagecodec sniffs the
     container first, so the error names the format) — a silent skip
     would corrupt a training set's row alignment. Filter by
-    ``sniff_format`` upstream to route JPEG/WebP to a Pillow cluster.
+    ``sniff_format`` upstream to route WebP/AVIF to a Pillow cluster.
     """
     keys = list(key_cols)
     key_schema = ", ".join(f"{k} bigint" for k in keys)
@@ -204,6 +212,17 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
             key_arrays = [pdf[k].to_numpy() for k in keys]
             for vals in zip(*key_arrays, pdf[payload_col].to_numpy()):
                 payload = bytes(vals[-1] or b"")
+                if IC.sniff_format(payload) == "gif":
+                    # animated GIF: composited full-canvas frames
+                    from themis_spark.functions.gifcodec import decode_gif
+
+                    frames = decode_gif(payload)
+                    for i in range(0, len(frames), step):
+                        f = frames[i]
+                        sha = hashlib.sha256(f.tobytes()).hexdigest()
+                        rows.append(list(vals[:-1])
+                                    + [i, f.shape[1], f.shape[0], sha])
+                    continue
                 offsets = IC.video_frame_offsets(payload)
                 for i in range(0, len(offsets), step):
                     off, w, h = offsets[i]
