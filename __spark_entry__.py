@@ -1878,6 +1878,77 @@ def q_dedup_substring_removed(spark, sf):
         "n_tokens", "n_removed")
 
 
+# Ranked retrieval: BM25 top-k over the documents corpus for a fixed
+# probe-query set drawn from the synthetic vocabulary. The oracle
+# replays tokenization, tf/df/dl/avgdl, the Lucene-form idf, and the
+# rank window verbatim (round 6, ties on doc_id — total order).
+_BM25_QUERIES = [
+    (0, "spark join window"),
+    (1, "merge sort table"),
+    (2, "customer data stream"),
+    (3, "hash agg batch query"),
+]
+
+
+def q_search_bm25(spark, sf):
+    from themis_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return R.bm25_topk(docs, qs, k=5)
+
+
+def _bm25_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+        WITH q(query_id, query) AS (VALUES {vals}),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> len(x) > 0)) AS token
+          FROM documents WHERE text IS NOT NULL),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        meta AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        qtok AS (
+          SELECT query_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(trim(query)), '\\s+'),
+                   x -> len(x) > 0)) AS token
+          FROM q),
+        qt AS (SELECT DISTINCT query_id, token FROM qtok),
+        part AS (
+          SELECT qt.query_id, tf.doc_id,
+                 ln(1.0 + (meta.n_docs::DOUBLE - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                 * (tf.tf::DOUBLE * ({k1} + 1.0)
+                    / (tf.tf::DOUBLE
+                       + {k1} * (1.0 - {b}
+                                 + {b} * dl.dl::DOUBLE / meta.avgdl))) AS p
+          FROM tf
+          JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN qt ON tf.token = qt.token
+          JOIN dfreq ON tf.token = dfreq.token
+          CROSS JOIN meta),
+        scored AS (SELECT query_id, doc_id, round(sum(p), 6) AS score
+                   FROM part GROUP BY 1, 2),
+        ranked AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC,
+                                                      doc_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}"""
+
+
+def q_search_postings(spark, sf):
+    from themis_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return R.term_postings(docs, ["spark", "customer", "window"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -2018,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_hash": q_mm_audio_hash,
         "mm_audio_neardup": q_mm_audio_neardup,
         "mm_decode_gif": q_mm_decode_gif,
+        "search_bm25": q_search_bm25,
+        "search_postings": q_search_postings,
     }
 
 
@@ -4401,4 +4474,15 @@ def oracle_sql() -> dict[str, str]:
                    sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
                           || repeat(c, 60)) AS resized_sha,
                    5 AS out_w, 4 AS out_h, 'gif' AS src_format FROM t""",
+        "search_bm25": _bm25_sql(),
+        "search_postings": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> len(x) > 0)) AS token
+              FROM documents WHERE text IS NOT NULL AND doc_id < 200)
+            SELECT token, doc_id, count(*) AS tf FROM tok
+            WHERE token IN ('spark', 'customer', 'window')
+            GROUP BY token, doc_id""",
     }

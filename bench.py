@@ -98,6 +98,8 @@ HEADLINE = [
     "mm_audio_hash", "mm_audio_neardup",
     # round 4: GIF decode kernel (stdlib LZW)
     "mm_decode_gif",
+    # round 4: BM25 ranked retrieval over corpus statistics
+    "search_bm25",
 ]
 
 
