@@ -614,6 +614,47 @@ def q_dedup_decontaminate(spark, sf):
     return D.contamination_hits(d, bench, shingle_n=8)
 
 
+def q_dedup_bloom(spark, sf):
+    # Bloom-filter decontamination: same corpus split as
+    # dedup_decontaminate, but membership goes through the 2^20-bit
+    # portable-hash Bloom array — false positives (deterministic, same
+    # md5 math both engines) are PART of the compared output.
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod("doc_id", F.lit(25)) == 0)
+    words = D.bloom_filter_build(bench, shingle_n=8, m_bits=1 << 20,
+                                 n_hashes=4)
+    return D.bloom_contamination_hits(d, words, shingle_n=8, n_hashes=4)
+
+
+def _bloom_sql(m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
+    from themis_spark.operators.dedup import _BLOOM_SEED0
+
+    seeds = ", ".join(str(_BLOOM_SEED0 + i) for i in range(n_hashes))
+    ph = _H.format(x="CAST(k AS VARCHAR) || ':' || s")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(range(1, len(toks)-6),
+                 i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]
+                   ||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))
+               END AS sh FROM t),
+        g AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        seeds AS (SELECT unnest([{seeds}]) AS k),
+        bpos AS (SELECT DISTINCT ({ph}) % {m_bits} AS p
+                 FROM g CROSS JOIN seeds WHERE doc_id % 25 = 0),
+        dp AS (SELECT doc_id, s, ({ph}) % {m_bits} AS p
+               FROM g CROSS JOIN seeds),
+        hit AS (SELECT doc_id, s, count(*) AS nin
+                FROM dp JOIN bpos USING (p) GROUP BY doc_id, s),
+        flags AS (SELECT doc_id, count(*) AS n_flagged
+                  FROM hit WHERE nin = {n_hashes} GROUP BY doc_id),
+        ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+        SELECT ng.doc_id, ng.n_grams, flags.n_flagged
+        FROM ng JOIN flags USING (doc_id)
+        WHERE flags.n_flagged > 0"""
+
+
 def q_stat_topk(spark, sf):
     # heavy hitters: top-10 most frequent l_partkey values (skew probe)
     from themis_spark.operators.stats import frequent_values
@@ -2091,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_gif": q_mm_decode_gif,
         "search_bm25": q_search_bm25,
         "search_postings": q_search_postings,
+        "dedup_bloom": q_dedup_bloom,
     }
 
 
@@ -4475,6 +4517,7 @@ def oracle_sql() -> dict[str, str]:
                           || repeat(c, 60)) AS resized_sha,
                    5 AS out_w, 4 AS out_h, 'gif' AS src_format FROM t""",
         "search_bm25": _bm25_sql(),
+        "dedup_bloom": _bloom_sql(),
         "search_postings": """
             WITH tok AS (
               SELECT doc_id,

@@ -100,6 +100,8 @@ HEADLINE = [
     "mm_decode_gif",
     # round 4: BM25 ranked retrieval over corpus statistics
     "search_bm25",
+    # round 4: Bloom-filter decontamination (broadcast bit-array membership)
+    "dedup_bloom",
 ]
 
 

@@ -30,6 +30,7 @@ from themis_spark.functions.hashing import (
     MERSENNE_P,
     affine_hash,
     hash60,
+    hash60_seeded,
 )
 
 
@@ -419,6 +420,121 @@ def contamination_hits(
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+# Bloom-filter decontamination — the scale path past the exact set.
+#
+# contamination_hits broadcasts the benchmark's EXACT 8-byte hash set:
+# right for eval sets (10⁶ grams ≈ 8 MB). When the "do not train on
+# this" side is itself corpus-sized (a licensed-content corpus, an
+# earlier crawl: 10⁹–10¹⁰ grams), the exact set is 10–100 GB and stops
+# broadcasting — a Bloom filter at ~10 bits/element (k=4 → ≈1–2% false
+# positives) compresses it 50× into something that still rides one
+# broadcast, at the cost of a deterministic, auditable FP rate.
+# Spark's own bloom_filter_agg/might_contain would also work JVM-side,
+# but its internal hashing can't be replayed by the DuckDB oracle; the
+# portable md5-hash60 family keeps the whole membership test — false
+# positives included — bit-reproducible in both engines.
+
+_BLOOM_SEED0 = 7130311  # fixed seed base; hash s uses seed _BLOOM_SEED0+s
+
+
+def _bloom_positions(gram: Column, m_bits: int, n_hashes: int) -> list[Column]:
+    """The n_hashes bit positions of one gram: independent seeded
+    portable hashes mod m (hash60 is non-negative, so % is pmod)."""
+    return [
+        (hash60_seeded(gram, _BLOOM_SEED0 + i) % F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_filter_build(benchmark: DataFrame, text: str = "text",
+                       shingle_n: int = 8, m_bits: int = 1 << 16,
+                       n_hashes: int = 4) -> list[int]:
+    """Build the Bloom bit array from a benchmark/blocked corpus's
+    distinct token n-grams. Returns the dense word list (``m_bits/64``
+    signed 64-bit words) — a driver-side value, but O(m/64), never
+    O(grams): 2³⁰ bits collect as 128 MB no matter how many grams set
+    them (grams aggregate into words map-side via bit_or partial
+    aggregation; the exchange carries at most m/64 rows).
+
+    ``m_bits`` must be a multiple of 64; size it at ~10 bits per
+    distinct gram for ≈1% FP at ``n_hashes=4``.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    grams = benchmark.select(
+        F.explode(shingles_col(F.col(text), shingle_n)).alias("s"))
+    pos = grams.select(F.explode(F.array(
+        *_bloom_positions(F.col("s"), m_bits, n_hashes))).alias("p"))
+    words = (
+        pos.selectExpr("CAST(p DIV 64 AS INT) AS w",
+                       "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS m")
+        .groupBy("w").agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["word"]
+    return arr
+
+
+def bloom_contamination_hits(df: DataFrame, bloom_words: list[int],
+                             key: str = "doc_id", text: str = "text",
+                             shingle_n: int = 8,
+                             n_hashes: int = 4) -> DataFrame:
+    """Per-document count of n-grams that MIGHT be in the Bloom set:
+    ``(key, n_grams, n_flagged)`` for documents with ≥1 flagged gram.
+    No false negatives (every truly-shared gram is flagged); false
+    positives are the filter's documented ~(1-e^{-kn/m})^k rate and are
+    deterministic — the same gram flags in every engine.
+
+    Plan shape: the bit array crosses ONCE as a broadcast one-row
+    frame; the membership test is pure codegen integer arithmetic
+    (element_at + shift + bitwise AND per hash) inside the scan-side
+    gram explode, and the only exchange is the per-doc count
+    aggregation. Nothing shuffles at O(grams × filter).
+    """
+    m_bits = 64 * len(bloom_words)
+    spark = df.sparkSession
+    bloom_df = spark.createDataFrame([(bloom_words,)], "bloom array<bigint>")
+    grams = df.select(
+        F.col(key), F.explode(shingles_col(F.col(text), shingle_n)).alias("s"))
+    g = grams.join(F.broadcast(bloom_df))
+    for i, p in enumerate(_bloom_positions(F.col("s"), m_bits, n_hashes)):
+        g = g.withColumn(f"__p{i}", p)
+    tests = [
+        F.expr(f"(element_at(bloom, CAST(__p{i} DIV 64 AS INT) + 1)"
+               f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT)))"
+               " != 0")
+        for i in range(n_hashes)
+    ]
+    might = tests[0]
+    for t in tests[1:]:
+        might = might & t
+    return (
+        g.select(F.col(key), might.cast("int").alias("__hit"))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum("__hit").alias("n_flagged"))
+        .where(F.col("n_flagged") > 0)
+    )
+
+
+def bloom_decontaminate(df: DataFrame, benchmark: DataFrame,
+                        key: str = "doc_id", text: str = "text",
+                        bench_text: str = "text", shingle_n: int = 8,
+                        m_bits: int = 1 << 16,
+                        n_hashes: int = 4) -> DataFrame:
+    """Documents with NO gram possibly shared with the benchmark — the
+    conservative (over-dropping, never under-dropping) decontamination
+    filter: Bloom false positives drop a clean doc occasionally; false
+    negatives (training on eval data) cannot happen."""
+    words = bloom_filter_build(benchmark, bench_text, shingle_n,
+                               m_bits, n_hashes)
+    hits = bloom_contamination_hits(df, words, key, text, shingle_n,
+                                    n_hashes).select(key)
+    return df.join(F.broadcast(hits), key, "left_anti")
 
 
 # ------------------------------------------------------------------- SimHash
