@@ -1648,6 +1648,171 @@ def q_web_pagerank(spark, sf):
     return WB.pagerank(edges, iters=3)
 
 
+def q_web_hits(spark, sf):
+    # HITS hubs/authorities over the same synthetic non-bijective graph
+    # as web_pagerank; 2 integer iterations, unnormalized (exact).
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    third = ((F.col("doc_id") - F.col("doc_id") % 3) / 3).cast("long")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % n).alias("dst"),
+    ).union(d.select(
+        F.col("doc_id").alias("src"),
+        (third % n).alias("dst"),
+    ))
+    return WB.hits(edges, iters=2)
+
+
+def _hits_sql(iters: int = 2) -> str:
+    ctes = ["""
+    n AS (SELECT count(*) AS cnt FROM documents),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * doc_id + 1) % (SELECT cnt FROM n) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS src, (doc_id // 3) % (SELECT cnt FROM n) AS dst
+      FROM documents),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    h0 AS (SELECT node, 1::BIGINT AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    a{i} AS (SELECT e.dst AS node, sum(h.hub)::BIGINT AS auth
+           FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)""")
+        ctes.append(f"""
+    h{i} AS (SELECT e.src AS node, sum(a.auth)::BIGINT AS hub
+           FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT nodes.node, coalesce(h{iters}.hub, 0) AS hub,
+           coalesce(a{iters}.auth, 0) AS auth
+    FROM nodes LEFT JOIN h{iters} ON nodes.node = h{iters}.node
+    LEFT JOIN a{iters} ON nodes.node = a{iters}.node""")
+
+
+def q_web_sitemaps(spark, sf):
+    # parse_sitemaps over per-doc synthesized XML: every doc a <url>
+    # block (lastmod on every 3rd), every 7th doc also a sitemap-index
+    # block, every 11th a loc-less block that must be dropped.
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.com"))
+    loc = F.concat(F.lit("https://"), host, F.lit("/page/"),
+                   F.col("doc_id").cast("string"))
+    lastmod = F.concat(
+        F.lit("2026-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"))
+    url_block = F.concat(
+        F.lit("<url><loc> "), loc, F.lit(" </loc>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")))
+        .otherwise(F.lit("")),
+        F.lit("</url>"))
+    sm_block = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("<sitemap><loc>https://"), host, F.lit("/child"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".xml</loc></sitemap>"))).otherwise(F.lit(""))
+    bad_block = F.when(F.col("doc_id") % 11 == 0,
+                       F.lit("<url><lastmod>x</lastmod></url>")) \
+        .otherwise(F.lit(""))
+    xml = F.concat(F.lit("<urlset>"), url_block, sm_block, bad_block,
+                   F.lit("</urlset>"))
+    pages = d.select(host.alias("host"), xml.alias("sitemap_xml"))
+    return WB.parse_sitemaps(pages)
+
+
+_SITEMAPS_SQL = """
+    WITH d AS (SELECT doc_id,
+                 'h' || (doc_id % 5)::VARCHAR || '.example.com' AS host
+               FROM documents),
+    u AS (SELECT host, 'url' AS kind,
+            'https://' || host || '/page/' || doc_id::VARCHAR AS loc,
+            CASE WHEN doc_id % 3 = 0
+                 THEN '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                 ELSE NULL END AS lastmod
+          FROM d),
+    s AS (SELECT host, 'sitemap' AS kind,
+            'https://' || host || '/child' || doc_id::VARCHAR || '.xml' AS loc,
+            CAST(NULL AS VARCHAR) AS lastmod
+          FROM d WHERE doc_id % 7 = 0)
+    SELECT * FROM u UNION ALL SELECT * FROM s"""
+
+
+def q_web_robots_directives(spark, sf):
+    # robots_directives over synthesized per-host robots bodies: a '*'
+    # group with crawl-delay + a host-level sitemap line + a second
+    # two-agent group sharing one crawl-delay.
+    hosts = (_t(spark, sf, "documents")
+             .select((F.col("doc_id") % 6).alias("hid")).distinct())
+    h = F.col("hid").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: "),
+        (F.col("hid") + 5).cast("string"),
+        F.lit("\nSitemap: https://h"), h, F.lit(".example.com/s.xml\n"),
+        F.lit("User-agent: alphabot\nUser-agent: betabot\nCrawl-delay: 0."),
+        h, F.lit("\n"))
+    df = hosts.select(
+        F.concat(F.lit("h"), h, F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"))
+    return WB.robots_directives(df)
+
+
+_ROBOTS_DIRECTIVES_SQL = """
+    WITH hid AS (SELECT DISTINCT doc_id % 6 AS hid FROM documents),
+    h AS (SELECT hid, 'h' || hid::VARCHAR || '.example.com' AS host FROM hid)
+    SELECT host, '*' AS agent, 'sitemap' AS directive,
+           'https://h' || hid::VARCHAR || '.example.com/s.xml' AS value
+    FROM h
+    UNION ALL
+    SELECT host, '*', 'crawl-delay', (hid + 5)::VARCHAR FROM h
+    UNION ALL
+    SELECT host, agent, 'crawl-delay', '0.' || hid::VARCHAR
+    FROM h CROSS JOIN (SELECT unnest(['alphabot', 'betabot']) AS agent)"""
+
+
+def q_web_anchor_text(spark, sf):
+    # extract_anchors over synthesized markup (nested tags inside the
+    # second anchor exercise the tag-strip) → anchor_text_index top-3.
+    d = _t(spark, sf, "documents").select("doc_id")
+    t1 = ((F.col("doc_id") * F.col("doc_id") + 1) % 40).cast("string")
+    t2 = ((F.col("doc_id") * 3 + 2) % 40).cast("string")
+    html = F.concat(
+        F.lit('<p>x</p><a href="https://t'), t1,
+        F.lit('.example.com/p" rel="x">site '),
+        (F.col("doc_id") % 7).cast("string"), F.lit("</a>"),
+        F.lit('<a href="https://t'), t2, F.lit('.example.com/p">read '),
+        F.lit("<b>more</b> "), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</a>"),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit('<a href="https://img.example.com/i">'
+                     '<img src="i.png"></a>')).otherwise(F.lit("")))
+    pages = d.select(F.col("doc_id").cast("string").alias("url"),
+                     html.alias("html"))
+    anchors = WB.extract_anchors(pages)
+    return WB.anchor_text_index(anchors, k=3)
+
+
+_ANCHOR_TEXT_SQL = """
+    WITH a AS (
+      SELECT 'https://t' || ((doc_id * doc_id + 1) % 40)::VARCHAR
+               || '.example.com/p' AS link,
+             'site ' || (doc_id % 7)::VARCHAR AS anchor
+      FROM documents
+      UNION ALL
+      SELECT 'https://t' || ((doc_id * 3 + 2) % 40)::VARCHAR
+               || '.example.com/p',
+             'read more ' || (doc_id % 5)::VARCHAR
+      FROM documents),
+    c AS (SELECT link, anchor, count(*) AS n FROM a GROUP BY 1, 2),
+    r AS (SELECT link, anchor, n,
+                 row_number() OVER (PARTITION BY link
+                                    ORDER BY n DESC, anchor ASC) AS rank
+          FROM c)
+    SELECT link, anchor, n, rank FROM r WHERE rank <= 3"""
+
+
 # Exact-substring dedup (Lee et al. 2021 window-hash form): the driver's
 # documents table is non-repeating word soup, so the query plants
 # duplication deterministically — shared boilerplate on residue-selected
@@ -2133,6 +2298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_postings": q_search_postings,
         "dedup_bloom": q_dedup_bloom,
+        "web_hits": q_web_hits,
+        "web_sitemaps": q_web_sitemaps,
+        "web_robots_directives": q_web_robots_directives,
+        "web_anchor_text": q_web_anchor_text,
     }
 
 
@@ -4518,6 +4687,10 @@ def oracle_sql() -> dict[str, str]:
                    5 AS out_w, 4 AS out_h, 'gif' AS src_format FROM t""",
         "search_bm25": _bm25_sql(),
         "dedup_bloom": _bloom_sql(),
+        "web_hits": _hits_sql(),
+        "web_sitemaps": _SITEMAPS_SQL,
+        "web_robots_directives": _ROBOTS_DIRECTIVES_SQL,
+        "web_anchor_text": _ANCHOR_TEXT_SQL,
         "search_postings": """
             WITH tok AS (
               SELECT doc_id,

@@ -102,6 +102,9 @@ HEADLINE = [
     "search_bm25",
     # round 4: Bloom-filter decontamination (broadcast bit-array membership)
     "dedup_bloom",
+    # round 4: crawl infrastructure — HITS, sitemaps, robots directives,
+    # anchor-text index
+    "web_hits", "web_sitemaps", "web_robots_directives", "web_anchor_text",
 ]
 
 

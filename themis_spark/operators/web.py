@@ -687,3 +687,202 @@ def host_mirrors(df: DataFrame, url: str = "url",
         .agg(F.count(F.lit(1)).alias("shared_digests"))
         .where(F.col("shared_digests") >= min_shared)
     )
+
+
+# ------------------------------------------------- crawl infrastructure
+
+def robots_directives(df: DataFrame, host: str = "host",
+                      body: str = "robots_txt") -> DataFrame:
+    """Non-rule robots.txt directives: ``(host, agent, directive,
+    value)`` with directive ∈ {'sitemap', 'crawl-delay'}.
+
+    ``Sitemap:`` is agent-independent per RFC 9309 §2.3 / the sitemaps
+    protocol — its rows carry agent ``'*'`` regardless of position.
+    ``Crawl-delay`` (the de-facto extension honored by most crawlers,
+    never standardized) binds to the nearest preceding user-agent
+    block, exactly like allow/disallow in :func:`parse_robots`.
+
+    Plan shape mirrors parse_robots: scan-stage line classification,
+    one per-host window pair for block assignment, per-(host, block)
+    equi-join of agents × delay rules. Sitemap rows skip the block
+    machinery entirely (pure scan-stage filter). O(robots corpus).
+    """
+    from pyspark.sql.window import Window
+
+    lines = F.posexplode(F.split(F.col(body), "\n"))
+    raw = df.select(F.col(host).alias("host"), lines.alias("pos", "line"))
+    t = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    lt = F.lower(t)
+    value = F.trim(F.regexp_extract(F.col("t"), "^[^:]*:(.*)$", 1))
+
+    sitemaps = (
+        raw.select("host", t.alias("t"), lt.alias("lt"))
+        .where(F.col("lt").startswith("sitemap:"))
+        .select("host", F.lit("*").alias("agent"),
+                F.lit("sitemap").alias("directive"),
+                F.trim(F.regexp_extract("t", "^[^:]*:(.*)$", 1))
+                .alias("value"))
+        .where(F.col("value") != "")
+    )
+
+    ty = (
+        F.when(lt.startswith("user-agent:"), F.lit("ua"))
+        .when(lt.startswith("crawl-delay:"), F.lit("delay"))
+        .otherwise(F.lit("other"))
+    )
+    classified = raw.select("host", "pos", t.alias("t"), ty.alias("ty"))
+    w = Window.partitionBy("host").orderBy("pos")
+    st = F.when(
+        (F.col("ty") == "ua")
+        & (F.coalesce(F.lag("ty").over(w), F.lit("x")) != "ua"),
+        F.lit(1)).otherwise(F.lit(0))
+    grouped = classified.select(
+        "host", "pos", "t", "ty", st.alias("__st")) \
+        .select("host", "pos", "t", "ty",
+                F.sum("__st").over(w).alias("grp"))
+    ua = grouped.where(F.col("ty") == "ua").select(
+        "host", "grp", F.lower(value).alias("agent"))
+    delays = grouped.where(F.col("ty") == "delay") \
+        .where(value != "") \
+        .select("host", "grp", F.lit("crawl-delay").alias("directive"),
+                value.alias("value"))
+    bound = ua.join(delays, ["host", "grp"]).select(
+        "host", "agent", "directive", "value")
+    return sitemaps.unionByName(bound)
+
+
+_SITEMAP_BLOCK_RE = r"(?is)<(url|sitemap)>(.*?)</\1>"
+
+
+def parse_sitemaps(df: DataFrame, host: str = "host",
+                   xml: str = "sitemap_xml") -> DataFrame:
+    """Parse sitemap / sitemap-index XML bodies into ``(host, kind,
+    loc, lastmod)`` rows — kind ``'url'`` for page entries,
+    ``'sitemap'`` for index entries pointing at child sitemaps (the
+    crawler recurses on those). ``lastmod`` is the raw string (W3C
+    datetime, many real-world shapes) or NULL when absent.
+
+    Plan shape: one regexp_extract_all over the XML body pulls the
+    <url>/<sitemap> blocks, per-block loc/lastmod extraction runs
+    inside the same scan-stage transform, and the explode emits only
+    the parsed rows — the XML bytes never leave the scan projection.
+    Entries without a <loc> are dropped (spec: loc is required).
+    """
+    s = F.col(xml).cast("string")
+    blocks = F.regexp_extract_all(s, F.lit(_SITEMAP_BLOCK_RE), F.lit(0))
+    parsed = F.transform(blocks, lambda b: F.struct(
+        F.lower(F.regexp_extract(b, r"(?is)^<(url|sitemap)>", 1))
+        .alias("kind"),
+        F.trim(F.regexp_extract(b, r"(?is)<loc>\s*([^<]*?)\s*</loc>", 1))
+        .alias("loc"),
+        F.trim(F.regexp_extract(
+            b, r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>", 1))
+        .alias("lastmod"),
+    ))
+    out = df.select(F.col(host).alias("host"),
+                    F.explode(parsed).alias("e"))
+    return out.select(
+        "host", F.col("e.kind").alias("kind"), F.col("e.loc").alias("loc"),
+        F.when(F.col("e.lastmod") == "", F.lit(None))
+        .otherwise(F.col("e.lastmod")).alias("lastmod"),
+    ).where(F.col("loc") != "")
+
+
+_ANCHOR_RE = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_anchors(df: DataFrame, key: str = "url",
+                    html: str = "html") -> DataFrame:
+    """Outlinks WITH their anchor text: ``(key, link, anchor)`` — one
+    row per <a href> element; ``anchor`` is the element's inner text
+    with nested tags stripped and whitespace collapsed (may be empty:
+    image links). The input of :func:`anchor_text_index`.
+
+    Plan shape: regexp_extract_all of whole <a> elements + per-element
+    href/inner-text extraction inside one scan-stage transform; the
+    page bytes never cross an exchange. Anchor text is the classic
+    web-scale training signal (it describes the TARGET page), so rows
+    flow keyed by link downstream.
+    """
+    s = F.col(html).cast("string")
+    elems = F.regexp_extract_all(s, F.lit(_ANCHOR_RE), F.lit(0))
+    parsed = F.transform(elems, lambda e: F.struct(
+        F.regexp_extract(e, r'(?is)href="([^"]*)"', 1).alias("link"),
+        F.trim(F.regexp_replace(F.regexp_replace(
+            F.regexp_extract(e, r"(?is)>(.*)</a>$", 1),
+            r"(?s)<[^>]*>", " "), r"\s+", " ")).alias("anchor"),
+    ))
+    return (
+        df.select(F.col(key), F.explode(parsed).alias("e"))
+        .select(F.col(key), F.col("e.link").alias("link"),
+                F.col("e.anchor").alias("anchor"))
+        .where(F.col("link") != "")
+    )
+
+
+def anchor_text_index(anchors: DataFrame, link: str = "link",
+                      anchor: str = "anchor", k: int = 5) -> DataFrame:
+    """Aggregated anchor-text index: for each link target, the top-k
+    distinct anchor strings by frequency — ``(link, anchor, n, rank)``.
+    This is how web corpora synthesize target-page descriptions
+    (anchor-text corpus construction). Empty anchors are dropped.
+
+    Plan shape: ONE (link, anchor) count aggregation (map-side
+    combined), then a per-link rank window that WindowGroupLimit
+    prunes to k per task before the per-link exchange. Output is
+    O(targets × k), never O(anchor occurrences).
+    """
+    from pyspark.sql.window import Window
+
+    counted = (
+        anchors.where(F.col(anchor) != "")
+        .groupBy(link, anchor).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(link).orderBy(F.desc("n"), F.asc(anchor))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hits(edges: DataFrame, iters: int = 2, src: str = "src",
+         dst: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over a link graph, integer
+    form: starting from hub=1 on every node, each iteration computes
+    ``auth(v) = Σ_{(u,v)∈E} hub(u)`` then ``hub(u) = Σ_{(u,v)∈E}
+    auth(v)``. Scores stay UNNORMALIZED integers — for ranking only
+    relative order matters, iterations are few, and integer sums are
+    exact under any partitioning (same design as :func:`pagerank`'s
+    integer arithmetic), so the result replays bit-for-bit in the SQL
+    oracle. Returns ``(node, hub, auth)`` — nodes with no in-links
+    have auth 0, no out-links hub 0.
+
+    Plan shape per iteration: edges ⋈ scores on src (broadcast when
+    scores are small; sort-merge co-partitioned otherwise) → one
+    groupBy(dst) agg, then the mirror pass. The edge list never
+    crosses more than these keyed exchanges; nothing is quadratic.
+    At web scale, run on the HOST graph (host_graph output) where
+    nodes are 10⁷–10⁸, not on raw pages.
+    """
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            edges.join(hub.withColumnRenamed("node", src), src)
+            .groupBy(dst).agg(F.sum("hub").alias("auth"))
+            .withColumnRenamed(dst, "node")
+        )
+        hub = (
+            edges.join(auth.withColumnRenamed("node", dst), dst)
+            .groupBy(src).agg(F.sum("auth").alias("hub"))
+            .withColumnRenamed(src, "node")
+        )
+    return (
+        nodes.join(hub, "node", "left").join(auth, "node", "left")
+        .select("node",
+                F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+                F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
+    )
