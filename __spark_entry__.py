@@ -655,6 +655,40 @@ def _bloom_sql(m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
         WHERE flags.n_flagged > 0"""
 
 
+def q_text_charset(spark, sf):
+    # charset sniff + per-row decode over payloads synthesized in four
+    # regimes: plain utf-8, meta-declared latin-1 (with a real é), BOM
+    # utf-16be, BOM utf-8. decoded_md5 proves the decode restored the
+    # exact original string in every regime.
+    from themis_spark.operators.text import _BOM_UTF8, with_decoded_text
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    s = F.col("text")
+    r = F.col("doc_id") % 4
+    payload = (
+        F.when(r == 0, F.encode(s, "UTF-8"))
+        .when(r == 1, F.encode(
+            F.concat(F.lit('<meta charset="iso-8859-1">'), s, F.lit("é")),
+            "ISO-8859-1"))
+        .when(r == 2, F.encode(s, "UTF-16"))
+        .otherwise(F.concat(F.lit(_BOM_UTF8), F.encode(s, "UTF-8")))
+    )
+    pages = d.select("doc_id", payload.alias("html"))
+    out = with_decoded_text(pages)
+    return out.select(
+        "doc_id", "charset", F.md5("decoded_text").alias("decoded_md5"))
+
+
+_CHARSET_SQL = """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+           WHEN 2 THEN 'utf-16be' ELSE 'utf-8' END AS charset,
+      md5(CASE doc_id % 4
+            WHEN 1 THEN '<meta charset="iso-8859-1">' || text || 'é'
+            ELSE text END) AS decoded_md5
+    FROM documents"""
+
+
 def q_stat_topk(spark, sf):
     # heavy hitters: top-10 most frequent l_partkey values (skew probe)
     from themis_spark.operators.stats import frequent_values
@@ -2302,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemaps": q_web_sitemaps,
         "web_robots_directives": q_web_robots_directives,
         "web_anchor_text": q_web_anchor_text,
+        "text_charset": q_text_charset,
     }
 
 
@@ -4691,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
         "web_sitemaps": _SITEMAPS_SQL,
         "web_robots_directives": _ROBOTS_DIRECTIVES_SQL,
         "web_anchor_text": _ANCHOR_TEXT_SQL,
+        "text_charset": _CHARSET_SQL,
         "search_postings": """
             WITH tok AS (
               SELECT doc_id,

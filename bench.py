@@ -105,6 +105,8 @@ HEADLINE = [
     # round 4: crawl infrastructure — HITS, sitemaps, robots directives,
     # anchor-text index
     "web_hits", "web_sitemaps", "web_robots_directives", "web_anchor_text",
+    # round 4: charset sniff + per-row decode of raw crawl bytes
+    "text_charset",
 ]
 
 
