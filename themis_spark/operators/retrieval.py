@@ -12,14 +12,11 @@ tfidf_top_terms).
 
 Scale posture (100 TB corpus, handful-to-thousands of queries):
 
-* The corpus side is tokenized ONCE into per-(doc, term) tf rows — the
-  same aggregation the tf·idf operator already pays; document length
-  and corpus size ride the same frame (no second scan).
-* The query side is tiny by construction and crosses as a BROADCAST:
-  the candidate join (inverted-index probe) is map-side, so the only
-  corpus-scale exchanges are the tf aggregation itself and the final
-  per-(query, doc) score aggregation — both keyed well (doc×term,
-  query×doc), neither O(corpus × queries).
+* The query side is tiny by construction and BROADCASTS into the scan
+  stage as a semi-filter on the token explode, so the tf aggregation —
+  the only corpus-scale exchange — carries matching postings only,
+  never the full (doc, term) inverted index. Document length is a
+  scan-stage expression; corpus size/avgdl is a 1-row agg.
 * Top-k per query is a rank window AFTER the score aggregation, where
   the frame is already only matched (query, doc) pairs;
   WindowGroupLimit prunes per-task before the per-query exchange.
@@ -89,18 +86,56 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     on the rounded score then ascending doc key (total order —
     deterministic under any partitioning, oracle-replayable).
 
-    Plan shape: corpus tf/df aggregation (the scan-side cost, paid
-    once) → broadcast query-term probe join → per-(query, doc) sum →
-    per-query rank window with WindowGroupLimit pre-pruning. The
-    broadcast keeps the inverted-index probe map-side; nothing in the
-    plan is O(corpus × queries).
+    Plan shape: the query-term set broadcast-filters the token explode
+    IN THE SCAN STAGE (tf restricted to query terms is still exact —
+    every occurrence of a matching term survives), so the only
+    corpus-scale exchange carries MATCHING postings, not the full
+    inverted index; document length is a scan-stage expression
+    (size(split)), not a join; df is a count window over the filtered
+    postings (a groupBy-and-rejoin would re-execute the scan subtree —
+    a second corpus scan); corpus size/avgdl is a 1-row agg over a
+    text-column-pruned scan. Then the per-(query, doc) sum and a
+    per-query rank window that WindowGroupLimit prunes per task.
+    Nothing in the plan is O(corpus × queries) or O(vocabulary).
     """
     from pyspark.sql.window import Window
 
-    tf, meta = corpus_term_stats(docs, key, text)
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    c = F.col(text)
+    toks_arr = F.split(F.trim(F.lower(c)), r"\s+")
+    base = (
+        docs.where(c.isNotNull())
+        .select(F.col(key),
+                F.size(toks_arr).alias("dl"),
+                F.explode(toks_arr).alias("token"))
+        .where(F.length("token") > 0)
+    )
+    # corpus size + average length: a 1-row partial agg over a scan
+    # that prunes to the text column — no exchange beyond the
+    # single-row combine (dl here is the scan-stage token count, so it
+    # exists before any aggregation)
+    meta = (
+        docs.where(c.isNotNull())
+        .select(F.size(toks_arr).alias("__dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.avg(F.col("__dl").cast("double")).alias("avgdl"))
+    )
 
     qterms = _tokens(queries, qkey, qtext).distinct()
+    # the broadcast semi-filter runs IN THE SCAN STAGE, before any
+    # exchange: tf over query terms only is still the exact tf (every
+    # occurrence of a matching term survives the filter), so the only
+    # corpus-scale shuffle carries matching postings, not the full
+    # inverted index
+    hit = base.join(F.broadcast(qterms.select("token").distinct()), "token")
+    tf = hit.groupBy(key, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    # df(t) = docs containing t — a count window over the filtered
+    # postings (one row per matching (doc, term)). A window, not a
+    # groupBy-and-rejoin: the rejoin would re-execute the whole
+    # scan+filter subtree (a second corpus scan); the window reuses
+    # the postings already in hand (they are query-sized post-filter)
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token")))
 
     n = F.col("n_docs").cast("double")
     idf = F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5))
@@ -113,7 +148,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
 
     matched = (
         tf.join(F.broadcast(qterms), "token")
-        .join(dfreq, "token")
         .join(F.broadcast(meta))
         .select(F.col(qkey), F.col(key), (idf * norm).alias("__part"))
     )
