@@ -655,6 +655,75 @@ def _bloom_sql(m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
         WHERE flags.n_flagged > 0"""
 
 
+def q_web_crawl_budget(spark, sf):
+    # per-host crawl budgets: rank-proportional shares in integer long
+    # arithmetic, politeness caps from per-host delays (even hids get
+    # explicit delays, odd fall back to the 1.0 s default).
+    d = _t(spark, sf, "documents").select("doc_id")
+    hosts = d.select((F.col("doc_id") % 6).alias("hid")).distinct()
+    hostname = F.concat(F.lit("h"), F.col("hid").cast("string"),
+                        F.lit(".example.com"))
+    ranks = hosts.select(hostname.alias("host"),
+                         ((F.col("hid") + 1) * 100).alias("rank"))
+    delays = hosts.where(F.col("hid") % 2 == 0).select(
+        hostname.alias("host"),
+        ((F.col("hid") % 3) + 1).cast("double").alias("crawl_delay"))
+    return WB.crawl_budgets(ranks, delays, horizon_s=3600,
+                            total_budget=5000, max_budget=1500)
+
+
+_CRAWL_BUDGET_SQL = """
+    WITH hid AS (SELECT DISTINCT doc_id % 6 AS hid FROM documents),
+    r AS (SELECT hid, 'h' || hid::VARCHAR || '.example.com' AS host,
+                 (hid + 1) * 100 AS rank,
+                 CASE WHEN hid % 2 = 0 THEN ((hid % 3) + 1)::DOUBLE
+                      ELSE 1.0 END AS delay
+          FROM hid),
+    t AS (SELECT CAST(sum(rank) AS BIGINT) AS tot FROM r)
+    SELECT host,
+           CAST(floor(3600.0 / greatest(delay, 0.001)) AS BIGINT)
+             AS politeness_cap,
+           CAST((5000 * rank) // tot AS BIGINT) AS share,
+           least(CAST(floor(3600.0 / greatest(delay, 0.001)) AS BIGINT),
+                 CAST((5000 * rank) // tot AS BIGINT),
+                 1500::BIGINT) AS budget
+    FROM r CROSS JOIN t"""
+
+
+def q_web_frontier(spark, sf):
+    # prioritized frontier under per-host budgets: top-budget urls per
+    # host by a deterministic priority, rank window + broadcast budgets.
+    d = _t(spark, sf, "documents").select("doc_id")
+    hid = (F.col("doc_id") % 6).cast("string")
+    pages = d.select(
+        F.concat(F.lit("https://h"), hid, F.lit(".example.com/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        ((F.col("doc_id") * 7) % 101).alias("priority"))
+    budgets = (d.select((F.col("doc_id") % 6).alias("hid")).distinct()
+               .select(F.concat(F.lit("h"), F.col("hid").cast("string"),
+                                F.lit(".example.com")).alias("host"),
+                       ((F.col("hid") % 4) + 2).alias("budget")))
+    return WB.crawl_frontier(pages, budgets)
+
+
+_FRONTIER_SQL = """
+    WITH p AS (SELECT
+        'h' || (doc_id % 6)::VARCHAR || '.example.com' AS host,
+        'https://h' || (doc_id % 6)::VARCHAR || '.example.com/p'
+          || doc_id::VARCHAR AS url,
+        (doc_id * 7) % 101 AS priority
+      FROM documents),
+    b AS (SELECT DISTINCT doc_id % 6 AS hid FROM documents),
+    bb AS (SELECT 'h' || hid::VARCHAR || '.example.com' AS host,
+                  (hid % 4) + 2 AS budget FROM b),
+    r AS (SELECT host, url, priority,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY priority DESC, url ASC) AS rank
+          FROM p)
+    SELECT r.host, r.url, r.priority, r.rank
+    FROM r JOIN bb USING (host) WHERE r.rank <= bb.budget"""
+
+
 def q_text_charset(spark, sf):
     # charset sniff + per-row decode over payloads synthesized in four
     # regimes: plain utf-8, meta-declared latin-1 (with a real é), BOM
@@ -2337,6 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_directives": q_web_robots_directives,
         "web_anchor_text": q_web_anchor_text,
         "text_charset": q_text_charset,
+        "web_crawl_budget": q_web_crawl_budget,
+        "web_frontier": q_web_frontier,
     }
 
 
@@ -4727,6 +4798,8 @@ def oracle_sql() -> dict[str, str]:
         "web_robots_directives": _ROBOTS_DIRECTIVES_SQL,
         "web_anchor_text": _ANCHOR_TEXT_SQL,
         "text_charset": _CHARSET_SQL,
+        "web_crawl_budget": _CRAWL_BUDGET_SQL,
+        "web_frontier": _FRONTIER_SQL,
         "search_postings": """
             WITH tok AS (
               SELECT doc_id,

@@ -107,6 +107,8 @@ HEADLINE = [
     "web_hits", "web_sitemaps", "web_robots_directives", "web_anchor_text",
     # round 4: charset sniff + per-row decode of raw crawl bytes
     "text_charset",
+    # round 4: crawl budgets + prioritized frontier
+    "web_crawl_budget", "web_frontier",
 ]
 
 

@@ -113,3 +113,53 @@ def test_extract_anchors_is_scan_stage(spark):
     plan = W.extract_anchors(df) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_crawl_budgets_politeness_and_share(spark):
+    ranks = spark.createDataFrame(
+        [("a.com", 300), ("b.com", 100), ("c.com", 0)],
+        "host string, rank long")
+    delays = spark.createDataFrame(
+        [("a.com", 2.0), ("b.com", 0.5)], "host string, crawl_delay double")
+    out = {r.host: (r.politeness_cap, r.share, r.budget)
+           for r in W.crawl_budgets(ranks, delays, horizon_s=100,
+                                    total_budget=80,
+                                    max_budget=1000).collect()}
+    # a: cap 100/2=50, share 80*300//400=60 → budget 50
+    # b: cap 100/0.5=200, share 80*100//400=20 → budget 20
+    # c: cap 100/1(default)=100, share 0 → budget 0
+    assert out == {"a.com": (50, 60, 50), "b.com": (200, 20, 20),
+                   "c.com": (100, 0, 0)}
+
+
+def test_crawl_budgets_no_total(spark):
+    ranks = spark.createDataFrame([("a.com", 5)], "host string, rank long")
+    out = W.crawl_budgets(ranks, None, horizon_s=10,
+                          max_budget=7).collect()[0]
+    assert out.politeness_cap == 10 and out.share is None and out.budget == 7
+
+
+def test_crawl_frontier_budget_caps_per_host(spark):
+    pages = spark.createDataFrame(
+        [(f"https://a.com/p{i}", 10 - i) for i in range(5)]
+        + [("https://b.com/x", 1), ("https://b.com/y", 2)],
+        "url string, priority long")
+    budgets = spark.createDataFrame(
+        [("a.com", 2), ("b.com", 5)], "host string, budget long")
+    out = W.crawl_frontier(pages, budgets).collect()
+    got = {(r.host, r.url): r.rank for r in out}
+    assert got == {("a.com", "https://a.com/p0"): 1,
+                   ("a.com", "https://a.com/p1"): 2,
+                   ("b.com", "https://b.com/y"): 1,
+                   ("b.com", "https://b.com/x"): 2}
+
+
+def test_crawl_frontier_budgets_broadcast(spark):
+    pages = spark.createDataFrame([("https://a.com/p", 1)],
+                                  "url string, priority long")
+    budgets = spark.createDataFrame([("a.com", 1)],
+                                    "host string, budget long")
+    plan = W.crawl_frontier(pages, budgets) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

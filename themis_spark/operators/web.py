@@ -869,12 +869,17 @@ def hits(edges: DataFrame, iters: int = 2, src: str = "src",
              .distinct())
     hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
     auth = None
-    for _ in range(iters):
+    for i in range(iters):
         auth = (
             edges.join(hub.withColumnRenamed("node", src), src)
             .groupBy(dst).agg(F.sum("hub").alias("auth"))
             .withColumnRenamed(dst, "node")
         )
+        if iters > 2 and i < iters - 1:
+            # deep runs: cut the doubling lineage per round (the final
+            # hub⋈auth select otherwise re-executes each level twice) —
+            # same localCheckpoint pattern as dedup's label propagation
+            auth = auth.localCheckpoint(eager=False)
         hub = (
             edges.join(auth.withColumnRenamed("node", dst), dst)
             .groupBy(src).agg(F.sum("auth").alias("hub"))
@@ -885,4 +890,92 @@ def hits(edges: DataFrame, iters: int = 2, src: str = "src",
         .select("node",
                 F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
                 F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
+    )
+
+
+def crawl_budgets(ranks: DataFrame, delays: DataFrame | None = None,
+                  host: str = "host", rank: str = "rank",
+                  delay: str = "crawl_delay",
+                  horizon_s: int = 86400, default_delay: float = 1.0,
+                  max_budget: int = 100_000,
+                  total_budget: int | None = None) -> DataFrame:
+    """Per-host fetch budget for one politeness horizon:
+    ``(host, politeness_cap, share, budget)``.
+
+    * ``politeness_cap = floor(horizon_s / crawl_delay)`` — the hard
+      REP bound (one fetch per delay); hosts absent from ``delays``
+      use ``default_delay``.
+    * ``share`` — when ``total_budget`` is set, the host's
+      rank-proportional allocation ``floor(total_budget · rank / Σrank)``
+      (integer arithmetic over the integer PageRank/HITS scores this
+      module produces — exact in both engines); otherwise unlimited.
+    * ``budget = least(politeness_cap, share, max_budget)``.
+
+    Plan shape: delays join is per-host (broadcast at real sizes — the
+    frame is O(hosts with robots files)); Σrank is a ONE-ROW broadcast
+    agg; everything else is scan-stage arithmetic. O(hosts) end to end
+    — this operator never touches the page corpus.
+    """
+    r = ranks.select(F.col(host).alias("host"),
+                     F.col(rank).cast("long").alias("__rank"))
+    if delays is not None:
+        d = delays.select(F.col(host).alias("host"),
+                          F.col(delay).cast("double").alias("__delay"))
+        r = r.join(F.broadcast(d), "host", "left")
+    else:
+        r = r.withColumn("__delay", F.lit(None).cast("double"))
+    eff_delay = F.greatest(
+        F.coalesce(F.col("__delay"), F.lit(float(default_delay))),
+        F.lit(1e-3))
+    cap = F.floor(F.lit(float(horizon_s)) / eff_delay).cast("long")
+    r = r.withColumn("politeness_cap", cap)
+    if total_budget is not None:
+        tot = r.agg(F.sum("__rank").alias("__tot"))
+        r = r.join(F.broadcast(tot))
+        # integer floor of (total·rank)/Σrank in long arithmetic (DIV),
+        # no double rounding — exact in both engines
+        r = r.withColumn(
+            "share",
+            F.expr(f"CAST({int(total_budget)} AS BIGINT) * __rank"
+                   " DIV __tot"))
+    else:
+        r = r.withColumn("share", F.lit(None).cast("long"))
+    budget = F.least(
+        F.col("politeness_cap"),
+        F.coalesce(F.col("share"), F.col("politeness_cap")),
+        F.lit(int(max_budget)))
+    return r.select("host", "politeness_cap", "share",
+                    budget.alias("budget"))
+
+
+def crawl_frontier(pages: DataFrame, budgets: DataFrame,
+                   url: str = "url", host_out: str = "host",
+                   priority: str = "priority") -> DataFrame:
+    """Prioritized crawl frontier under per-host budgets: for each
+    host, the top-``budget`` URLs by priority — ``(host, url,
+    priority, rank)`` with rank 1..budget.
+
+    The variable per-host k comes from joining ``budgets`` (O(hosts),
+    broadcast) before the rank filter; the ranking window is
+    WindowGroupLimit-prunable only for constant k, so the budget cap
+    is applied as a post-window filter — the exchange still carries
+    one row per candidate page, which is the frontier input, not the
+    corpus (callers pre-filter to uncrawled/stale candidates).
+    Ties break on url ascending for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    h = host_col(F.col(url)).alias(host_out)
+    w = Window.partitionBy(host_out).orderBy(
+        F.col(priority).desc(), F.col(url).asc())
+    ranked = (
+        pages.select(h, F.col(url), F.col(priority))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    b = budgets.select(F.col("host").alias(host_out),
+                       F.col("budget"))
+    return (
+        ranked.join(F.broadcast(b), host_out)
+        .where(F.col("rank") <= F.col("budget"))
+        .select(host_out, url, priority, "rank")
     )
