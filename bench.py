@@ -109,6 +109,8 @@ HEADLINE = [
     "text_charset",
     # round 4: crawl budgets + prioritized frontier
     "web_crawl_budget", "web_frontier",
+    # round 4: exact-term posting-list audit probe
+    "search_postings",
 ]
 
 
