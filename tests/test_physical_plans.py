@@ -323,3 +323,40 @@ def test_robots_verdicts_broadcast_rules(spark):
     # never shuffled for the rules join itself
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_single_corpus_scan_filter_in_scan_stage(spark, tmp_path_factory):
+    # the query-term broadcast filter must sit on the scan side BEFORE
+    # the tf exchange, df must come from a window (no rejoin that would
+    # re-execute the scan subtree), so the whole query reads the corpus
+    # parquet exactly twice: the postings scan + the 1-row meta agg.
+    from themis_spark.operators.retrieval import bm25_topk
+
+    d = str(tmp_path_factory.mktemp("bm25")) + "/docs"
+    spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(50)],
+        "doc_id long, text string").write.parquet(d)
+    docs = spark.read.parquet(d)
+    qs = spark.createDataFrame([(0, "alpha")], "query_id long, query string")
+    plan = _plan(bm25_topk(docs, qs, k=3))
+    assert plan.count("FileScan") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_membership_no_corpus_side_shuffle_join(spark):
+    from themis_spark.operators import dedup as D
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string")
+    words = D.bloom_filter_build(bench, m_bits=1 << 12)
+    plan = _plan(D.bloom_contamination_hits(docs, words))
+    # the bit array rides a broadcast; membership is pure codegen —
+    # the only exchange is the per-doc count aggregation
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
