@@ -1179,6 +1179,36 @@ def q_ann_ivf(spark, sf):
                       centroids=cents, n_probe=4, k=10)
 
 
+def q_ann_pq_codes(spark, sf):
+    # product-quantization code frame (Jégou et al. 2011): the compact
+    # index a 100 TB corpus materializes — M=8 sub-codes + one rounded
+    # norm per row, 32× lighter than the raw floats at rank time.
+    # Codebooks are deterministic init-only (sub-slices of the first 16
+    # vectors) so DuckDB re-derives the identical index from the table.
+    # Codes surface as a '-'-joined string: the compare layer hashes
+    # column text, and array renderings differ across engines.
+    emb = _t(spark, sf, "embeddings")
+    cbs = S.train_pq_codebooks(emb, n_sub=8, k=16, dim=64)
+    return S.pq_encode(emb, codebooks=cbs).select(
+        "vec_id",
+        F.concat_ws("-", F.transform(F.col("codes"),
+                                     lambda c: c.cast("string"))).alias("codes"),
+        "norm",
+    )
+
+
+def q_ann_ivfpq(spark, sf):
+    # IVF+PQ (FAISS-IVFADC plan shape): coarse cells prune candidates,
+    # integer ADC over PQ codes ranks them — raw vectors never reach the
+    # rank stage. Same deterministic init-only index as ann_ivf /
+    # ann_pq_codes, so the whole pipeline replays in SQL.
+    emb = _t(spark, sf, "embeddings")
+    cbs = S.train_pq_codebooks(emb, n_sub=8, k=16, dim=64)
+    return S.ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
+                        centroids=emb.where(F.col("vec_id") < 16),
+                        codebooks=cbs, n_probe=4)
+
+
 def q_stat_hll(spark, sf):
     # sketch BYTES aren't oracle-replayable; the oracle-checkable claims
     # are (a) the exact distinct count and (b) the HLL estimate landing
@@ -2311,6 +2341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq_codes": q_ann_pq_codes,
+        "ann_ivfpq": q_ann_ivfpq,
         "ann_embedding_neardup": q_ann_embedding_neardup,
         "drift_ks": q_drift_ks,
         "drift_psi": q_drift_psi,
@@ -2619,6 +2651,92 @@ def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
                          ORDER BY cosine DESC, neighbor_key ASC) AS rank
                FROM scored)
     SELECT query_key, neighbor_key, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# PQ index CTEs shared by the ann_pq_codes / ann_ivfpq oracles: replay
+# train_pq_codebooks init (sub-slices of the first k rows), the rounded
+# L2 assignment with first-on-tie (lowest code), and the per-row norm.
+# list_distance mirrors similarity._sub_sqdist_col's round(sqrt(Σd²),6).
+def _pq_index_sql(n_sub: int = 8, k: int = 16, dim: int = 64) -> str:
+    d = dim // n_sub
+    return f"""
+    init AS (SELECT vec_id AS code, embedding FROM embeddings
+             WHERE vec_id < {k}),
+    sub AS (SELECT t.m, init.code,
+                   list_slice(init.embedding, t.m*{d}+1, t.m*{d}+{d})::DOUBLE[] AS c
+            FROM init, range(0, {n_sub}) t(m)),
+    dists AS (SELECT e.vec_id, s.m, s.code,
+                     round(list_distance(
+                       list_slice(e.embedding, s.m*{d}+1, s.m*{d}+{d})::DOUBLE[],
+                       s.c), 6) AS dst
+              FROM embeddings e, sub s),
+    codes AS (SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dst ASC, code ASC) AS rn
+                FROM dists) rr WHERE rn = 1),
+    norms AS (SELECT vec_id,
+                     round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])), 6) AS nrm
+              FROM embeddings)"""
+
+
+def _ann_pq_codes_sql(n_sub: int = 8, k: int = 16, dim: int = 64) -> str:
+    return f"""
+    WITH {_pq_index_sql(n_sub, k, dim)},
+    agg AS (SELECT vec_id,
+                   array_to_string(list(code ORDER BY m), '-') AS codes
+            FROM codes GROUP BY vec_id)
+    SELECT a.vec_id, a.codes, n.nrm AS norm
+    FROM agg a JOIN norms n USING (vec_id)
+    """
+
+
+def _ann_ivfpq_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
+                   n_queries: int = 5, n_sub: int = 8, n_codes: int = 16,
+                   dim: int = 64) -> str:
+    # ivf assignment/probing identical to _ann_ivf_sql; ranking replays
+    # the integer ADC: LUT entries round-scaled to BIGINT micro-units,
+    # summed exactly, one float divide by the stored rounded norms
+    d = dim // n_sub
+    return f"""
+    WITH cent AS (SELECT vec_id AS cell_ix, embedding::DOUBLE[] AS c_vec
+                  FROM embeddings WHERE vec_id < {n_cells}),
+    sims AS (SELECT e.vec_id, ct.cell_ix,
+                    round(list_cosine_similarity(e.embedding::DOUBLE[], ct.c_vec), 6) AS sim
+             FROM embeddings e, cent ct),
+    assign AS (SELECT vec_id, cell_ix AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell_ix ASC) AS rn FROM sims) s
+               WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_key, cell_ix AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell_ix ASC) AS rn FROM sims
+                 WHERE vec_id < {n_queries}) s
+               WHERE rn <= {n_probe}),
+    {_pq_index_sql(n_sub, n_codes, dim)},
+    lut AS (SELECT q.vec_id AS query_key, s.m, s.code,
+                   round(list_inner_product(
+                     list_slice(q.embedding, s.m*{d}+1, s.m*{d}+{d})::DOUBLE[],
+                     s.c) * 1000000)::BIGINT AS t
+            FROM embeddings q, sub s WHERE q.vec_id < {n_queries}),
+    adc AS (SELECT l.query_key, c.vec_id AS neighbor_key, sum(l.t) AS adot
+            FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+            GROUP BY 1, 2),
+    cand AS (SELECT p.query_key, a.vec_id AS neighbor_key
+             FROM probes p JOIN assign a USING (cell)
+             WHERE a.vec_id <> p.query_key),
+    scored AS (SELECT cd.query_key, cd.neighbor_key,
+                      round(adc.adot / 1000000.0 / (qn.nrm * cn.nrm), 6) AS score
+               FROM cand cd
+               JOIN adc ON adc.query_key = cd.query_key
+                       AND adc.neighbor_key = cd.neighbor_key
+               JOIN norms qn ON qn.vec_id = cd.query_key
+               JOIN norms cn ON cn.vec_id = cd.neighbor_key),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_key
+                         ORDER BY score DESC, neighbor_key ASC) AS rank
+               FROM scored)
+    SELECT query_key, neighbor_key, score, rank FROM ranked WHERE rank <= {k}
     """
 
 
@@ -4487,6 +4605,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "ann_lsh": _ann_lsh_sql(4, 10, 5),
         "ann_ivf": _ann_ivf_sql(16, 4, 10, 5),
+        "ann_pq_codes": _ann_pq_codes_sql(8, 16, 64),
+        "ann_ivfpq": _ann_ivfpq_sql(16, 4, 10, 5, 8, 16, 64),
         "ann_embedding_neardup": _ann_neardup_sql(4, 0.15, 500),
         "drift_ks": _drift_ks_sql(),
         "drift_psi": _drift_psi_sql(),

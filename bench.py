@@ -111,6 +111,9 @@ HEADLINE = [
     "web_crawl_budget", "web_frontier",
     # round 4: exact-term posting-list audit probe
     "search_postings",
+    # round 4: product quantization — code-frame build and the IVF+PQ
+    # integer-ADC rank path (raw vectors never reach the rank stage)
+    "ann_pq_codes", "ann_ivfpq",
 ]
 
 

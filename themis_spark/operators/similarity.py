@@ -570,3 +570,237 @@ def recall_at_k(reference: DataFrame, candidate: DataFrame,
                     / F.col("n_ref"), round_to).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------ product quantization
+#
+# PQ (Jégou/Douze/Schmid 2011, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI — public paper): split the d-dim vector
+# into M subspaces, quantize each sub-vector to its nearest of K
+# sub-centroids (L2), store M small codes per row. At rank time a query
+# NEVER touches raw vectors: an M×K lookup table of query-to-centroid
+# sub-dot-products is built once per query, and the approximate dot is
+# M table lookups per candidate. That is the 10¹²-row point — the rank
+# stage reads M bytes of codes (+ one stored norm) per row instead of
+# d×4 bytes of floats; with M=8 over a 64-dim float corpus the scan is
+# 32× lighter, and the codes column is what a 100 TB index
+# materializes. Combined with the IVF coarse quantizer (ivfpq_topk)
+# only n_probe cells of codes are read at all — the FAISS IVFADC
+# layout, rebuilt from Spark relational primitives.
+#
+# Determinism/oracle contract (same conventions as the IVF family):
+# codebooks default to init-only (first k rows by key, sub-sliced) so
+# DuckDB re-derives the identical index from the table itself;
+# assignment distance rounds to 6 dp with first-on-tie (lowest code);
+# LUT entries are ROUNDED-AND-SCALED TO INTEGER micro-units (×10⁶ →
+# long) so the M-term ADC sum is integer arithmetic — identical under
+# ANY summation order, immune to the float-reassociation drift a
+# cross-engine SUM would risk.
+
+
+def train_pq_codebooks(
+    df: DataFrame, vec: str = "embedding", key: str = "vec_id",
+    n_sub: int = 8, k: int = 16, dim: int | None = None, iters: int = 0,
+) -> list[list[list[float]]]:
+    """``codebooks[m][code] = sub-centroid vector`` (n_sub × k × d/n_sub).
+
+    Deterministic init: sub-slices of the first ``k`` rows by key —
+    what the SQL oracle replays. ``iters`` > 0 runs distributed Lloyd
+    refinement per subspace, ALL subspaces in one job per iteration:
+    assign codes map-side (argmin over current codebook literals),
+    posexplode the vector once, derive (subspace, code, sub-position)
+    per element arithmetically, and average — the exchange carries
+    O(n_sub·k·d/n_sub) = O(k·d) aggregate rows, never vectors. Empty
+    codes keep their previous centroid. Iterated codebooks are
+    float-summation-order dependent → for quality, not oracle-exact
+    plans (train_ivf_centroids has the same contract)."""
+    dim = _embedding_dim(df, vec, dim)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    rows = df.select(key, vec).orderBy(key).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"need {k} rows for codebook init, have {len(rows)}")
+    cbs = [[[float(x) for x in r[vec][m * d:(m + 1) * d]] for r in rows]
+           for m in range(n_sub)]
+    for _ in range(iters):
+        exploded = (
+            df.select(pq_codes_col(F.col(vec), cbs).alias("codes"),
+                      F.posexplode(F.col(vec)).alias("pos", "val"))
+            .select(
+                (F.col("pos") / d).cast("int").alias("m"),
+                (F.col("pos") % d).alias("p"),
+                F.get(F.col("codes"), (F.col("pos") / d).cast("int"))
+                .alias("code"),
+                "val",
+            )
+        )
+        means = exploded.groupBy("m", "code", "p").agg(
+            F.avg("val").alias("mu")).collect()
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_mc.setdefault((r["m"], r["code"]), {})[r["p"]] = r["mu"]
+        cbs = [
+            [
+                [by_mc[(m, c)][p] for p in range(d)]
+                if (m, c) in by_mc else cbs[m][c]
+                for c in range(k)
+            ]
+            for m in range(n_sub)
+        ]
+    return cbs
+
+
+def _sub_sqdist_col(sub: Column, c: Column) -> Column:
+    """round(euclidean distance, 6) between two sub-vectors — the PQ
+    assignment metric, mirrored by DuckDB's list_distance."""
+    return F.round(F.sqrt(F.aggregate(
+        F.zip_with(sub, c,
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)), 6)
+
+
+def pq_codes_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of per-subspace nearest-centroid codes. Codebooks
+    ship as one nested-array literal per subspace (see _matrix_lit);
+    pure codegen, no shuffle, no Python."""
+    d = len(codebooks[0][0])
+    codes = []
+    for m, cb in enumerate(codebooks):
+        sub = F.slice(vec, m * d + 1, d)
+        dists = F.transform(_matrix_lit(cb), lambda c: _sub_sqdist_col(sub, c))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut_col(vec: Column, codebooks: list[list[list[float]]],
+               scale: int = 1_000_000) -> Column:
+    """Per-query ADC lookup table: ``array<array<long>>`` where
+    ``lut[m][code] = round(dot(q_sub_m, centroid_{m,code}) · scale)`` —
+    integer micro-units so downstream sums are order-independent."""
+    d = len(codebooks[0][0])
+    tables = []
+    for m, cb in enumerate(codebooks):
+        sub = F.slice(vec, m * d + 1, d)
+        tables.append(F.transform(
+            _matrix_lit(cb),
+            lambda c: F.round(dot_col(sub, c) * scale, 0).cast("long")))
+    return F.array(*tables)
+
+
+def pq_encode(
+    df: DataFrame, vec: str = "embedding", key: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+    n_sub: int = 8, k: int = 16, dim: int | None = None,
+) -> DataFrame:
+    """``(key, codes, norm)`` — the compact index frame a 100 TB corpus
+    materializes once: M small ints + one rounded norm per row.
+    Map-side only (plan-asserted: zero exchanges)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, vec, key, n_sub, k, dim)
+    return df.select(
+        F.col(key),
+        pq_codes_col(F.col(vec), codebooks).alias("codes"),
+        F.round(norm_col(F.col(vec)), 6).alias("norm"),
+    )
+
+
+def _adc_score_col(codes: Column, lut: Column, qn: Column, cn: Column,
+                   scale: int = 1_000_000) -> Column:
+    """Approximate cosine from codes + LUT: integer ADC sum of the M
+    table entries, then one float divide by the stored norms."""
+    adot = F.aggregate(
+        F.zip_with(codes, lut, lambda cd, tab: F.element_at(tab, cd + 1)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return F.round(adot / F.lit(float(scale)) / (qn * cn), 6)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exhaustive-ADC top-k: ``(query_key, neighbor_key, score, rank)``.
+    Scores EVERY corpus row per query, but from the PQ code frame only —
+    the scan reads M bytes of codes and one norm per row; raw embedding
+    bytes never reach the rank stage (asserted in tests). Queries are
+    broadcast with their LUTs; the corpus never shuffles."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec, key, n_sub, n_codes, dim)
+    c = pq_encode(corpus, vec, key, codebooks).select(
+        F.col(key).alias("neighbor_key"), "codes", F.col("norm").alias("__cn"))
+    q = F.broadcast(queries.select(
+        F.col(key).alias("query_key"),
+        pq_lut_col(F.col(vec), codebooks).alias("lut"),
+        F.round(norm_col(F.col(vec)), 6).alias("__qn"),
+    ))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_key") != F.col("query_key"))
+        .select("query_key", "neighbor_key",
+                _adc_score_col(F.col("codes"), F.col("lut"),
+                               F.col("__qn"), F.col("__cn")).alias("score"))
+    )
+    w = Window.partitionBy("query_key").orderBy(
+        F.col("score").desc(), F.col("neighbor_key").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    k: int = 10,
+    centroids: list[list[float]] | DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF + PQ — the FAISS-IVFADC plan shape in DataFrame form:
+    the coarse quantizer prunes to n_probe cells (equi-join on cell id),
+    the PQ codes rank the survivors (integer ADC, no raw vectors at
+    rank time). The corpus is coded once map-side (cell + codes + norm
+    in the same projection); queries broadcast with probe cells × LUT.
+    At 10¹² rows both index columns are static (write-once alongside
+    the embedding table), the per-query cost is |cell|·n_probe ADC
+    lookups, and nothing corpus-sized ever shuffles."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec, key, n_cells, iters=0)
+    elif isinstance(centroids, DataFrame):
+        centroids = collect_centroids(centroids, vec, key)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec, key, n_sub, n_codes, dim)
+    c = corpus.select(
+        F.col(key).alias("neighbor_key"),
+        ivf_cell_col(F.col(vec), centroids).alias("cell"),
+        pq_codes_col(F.col(vec), codebooks).alias("codes"),
+        F.round(norm_col(F.col(vec)), 6).alias("__cn"),
+    )
+    q = F.broadcast(queries.select(
+        F.col(key).alias("query_key"),
+        pq_lut_col(F.col(vec), codebooks).alias("lut"),
+        F.round(norm_col(F.col(vec)), 6).alias("__qn"),
+        F.explode(ivf_probe_cells_col(F.col(vec), centroids, n_probe))
+        .alias("cell"),
+    ))
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_key") != F.col("query_key"))
+        .select("query_key", "neighbor_key",
+                _adc_score_col(F.col("codes"), F.col("lut"),
+                               F.col("__qn"), F.col("__cn")).alias("score"))
+    )
+    w = Window.partitionBy("query_key").orderBy(
+        F.col("score").desc(), F.col("neighbor_key").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
