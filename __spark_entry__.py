@@ -2009,6 +2009,25 @@ def q_text_bigram(spark, sf):
     return X.bigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_text_dsir(spark, sf):
+    # DSIR importance weights: hashed unigram+bigram log-likelihood
+    # ratio of the English subcorpus (target) vs the full corpus (raw)
+    d = _t(spark, sf, "documents")
+    return X.dsir_weights(d, d.where(F.col("lang") == "en"))
+
+
+def q_text_dsir_take(spark, sf):
+    d = _t(spark, sf, "documents")
+    return X.dsir_take(d, d.where(F.col("lang") == "en"), k=20)
+
+
+def q_text_dsir_sample(spark, sf):
+    # Gumbel-top-k resampling ∝ exp(weight): hash-derived noise, so the
+    # 'random' sample is deterministic and SQL-replayable
+    d = _t(spark, sf, "documents")
+    return X.dsir_sample(d, d.where(F.col("lang") == "en"), k=20)
+
+
 def q_text_script(spark, sf):
     # per-script char counts + dominant script; the corpus is Latin, so
     # plant deterministic Cyrillic/CJK/Arabic suffixes on residue rows
@@ -2413,6 +2432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "text_dsir": q_text_dsir,
+        "text_dsir_take": q_text_dsir_take,
+        "text_dsir_sample": q_text_dsir_sample,
         "web_snapshot_diff": q_web_snapshot_diff,
         "con_monotonic": q_con_monotonic,
         "stat_windowed_hist": q_stat_windowed_hist,
@@ -2738,6 +2760,64 @@ def _ann_ivfpq_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
                FROM scored)
     SELECT query_key, neighbor_key, score, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# DSIR replay: same unigram+bigram stream (lower/trim/\s+ split, grams
+# joined with one space, empties dropped), hash60 % 1024 buckets,
+# add-one-smoothed cross-multiplied ratio with every factor cast DOUBLE
+# (identical IEEE op order), ln round-scaled to BIGINT micro-units so
+# the per-doc sum is exact integer arithmetic on both engines.
+_DSIR_WEIGHTS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, lang, g.gram AS gram
+        FROM toks, unnest(list_concat(tk,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END)) AS g(gram)
+        WHERE length(g.gram) > 0
+    ), rawb AS (
+        SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT % 1024 AS bucket
+        FROM grams
+    ), tgtb AS (
+        SELECT ('0x'||substr(md5(gram),1,15))::BIGINT % 1024 AS bucket
+        FROM grams WHERE lang = 'en'
+    ), rb AS (SELECT bucket, count(*) AS cr FROM rawb GROUP BY bucket),
+    tb AS (SELECT bucket, count(*) AS ct FROM tgtb GROUP BY bucket),
+    tr AS (SELECT count(*) AS t FROM rawb),
+    tt AS (SELECT count(*) AS t FROM tgtb),
+    lr AS (
+        SELECT rb.bucket,
+               round(ln(((coalesce(tb.ct, 0) + 1)::DOUBLE * (tr.t + 1024)::DOUBLE)
+                      / ((tt.t + 1024)::DOUBLE * (rb.cr + 1)::DOUBLE))
+                     * 1000000)::BIGINT AS lr
+        FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tr CROSS JOIN tt
+    ), agg AS (
+        SELECT rawb.doc_id, count(*) AS n_grams, sum(lr.lr) AS w
+        FROM rawb JOIN lr USING (bucket) GROUP BY rawb.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           round(coalesce(a.w, 0) / 1000000.0, 6) AS dsir_weight
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+_DSIR_TAKE_SQL = f"""
+    SELECT * FROM ({_DSIR_WEIGHTS_SQL})
+    ORDER BY dsir_weight DESC, doc_id ASC LIMIT 20"""
+
+# hash60_seeded(doc_id, 42) -> uniform in (0,1) -> Gumbel noise; key =
+# weight/tau + g, tau = 1.0
+_DSIR_SAMPLE_SQL = f"""
+    SELECT doc_id, n_grams, dsir_weight,
+           round(dsir_weight / 1.0 +
+                 -ln(-ln((('0x'||substr(md5('42:' || doc_id), 1, 15))::BIGINT
+                          + 0.5) / 1152921504606846976.0)), 6) AS sample_key
+    FROM ({_DSIR_WEIGHTS_SQL})
+    ORDER BY sample_key DESC, doc_id ASC LIMIT 20"""
 
 
 def _drift_ks_sql(lo: float = 0.0, hi: float = 600000.0, n: int = 20,
@@ -4803,6 +4883,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "text_dsir": _DSIR_WEIGHTS_SQL,
+        "text_dsir_take": _DSIR_TAKE_SQL,
+        "text_dsir_sample": _DSIR_SAMPLE_SQL,
         "web_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "stat_windowed_hist": _WHIST_SQL,
         "drift_psi_windowed": _psi_windowed_sql(),

@@ -114,6 +114,8 @@ HEADLINE = [
     # round 4: product quantization — code-frame build and the IVF+PQ
     # integer-ADC rank path (raw vectors never reach the rank stage)
     "ann_pq_codes", "ann_ivfpq",
+    # round 4: DSIR importance weights + deterministic Gumbel resampling
+    "text_dsir", "text_dsir_sample",
 ]
 
 

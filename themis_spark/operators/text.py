@@ -1361,3 +1361,135 @@ def main_content(df, key: str = "doc_id", html: str = "html",
         *main_content_cols(F.col(html), encoding=encoding,
                            min_words=min_words,
                            max_link_density_pct=max_link_density_pct))
+
+
+# ------------------------------------------- DSIR importance resampling
+#
+# Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169 — public paper): score every raw-corpus document by
+# how much more likely its hashed n-gram features are under a TARGET
+# corpus (the distribution you want more of — e.g. curated/high-quality
+# pages) than under the raw corpus itself, then keep top-weight docs or
+# Gumbel-sample proportionally to exp(weight). The standard pretraining
+# data-selection method between "hand rules" (gopher_quality) and
+# "trained classifier" (classifier_scores): no model, just two bucket
+# histograms.
+#
+# Features are unigram+bigram occurrences hashed into ``n_buckets``
+# (hash60 % B — portable to the SQL oracle); each corpus reduces to a
+# B-row smoothed distribution, and a document's log importance weight
+# is the sum of per-bucket log-likelihood ratios over its gram
+# occurrences.
+#
+# Scale shape (the 10¹²-row story): the two distribution passes are
+# map-side-combined counts whose exchanges carry O(B) rows; the B-row
+# log-ratio frame BROADCASTS back onto the raw gram stream (explode is
+# scan-stage — grams never shuffle); the per-doc sum partial-aggregates
+# to one row per doc before its exchange. Nothing corpus-sized moves
+# except O(docs) (key, weight) rows. Determinism: the ratio is computed
+# from exact integer counts in one fixed expression, ln'd once, and
+# round-scaled to BIGINT micro-units — the per-doc sum is integer
+# arithmetic, order-independent (same contract as the PQ ADC kernel).
+
+
+def _dsir_gram_stream(df, key: str, text: str):
+    """(key, gram) — one row per unigram/bigram occurrence."""
+    grams = F.concat(ngrams_col(text, 1), ngrams_col(text, 2))
+    return (
+        df.where(F.col(text).isNotNull())
+        .select(F.col(key), F.explode(grams).alias("gram"))
+        .where(F.length("gram") > 0)
+    )
+
+
+def dsir_bucket_ratios(raw, target, key: str = "doc_id",
+                       text: str = "text", n_buckets: int = 1024,
+                       scale: int = 1_000_000):
+    """``(bucket, lr)`` — per-bucket log-likelihood ratio
+    ln(p_target/p_raw) under add-one smoothing, round-scaled to integer
+    micro-units. One row per bucket the raw corpus can actually hit
+    (buckets outside the raw vocabulary can never be looked up).
+
+    The smoothed ratio ((ct+1)/(Tt+B)) / ((cr+1)/(Tr+B)) is evaluated
+    as one cross-multiplied expression with each factor cast to double
+    first, so both engines run the identical IEEE op sequence."""
+    from themis_spark.functions.hashing import hash60
+
+    bucket = (hash60(F.col("gram")) % n_buckets).alias("bucket")
+    rb = (_dsir_gram_stream(raw, key, text).select(bucket)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")))
+    tb = (_dsir_gram_stream(target, key, text).select(bucket)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    tot_r = rb.agg(F.sum("cr").alias("__tr"))
+    tot_t = tb.agg(F.sum("ct").alias("__tt"))
+    ct = F.coalesce(F.col("ct"), F.lit(0).cast("long"))
+    ratio = (
+        ((ct + 1).cast("double") * (F.col("__tr") + n_buckets).cast("double"))
+        / ((F.col("__tt") + n_buckets).cast("double")
+           * (F.col("cr") + 1).cast("double"))
+    )
+    return (
+        rb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r)).crossJoin(F.broadcast(tot_t))
+        .select("bucket",
+                F.round(F.log(ratio) * scale, 0).cast("long").alias("lr"))
+    )
+
+
+def dsir_weights(raw, target, key: str = "doc_id", text: str = "text",
+                 n_buckets: int = 1024, round_to: int = 6,
+                 scale: int = 1_000_000):
+    """Per-document DSIR log importance weight: ``(key, n_grams,
+    dsir_weight)`` for EVERY raw row (gramless docs — null/whitespace
+    text — score a neutral 0). Positive = looks more like the target
+    corpus than the raw average; the resampling signal."""
+    lr = dsir_bucket_ratios(raw, target, key, text, n_buckets, scale)
+    from themis_spark.functions.hashing import hash60
+
+    bucket = (hash60(F.col("gram")) % n_buckets).alias("bucket")
+    agg = (
+        _dsir_gram_stream(raw, key, text).select(F.col(key), bucket)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("lr").alias("__w"))
+    )
+    return (
+        raw.select(key).join(agg, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+            F.round(F.coalesce(F.col("__w"), F.lit(0).cast("long"))
+                    / F.lit(float(scale)), round_to).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_take(raw, target, k: int = 100, key: str = "doc_id",
+              text: str = "text", n_buckets: int = 1024):
+    """Top-k raw docs by DSIR weight (ties → key ascending) — the
+    deterministic 'keep the most target-like k' selection.
+    TakeOrderedAndProject: per-partition top-k, no full sort."""
+    w = dsir_weights(raw, target, key, text, n_buckets)
+    return w.orderBy(F.col("dsir_weight").desc(), F.col(key).asc()).limit(k)
+
+
+def dsir_sample(raw, target, k: int = 100, key: str = "doc_id",
+                text: str = "text", n_buckets: int = 1024,
+                tau: float = 1.0, seed: int = 42, round_to: int = 6):
+    """Gumbel-top-k importance sample: keeps k docs with probability
+    proportional to exp(dsir_weight / tau) WITHOUT replacement — the
+    paper's resampling step, derandomized. The Gumbel noise is
+    hash-derived (seeded md5 → uniform in (0,1) → -ln(-ln u)), so the
+    'random' sample is deterministic, resume-safe, and replayable by
+    the SQL oracle. tau tempers: large tau → uniform, small tau →
+    argmax-like."""
+    from themis_spark.functions.hashing import hash60_seeded
+
+    w = dsir_weights(raw, target, key, text, n_buckets)
+    u = (hash60_seeded(F.col(key), seed) + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    skey = F.round(F.col("dsir_weight") / tau + gumbel, round_to)
+    return (
+        w.select("*", skey.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(key).asc()).limit(k)
+    )
