@@ -830,6 +830,35 @@ def _jpeg_media(spark, sf, limit=64):
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
+def _avi_media(spark, sf, limit=40):
+    # MJPG AVI clips in the exactly-lossless regime: constant-fill
+    # frames + all-ones quant tables, so each sampled frame's pixel sha
+    # replays from the fill formula even though the RIFF/Huffman bytes
+    # are not SQL-expressible. Layouts alternate 4:4:4 / 4:2:0 and every
+    # third clip carries restart markers.
+    import numpy as np
+
+    from themis_spark.functions import avicodec as AV
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 6 + 4, doc_id % 4 + 3
+        n = doc_id % 5 + 2
+        frames = [np.full((h, w, 3), 97 + (doc_id + 2 * i) % 26,
+                          dtype=np.uint8) for i in range(n)]
+        payload = AV.encode_avi_mjpeg(
+            frames, fps=10, subsampling="420" if doc_id % 2 else "444",
+            restart_interval=2 if doc_id % 3 == 0 else 0)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_video_frames(spark, sf):
+    # real video frame sampling: walk the movi chunk index, entropy-
+    # decode only every 2nd frame's JPEG, one row per sampled frame
+    return M.frame_sample(_avi_media(spark, sf), every_n=2)
+
+
 def q_mm_decode_jpeg(spark, sf):
     # baseline JPEG (pure-stdlib huffman + IDCT) → resize → P6
     # re-encode: the pixel sha replays bit-exactly from the fill formula
@@ -2425,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_join": q_text_classifier_join,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_video_frames": q_mm_video_frames,
         "mm_decode_jpeg_prog": q_mm_decode_jpeg_prog,
         "pipeline_curate": q_pipeline_curate,
         "dedup_substring_spans": q_dedup_substring_spans,
@@ -4664,6 +4694,18 @@ def oracle_sql() -> dict[str, str]:
                    sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
                           || repeat(c, 60)) AS resized_sha,
                    5 AS out_w, 4 AS out_h, 'jpeg' AS src_format FROM t""",
+        "mm_video_frames": """
+            WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+            g AS (SELECT doc_id, unnest(range(0, doc_id % 5 + 2)) AS i
+                  FROM t),
+            f AS (SELECT doc_id, i FROM g WHERE i % 2 = 0)
+            SELECT doc_id, i::INT AS frame_idx,
+                   (doc_id % 6 + 4)::INT AS width,
+                   (doc_id % 4 + 3)::INT AS height,
+                   sha256(repeat(chr((97 + (doc_id + 2 * i) % 26)::INT),
+                                 ((doc_id % 6 + 4) * (doc_id % 4 + 3) * 3)::INT))
+                       AS frame_sha
+            FROM f""",
         "mm_decode_jpeg_prog": """
             WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
                        FROM documents WHERE doc_id < 48)

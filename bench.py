@@ -116,6 +116,8 @@ HEADLINE = [
     "ann_pq_codes", "ann_ivfpq",
     # round 4: DSIR importance weights + deterministic Gumbel resampling
     "text_dsir", "text_dsir_sample",
+    # round 4: MJPG-AVI video frame sampling (RIFF walk + JPEG decode)
+    "mm_video_frames",
 ]
 
 

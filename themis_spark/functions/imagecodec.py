@@ -46,6 +46,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     return None
@@ -314,6 +316,12 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         from themis_spark.functions.gifcodec import decode_gif
 
         return "gif", decode_gif(payload)[0]  # first frame for stills
+    if fmt == "avi":
+        from themis_spark.functions.avicodec import (avi_frame_chunks,
+                                                     decode_avi_frame)
+
+        off, size = avi_frame_chunks(payload)[0]  # first frame for stills
+        return "avi", decode_avi_frame(payload, off, size)
     raise UnsupportedImageError(f"builtin codecs cannot decode format={fmt!r}")
 
 

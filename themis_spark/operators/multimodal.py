@@ -72,6 +72,12 @@ def _decode_real(payload: bytes) -> tuple:
 
         w, h, n_frames = gif_frame_meta(payload)
         return ("gif", w, h, n_frames)
+    if fmt == "avi":
+        # RIFF chunk-header walk only — no entropy decode of any frame
+        from themis_spark.functions.avicodec import avi_meta
+
+        m = avi_meta(payload)
+        return ("avi", m["width"], m["height"], m["n_frames"])
     if not _HAS_PIL:
         raise NotImplementedError(
             f"decode of format={fmt!r} requires Pillow (builtin codecs cover "
@@ -219,6 +225,20 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                     frames = decode_gif(payload)
                     for i in range(0, len(frames), step):
                         f = frames[i]
+                        sha = hashlib.sha256(f.tobytes()).hexdigest()
+                        rows.append(list(vals[:-1])
+                                    + [i, f.shape[1], f.shape[0], sha])
+                    continue
+                if IC.sniff_format(payload) == "avi":
+                    # MJPG AVI: only every n-th frame's JPEG chunk is
+                    # entropy-decoded — the chunk walk itself is free
+                    from themis_spark.functions.avicodec import (
+                        avi_frame_chunks, decode_avi_frame)
+
+                    chunks = avi_frame_chunks(payload)
+                    for i in range(0, len(chunks), step):
+                        off, size = chunks[i]
+                        f = decode_avi_frame(payload, off, size)
                         sha = hashlib.sha256(f.tobytes()).hexdigest()
                         rows.append(list(vals[:-1])
                                     + [i, f.shape[1], f.shape[0], sha])
