@@ -859,6 +859,31 @@ def q_mm_video_frames(spark, sf):
     return M.frame_sample(_avi_media(spark, sf), every_n=2)
 
 
+def _exif_media(spark, sf, limit=40):
+    # constant-fill JPEGs with a spliced APP1 Exif orientation tag
+    # rotating through all 8 values: the corrected pixel sha replays
+    # from the fill formula (rotations of a constant are the constant)
+    # while the display dims prove the transpose for orientations 5-8
+    import numpy as np
+
+    from themis_spark.functions import jpegcodec as JC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 9 + 4, doc_id % 5 + 3
+        img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+        payload = JC.insert_exif_orientation(
+            JC.encode_jpeg_baseline(img), doc_id % 8 + 1)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_exif(spark, sf):
+    # EXIF-aware decode: orientation tag parsed from APP1/TIFF IFD0,
+    # pixels normalized upright, display dims + corrected-pixel sha
+    return M.oriented_decode(_exif_media(spark, sf))
+
+
 def q_mm_decode_jpeg(spark, sf):
     # baseline JPEG (pure-stdlib huffman + IDCT) → resize → P6
     # re-encode: the pixel sha replays bit-exactly from the fill formula
@@ -2455,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_video_frames": q_mm_video_frames,
+        "mm_exif": q_mm_exif,
         "mm_decode_jpeg_prog": q_mm_decode_jpeg_prog,
         "pipeline_curate": q_pipeline_curate,
         "dedup_substring_spans": q_dedup_substring_spans,
@@ -4694,6 +4720,16 @@ def oracle_sql() -> dict[str, str]:
                    sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
                           || repeat(c, 60)) AS resized_sha,
                    5 AS out_w, 4 AS out_h, 'jpeg' AS src_format FROM t""",
+        "mm_exif": """
+            WITH t AS (SELECT doc_id, doc_id % 8 + 1 AS o,
+                              doc_id % 9 + 4 AS w, doc_id % 5 + 3 AS h,
+                              chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 40)
+            SELECT doc_id, o::INT AS orientation,
+                   (CASE WHEN o >= 5 THEN h ELSE w END)::INT AS width,
+                   (CASE WHEN o >= 5 THEN w ELSE h END)::INT AS height,
+                   sha256(repeat(c, (w * h * 3)::INT)) AS pixel_sha
+            FROM t""",
         "mm_video_frames": """
             WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 40),
             g AS (SELECT doc_id, unnest(range(0, doc_id % 5 + 2)) AS i

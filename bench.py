@@ -118,6 +118,8 @@ HEADLINE = [
     "text_dsir", "text_dsir_sample",
     # round 4: MJPG-AVI video frame sampling (RIFF walk + JPEG decode)
     "mm_video_frames",
+    # round 4: EXIF-normalized decode (orientation parse + upright dims)
+    "mm_exif",
 ]
 
 

@@ -353,3 +353,43 @@ def decode_video_frame(payload: bytes, offset: int) -> np.ndarray:
     w, h, _, data_off = _parse_ppm_header(payload, offset)
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=data_off)
     return data.reshape(h, w, 3)
+
+
+# --------------------------------------------------- EXIF orientation
+
+def apply_exif_orientation(img: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Undo the stored-pixel transform the EXIF orientation tag records
+    (the 8 TIFF/Exif values; same mapping as Pillow's exif_transpose).
+    Pure integer index permutations — exact, allocation-bounded."""
+    if orientation in (None, 0, 1):
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return np.transpose(img, (1, 0, 2))
+    if orientation == 6:
+        return np.rot90(img, 3)
+    if orientation == 7:
+        return np.transpose(img, (1, 0, 2))[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(img, 1)
+    raise UnsupportedImageError(f"exif orientation out of range: {orientation}")
+
+
+def decode_image_oriented(payload: bytes) -> tuple[str, np.ndarray, int]:
+    """:func:`decode_image` + EXIF orientation normalization for JPEG
+    payloads → (format, upright pixels, orientation). Cameras store
+    sensor-order pixels and record the rotation in EXIF; hashing or
+    resizing the raw array makes the SAME photo shot in portrait vs
+    landscape look like different content — normalize first."""
+    fmt, img = decode_image(payload)
+    if fmt != "jpeg":
+        return fmt, img, 1
+    from themis_spark.functions.jpegcodec import jpeg_exif_orientation
+
+    o = jpeg_exif_orientation(payload) or 1
+    return fmt, apply_exif_orientation(img, o), o

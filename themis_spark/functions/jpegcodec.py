@@ -557,3 +557,58 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     if len(full) != 3:
         raise UnsupportedImageError("jpeg: unsupported component count")
     return _ycbcr_to_rgb(full)
+
+
+# ----------------------------------------------------------------- EXIF
+
+def jpeg_exif_orientation(payload: bytes) -> int | None:
+    """Orientation (tag 0x0112, values 1–8) from the first APP1 Exif
+    segment's TIFF IFD0, or ``None`` when absent. Unlike the pixel
+    codecs, malformed EXIF returns ``None`` instead of raising: the
+    tag is ADVISORY display metadata pervasively corrupted by real
+    editors, and a broken orientation must not make an otherwise
+    decodable crawl image fail — the neutral reading is 'no rotation
+    recorded' (TIFF 6.0 / Exif 2.3, public specs)."""
+    for marker, seg, _ in _segments(payload):
+        if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
+            continue
+        tiff = seg[6:]
+        try:
+            if tiff[:2] == b"II":
+                fmt = "<"
+            elif tiff[:2] == b"MM":
+                fmt = ">"
+            else:
+                return None
+            if struct.unpack(fmt + "H", tiff[2:4])[0] != 42:
+                return None
+            ifd = struct.unpack(fmt + "I", tiff[4:8])[0]
+            n = struct.unpack(fmt + "H", tiff[ifd:ifd + 2])[0]
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                tag, typ = struct.unpack(fmt + "HH", tiff[e:e + 4])
+                if tag == 0x0112 and typ == 3:  # SHORT
+                    val = struct.unpack(fmt + "H", tiff[e + 8:e + 10])[0]
+                    return val if 1 <= val <= 8 else None
+            return None
+        except struct.error:
+            return None
+    return None
+
+
+def insert_exif_orientation(payload: bytes, orientation: int) -> bytes:
+    """Splice a minimal APP1 Exif segment (one-entry IFD0 carrying the
+    orientation tag) right after SOI — the fixture writer for testing
+    orientation handling in this Pillow-less container."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedImageError("not a jpeg stream")
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"orientation must be 1..8, got {orientation}")
+    tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<HH", orientation, 0)
+            + struct.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return payload[:2] + seg + payload[2:]

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -186,7 +187,9 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
                         for p in pdf[payload_col].to_numpy()]
             fmts, blobs = [], []
             for p in payloads:
-                fmt, img = IC.decode_image(p)
+                # EXIF-normalized: a portrait shot stored sensor-order
+                # resizes upright, not sideways (no-op without EXIF)
+                fmt, img, _ = IC.decode_image_oriented(p)
                 fmts.append(fmt)
                 blobs.append(IC.encode_ppm(IC.resize_nearest(img, tw, th)))
             out = {k: pdf[k].to_numpy() for k in keys}
@@ -380,7 +383,9 @@ def perceptual_hashes(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b""
                         for p in pdf[payload_col].to_numpy()]
-            imgs = [IC.decode_image(p)[1] for p in payloads]
+            # EXIF-normalized: rotated re-uploads of the same photo must
+            # hash NEAR each other, or the near-dup pass misses them
+            imgs = [IC.decode_image_oriented(p)[1] for p in payloads]
             out = {k: pdf[k].to_numpy() for k in keys}
             for m in methods:
                 out[m] = [P.to_signed64(fns[m](img)) for img in imgs]
@@ -447,3 +452,33 @@ def audio_near_duplicates(df: DataFrame, payload_col: str = "payload",
     return _dedup.hamming_near_duplicates(
         sigs, key=key, sig="audio_hash", bits=64, max_hamming=max_hamming,
         block_bits=16, max_bucket_size=max_bucket_size)
+
+
+def oriented_decode(df: DataFrame, payload_col: str = "payload",
+                    key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """EXIF-aware decode audit: ``(keys, orientation, width, height,
+    pixel_sha)`` with pixels normalized upright first — width/height are
+    the DISPLAY dims (swapped vs the stored frame for orientations 5–8)
+    and the sha covers the corrected array. Map-side Arrow batches, same
+    shape contract as every multimodal kernel."""
+    keys = list(key_cols)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = (f"{key_schema}, orientation int, width int, height int, "
+                  "pixel_sha string")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            for vals in zip(*key_arrays, pdf[payload_col].to_numpy()):
+                payload = bytes(vals[-1] or b"")
+                _, img, o = IC.decode_image_oriented(payload)
+                sha = hashlib.sha256(
+                    np.ascontiguousarray(img).tobytes()).hexdigest()
+                rows.append(list(vals[:-1])
+                            + [o, img.shape[1], img.shape[0], sha])
+            yield pd.DataFrame(
+                rows, columns=keys + ["orientation", "width", "height",
+                                      "pixel_sha"])
+
+    return df.select(*keys, payload_col).mapInPandas(process, out_schema)
