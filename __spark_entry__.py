@@ -32,6 +32,7 @@ from themis_spark.operators import multimodal as M
 from themis_spark.operators import similarity as S
 from themis_spark.operators import stats as ST2
 from themis_spark.operators import sessions as SS
+from themis_spark.operators import layout as LY
 from themis_spark.operators import text as X
 from themis_spark.operators import pii as PII
 from themis_spark.operators import web as WB
@@ -2063,6 +2064,32 @@ def q_text_bigram(spark, sf):
     return X.bigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_layout_zorder(spark, sf):
+    # Morton z-values + fixed-width bucket over two join/filter keys —
+    # the write-side clustering that makes min/max zone maps prune on
+    # BOTH columns at once at 100 TB
+    return LY.zorder_frame(_t(spark, sf, "orders"),
+                           ["o_custkey", "o_orderkey"],
+                           bits=8, n_buckets=16) \
+        .select("o_orderkey", "zval", "zbucket")
+
+
+def q_layout_zorder_stats(spark, sf):
+    # layout audit: per-bucket counts + per-column zone-map ranges
+    return LY.zorder_bucket_stats(_t(spark, sf, "orders"),
+                                  ["o_custkey", "o_orderkey"],
+                                  bits=8, n_buckets=16)
+
+
+def q_layout_compaction(spark, sf):
+    # compaction planning over a file-stats frame synthesized from the
+    # documents table (path = zero-padded id, size = n_chars)
+    d = _t(spark, sf, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("path"),
+        F.col("n_chars").cast("long").alias("n_bytes"))
+    return LY.compaction_plan(d, target_bytes=50000)
+
+
 def q_text_dsir(spark, sf):
     # DSIR importance weights: hashed unigram+bigram log-likelihood
     # ratio of the English subcorpus (target) vs the full corpus (raw)
@@ -2488,6 +2515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "layout_zorder": q_layout_zorder,
+        "layout_zorder_stats": q_layout_zorder_stats,
+        "layout_compaction": q_layout_compaction,
         "text_dsir": q_text_dsir,
         "text_dsir_take": q_text_dsir_take,
         "text_dsir_sample": q_text_dsir_sample,
@@ -2816,6 +2846,60 @@ def _ann_ivfpq_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
                FROM scored)
     SELECT query_key, neighbor_key, score, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# Z-order replay: exact-integer min/max normalization, explicit
+# bit-interleave terms (generated like _lsh_code_sql), floor-binned
+# buckets. Division is double but its numerator < 2^53, so floor ==
+# integer division on both engines (layout.normalized_rank_col).
+def _zorder_core_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    scale = 1 << bits
+
+    def interleave(r: str, i: int, n: int = 2) -> str:
+        return " + ".join(f"(((({r}) >> {b}) & 1) << {b * n + i})"
+                          for b in range(bits))
+
+    return f"""
+    b AS (SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+                 min(o_orderkey) AS mn1, max(o_orderkey) AS mx1
+          FROM orders),
+    r AS (SELECT o_orderkey, o_custkey,
+                 floor((o_custkey - mn0) * {scale} / (mx0 - mn0 + 1))::BIGINT AS r0,
+                 floor((o_orderkey - mn1) * {scale} / (mx1 - mn1 + 1))::BIGINT AS r1
+          FROM orders, b),
+    z AS (SELECT o_orderkey, o_custkey,
+                 ({interleave('r0', 0)} + {interleave('r1', 1)})::BIGINT AS zval
+          FROM r),
+    zb AS (SELECT o_orderkey, o_custkey, zval,
+                  floor(zval * {n_buckets} / {1 << (2 * bits)})::BIGINT AS zbucket
+           FROM z)"""
+
+
+def _layout_zorder_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    return f"WITH {_zorder_core_sql(bits, n_buckets)}" \
+           " SELECT o_orderkey, zval, zbucket FROM zb"
+
+
+def _layout_zorder_stats_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    return f"""WITH {_zorder_core_sql(bits, n_buckets)}
+    SELECT zbucket, count(*) AS n_rows,
+           min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+           min(o_orderkey) AS min_o_orderkey, max(o_orderkey) AS max_o_orderkey
+    FROM zb GROUP BY zbucket"""
+
+
+_LAYOUT_COMPACTION_SQL = """
+    WITH f AS (SELECT lpad(doc_id::VARCHAR, 6, '0') AS path,
+                      n_chars::BIGINT AS n_bytes FROM documents),
+    c AS (SELECT path, n_bytes,
+                 sum(n_bytes) OVER (ORDER BY path
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+          FROM f),
+    g AS (SELECT path, n_bytes,
+                 floor((csum - 1) / 50000)::BIGINT AS compact_group FROM c)
+    SELECT g.path, g.n_bytes, g.compact_group, t.group_bytes
+    FROM g JOIN (SELECT compact_group, sum(n_bytes)::BIGINT AS group_bytes
+                 FROM g GROUP BY 1) t USING (compact_group)"""
 
 
 # DSIR replay: same unigram+bigram stream (lower/trim/\s+ split, grams
@@ -4961,6 +5045,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "layout_zorder": _layout_zorder_sql(8, 16),
+        "layout_zorder_stats": _layout_zorder_stats_sql(8, 16),
+        "layout_compaction": _LAYOUT_COMPACTION_SQL,
         "text_dsir": _DSIR_WEIGHTS_SQL,
         "text_dsir_take": _DSIR_TAKE_SQL,
         "text_dsir_sample": _DSIR_SAMPLE_SQL,

@@ -120,6 +120,8 @@ HEADLINE = [
     "mm_video_frames",
     # round 4: EXIF-normalized decode (orientation parse + upright dims)
     "mm_exif",
+    # round 4: data layout — z-order clustering audit + compaction plan
+    "layout_zorder", "layout_compaction",
 ]
 
 
