@@ -2064,6 +2064,65 @@ def q_text_bigram(spark, sf):
     return X.bigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_stat_hll_overlap(spark, sf):
+    # sketch-based distinct overlap of two corpus halves: the estimates
+    # aren't oracle-replayable (sketch internals), so — stat_hll's
+    # convention — the checkable claims are the exact counts plus the
+    # estimates landing within tolerance (5% sets, 10% for the
+    # inclusion-exclusion intersection)
+    o = _t(spark, sf, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 2 == 1)
+    est = ST2.hll_set_overlap(a, b, "o_custkey")
+    ex = o.agg(
+        F.count_distinct(F.when(F.col("o_orderkey") % 2 == 0,
+                                F.col("o_custkey"))).alias("xa"),
+        F.count_distinct(F.when(F.col("o_orderkey") % 2 == 1,
+                                F.col("o_custkey"))).alias("xb"),
+        F.count_distinct("o_custkey").alias("xu"),
+    )
+
+    def ok(est_c, exact_c, tol):
+        return (F.abs(est_c - exact_c) <= tol * exact_c)
+
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.col("xa").alias("exact_a"), F.col("xb").alias("exact_b"),
+        F.col("xu").alias("exact_union"),
+        (F.col("xa") + F.col("xb") - F.col("xu")).alias("exact_intersection"),
+        ok(F.col("est_a"), F.col("xa"), 0.05).alias("a_ok"),
+        ok(F.col("est_b"), F.col("xb"), 0.05).alias("b_ok"),
+        ok(F.col("est_union"), F.col("xu"), 0.05).alias("union_ok"),
+        ok(F.col("est_intersection"),
+           F.col("xa") + F.col("xb") - F.col("xu"), 0.10)
+        .alias("intersect_ok"),
+    )
+
+
+def q_repair_mojibake(spark, sf):
+    # mojibake repair: odd rows are mangled NATIVELY (utf-8 bytes
+    # misdecoded as latin-1 — encode/decode in-plan, always valid),
+    # even rows stay clean; repair must restore the former byte-exactly
+    # and pass the latter through untouched. The oracle only needs
+    # md5(original) — the whole mangle+repair round trip happens Spark-
+    # side, which is exactly the claim under test.
+    from themis_spark.operators import repair as RP
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    suffix = " — it’s a café “fine” €5"
+    orig = F.concat(F.col("text"), F.lit(suffix))
+    mangled = F.when(F.col("doc_id") % 2 == 1,
+                     F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")) \
+        .otherwise(orig)
+    base = d.select("doc_id", orig.alias("orig"), mangled.alias("mangled"))
+    return base.select(
+        "doc_id",
+        RP.mojibake_detected_col("mangled").alias("detected"),
+        F.md5(RP.mojibake_repair_col("mangled")).alias("repaired_md5"),
+        F.md5(F.col("orig")).alias("orig_md5"),
+        (RP.mojibake_repair_col("mangled") == F.col("orig")).alias("restored"),
+    )
+
+
 def q_layout_zorder(spark, sf):
     # Morton z-values + fixed-width bucket over two join/filter keys —
     # the write-side clustering that makes min/max zone maps prune on
@@ -2515,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "stat_hll_overlap": q_stat_hll_overlap,
+        "repair_mojibake": q_repair_mojibake,
         "layout_zorder": q_layout_zorder,
         "layout_zorder_stats": q_layout_zorder_stats,
         "layout_compaction": q_layout_compaction,
@@ -5045,6 +5106,27 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "stat_hll_overlap": """
+            WITH x AS (
+              SELECT count(DISTINCT CASE WHEN o_orderkey % 2 = 0
+                                         THEN o_custkey END) AS xa,
+                     count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                                         THEN o_custkey END) AS xb,
+                     count(DISTINCT o_custkey) AS xu
+              FROM orders)
+            SELECT xa AS exact_a, xb AS exact_b, xu AS exact_union,
+                   xa + xb - xu AS exact_intersection,
+                   true AS a_ok, true AS b_ok, true AS union_ok,
+                   true AS intersect_ok
+            FROM x""",
+        "repair_mojibake": """
+            WITH t AS (SELECT doc_id,
+                              text || ' — it’s a café “fine” €5' AS orig
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, doc_id % 2 = 1 AS detected,
+                   md5(orig) AS repaired_md5, md5(orig) AS orig_md5,
+                   true AS restored
+            FROM t""",
         "layout_zorder": _layout_zorder_sql(8, 16),
         "layout_zorder_stats": _layout_zorder_stats_sql(8, 16),
         "layout_compaction": _LAYOUT_COMPACTION_SQL,

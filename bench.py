@@ -122,6 +122,9 @@ HEADLINE = [
     "mm_exif",
     # round 4: data layout — z-order clustering audit + compaction plan
     "layout_zorder", "layout_compaction",
+    # round 4: mojibake repair (native encode/decode round trip) and
+    # sketch-based cross-corpus distinct overlap
+    "repair_mojibake", "stat_hll_overlap",
 ]
 
 
