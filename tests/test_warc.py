@@ -120,3 +120,27 @@ def test_iter_warc_records_streams_large_member_in_chunks():
     got = list(iter_warc_records(build_warc_bytes(big, compress=True)))
     assert len(got) == 1
     assert got[0]["payload"] == big[0]["html"].encode()
+
+
+def test_wet_conversion_records(spark, tmpdir_path):
+    import os
+
+    from themis_spark.sources.warc import build_warc_bytes, wet_documents
+
+    recs = [
+        {"url": "http://a.example/x", "ts": "2026-01-01T00:00:00Z",
+         "html": "extracted text one é", "type": "conversion"},
+        {"url": "http://b.example/y", "ts": "2026-01-02T00:00:00Z",
+         "html": b"bad \xff bytes here", "type": "conversion"},
+        {"url": "http://c.example/z", "ts": "2026-01-03T00:00:00Z",
+         "html": "<html>resp</html>", "type": "response"},
+    ]
+    with open(os.path.join(tmpdir_path, "f.warc.wet.gz"), "wb") as f:
+        f.write(build_warc_bytes(recs, compress=True))
+    out = {r["url"]: r for r in wet_documents(spark, tmpdir_path).collect()}
+    # response records are excluded; both conversion records survive
+    assert sorted(out) == ["http://a.example/x", "http://b.example/y"]
+    assert out["http://a.example/x"]["text"] == "extracted text one é"
+    # a mis-encoded byte substitutes U+FFFD instead of failing the task
+    assert "�" in out["http://b.example/y"]["text"]
+    assert out["http://a.example/x"]["warc_ts"] is not None

@@ -205,30 +205,72 @@ def warc_responses(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def wet_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET (extracted-text) records → ``(url, warc_ts
+    timestamp, text string)`` — the pre-extracted sibling of
+    ``warc_responses`` (*.warc.wet.gz files carry ``WARC-Type:
+    conversion`` records whose bare body is the page's plain text).
+
+    The byte→string decode happens in a map-side Arrow kernel with
+    ``errors='replace'`` rather than native ``F.decode``: WET bodies
+    are nominally UTF-8 but real crawl segments carry occasional
+    mis-encoded runs, and Spark 4's strict codec would fail the whole
+    task for one bad byte — per-char U+FFFD substitution (what every
+    WET consumer does) needs the Python codec's error handler."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path)
+    conv = recs.where((F.col("record_type") == "conversion")
+                      & F.col("url").isNotNull()) \
+        .select("url", "warc_ts", "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "text": [str(bytes(p or b""), "utf-8", errors="replace")
+                         for p in pdf["payload"].to_numpy()],
+            })
+
+    out = conv.mapInPandas(decode, "url string, warc_ts string, text string")
+    return out.select("url", F.to_timestamp("warc_ts").alias("warc_ts"),
+                      "text")
+
+
 # ------------------------------------------------------------ fixture writer
 
 def build_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
     """Spec-conformant WARC/1.0 bytes for tests. Each record dict:
-    ``{url, ts, html, status=200}``; response records carry a full HTTP
-    envelope like real crawl output. ``compress=True`` emits gzip
-    MULTI-member (one member per record — Common Crawl's actual layout,
-    which seekable readers rely on)."""
+    ``{url, ts, html, status=200, type='response'}``; response records
+    carry a full HTTP envelope like real crawl output, while
+    ``type='conversion'`` emits WET-style extracted-text records
+    (``Content-Type: text/plain``, bare body — Common Crawl's *.wet
+    layout). ``compress=True`` emits gzip MULTI-member (one member per
+    record — Common Crawl's actual layout, which seekable readers rely
+    on)."""
     members: list[bytes] = []
     for r in records:
         html = r["html"] if isinstance(r["html"], bytes) else r["html"].encode()
-        status = r.get("status", 200)
-        http = (f"HTTP/1.1 {status} OK\r\n"
-                f"Content-Type: text/html\r\n"
-                f"Content-Length: {len(html)}\r\n\r\n").encode() + html
+        rec_type = r.get("type", "response")
+        if rec_type == "conversion":
+            body = html
+            content_type = "text/plain"
+        else:
+            status = r.get("status", 200)
+            body = (f"HTTP/1.1 {status} OK\r\n"
+                    f"Content-Type: text/html\r\n"
+                    f"Content-Length: {len(html)}\r\n\r\n").encode() + html
+            content_type = "application/http; msgtype=response"
         head = (
             "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
+            f"WARC-Type: {rec_type}\r\n"
             f"WARC-Target-URI: {r['url']}\r\n"
             f"WARC-Date: {r['ts']}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            f"Content-Length: {len(http)}\r\n\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
         ).encode()
-        members.append(head + http + _CRLF + _CRLF)
+        members.append(head + body + _CRLF + _CRLF)
     if not compress:
         return b"".join(members)
     return b"".join(gzip.compress(m) for m in members)
