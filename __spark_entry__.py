@@ -2064,6 +2064,37 @@ def q_text_bigram(spark, sf):
     return X.bigram_logprob(_t(spark, sf, "documents"))
 
 
+# Fixed literal unigram vocabulary (the BPE_MERGES convention: the
+# APPLICATION mechanics are under test; training determinism has its
+# own pytest). Distinct lp values avoid score ties beyond the DP's
+# own tie rule.
+UNIGRAM_VOCAB = (
+    [(c, -11_000_000 - i * 1000)
+     for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")]
+    + [(str(d), -12_000_000 - d * 1000) for d in range(10)]
+    + [("the", -3_400_000), ("in", -5_100_000), ("er", -5_200_000),
+       ("an", -5_300_000), ("on", -5_400_000), ("at", -5_500_000),
+       ("en", -5_600_000), ("re", -5_700_000), ("ing", -5_800_000),
+       ("ion", -5_900_000), ("es", -6_000_000), ("or", -6_100_000),
+       ("ti", -6_200_000), ("st", -6_300_000), ("ar", -6_400_000),
+       ("te", -6_500_000), ("data", -6_600_000), ("row", -6_700_000),
+       ("jo", -6_800_000), ("ta", -6_900_000)]
+)
+
+
+def q_text_unigram_viterbi(spark, sf):
+    # unigram-LM (SentencePiece-family) Viterbi tokenization under the
+    # literal vocab: exact integer optimum score + piece count per doc.
+    # The oracle unrolls the DP to word positions <= 16, so both
+    # engines filter to docs whose words all fit (identical predicate).
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    wmax = F.array_max(F.transform(toks, lambda w: F.length(w)))
+    ok = d.where(F.coalesce(wmax, F.lit(0)) <= 16)
+    out = X.unigram_tokenize_arrow(ok, UNIGRAM_VOCAB)
+    return out.select("doc_id", "n_pieces", "score_micro")
+
+
 def q_stat_hll_overlap(spark, sf):
     # sketch-based distinct overlap of two corpus halves: the estimates
     # aren't oracle-replayable (sketch internals), so — stat_hll's
@@ -2574,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "text_unigram_viterbi": q_text_unigram_viterbi,
         "stat_hll_overlap": q_stat_hll_overlap,
         "repair_mojibake": q_repair_mojibake,
         "layout_zorder": q_layout_zorder,
@@ -2907,6 +2939,71 @@ def _ann_ivfpq_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
                FROM scored)
     SELECT query_key, neighbor_key, score, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# Unigram-Viterbi replay: relational DP over the word lattice. Edges =
+# (j -> i) substring-in-vocab (or single-char unk); the DP unrolls word
+# positions 1..W as generated CTEs, each keeping the per-(doc, word)
+# argmax under the EXACT tie rule the kernel uses (score DESC, pieces
+# ASC, j ASC = longest piece last). Integer micro-unit scores sum
+# exactly on both engines.
+def _unigram_viterbi_sql(W: int = 16, L: int = 6) -> str:
+    from themis_spark.operators.text import UNIGRAM_UNK_LP
+
+    vocab_rows = ", ".join(f"('{p}', {lp}::BIGINT)" for p, lp in UNIGRAM_VOCAB)
+    head = f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(
+        string_split_regex(trim(lower(text)), '\\s+'),
+        x -> length(x) > 0) AS words
+      FROM documents WHERE text IS NOT NULL),
+    okdocs AS (SELECT * FROM docs
+      WHERE len(words) = 0
+         OR list_max(list_transform(words, w -> length(w))) <= {W}),
+    w0 AS (SELECT doc_id, unnest(range(1, len(words) + 1)) AS wi, words
+           FROM okdocs),
+    w AS MATERIALIZED (SELECT doc_id, wi::INT AS wi, words[wi] AS wrd
+                       FROM w0),
+    vocab(piece, lp) AS (VALUES {vocab_rows}),
+    pos AS (SELECT doc_id, wi, wrd,
+                   unnest(range(1, length(wrd) + 1)) AS i FROM w),
+    je AS (SELECT doc_id, wi, wrd, i,
+                  unnest(range(greatest(i - {L}, 0), i)) AS j FROM pos),
+    edges AS MATERIALIZED (
+      SELECT e.doc_id, e.wi, e.i, e.j,
+             coalesce(v.lp, {UNIGRAM_UNK_LP}::BIGINT) AS lp
+      FROM (SELECT *, substr(wrd, j + 1, (i - j)::INT) AS piece FROM je) e
+      LEFT JOIN vocab v ON v.piece = e.piece
+      WHERE v.lp IS NOT NULL OR e.i - e.j = 1),
+    b0 AS MATERIALIZED (SELECT DISTINCT doc_id, wi, 0 AS i,
+                        0::BIGINT AS score, 0 AS n FROM w)"""
+    parts = []
+    prev = "b0"
+    for k in range(1, W + 1):
+        parts.append(f"""
+    c{k} AS (SELECT a.doc_id, a.wi, {k} AS i,
+                    a.score + e.lp AS score, a.n + 1 AS n,
+                    row_number() OVER (PARTITION BY a.doc_id, a.wi
+                        ORDER BY a.score + e.lp DESC, a.n + 1 ASC,
+                                 e.j ASC) AS rn
+             FROM {prev} a JOIN edges e
+               ON e.doc_id = a.doc_id AND e.wi = a.wi
+              AND e.j = a.i AND e.i = {k}),
+    b{k} AS MATERIALIZED (
+        SELECT doc_id, wi, i, score, n FROM c{k} WHERE rn = 1
+        UNION ALL SELECT * FROM {prev})""")
+        prev = f"b{k}"
+    tail = f""",
+    final AS (SELECT b.doc_id, b.wi, b.score, b.n
+              FROM {prev} b JOIN w
+                ON w.doc_id = b.doc_id AND w.wi = b.wi
+              WHERE b.i = length(w.wrd)),
+    agg AS (SELECT doc_id, sum(n) AS np, sum(score) AS sc
+            FROM final GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.np, 0)::INT AS n_pieces,
+           coalesce(a.sc, 0)::BIGINT AS score_micro
+    FROM okdocs d LEFT JOIN agg a USING (doc_id)"""
+    return head + "," + ",".join(parts) + tail
 
 
 # Z-order replay: exact-integer min/max normalization, explicit
@@ -5106,6 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "text_unigram_viterbi": _unigram_viterbi_sql(16, 6),
         "stat_hll_overlap": """
             WITH x AS (
               SELECT count(DISTINCT CASE WHEN o_orderkey % 2 = 0

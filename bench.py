@@ -125,6 +125,8 @@ HEADLINE = [
     # round 4: mojibake repair (native encode/decode round trip) and
     # sketch-based cross-corpus distinct overlap
     "repair_mojibake", "stat_hll_overlap",
+    # round 4: unigram-LM (SentencePiece-family) Viterbi tokenization
+    "text_unigram_viterbi",
 ]
 
 

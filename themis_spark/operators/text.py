@@ -1493,3 +1493,202 @@ def dsir_sample(raw, target, k: int = 100, key: str = "doc_id",
         w.select("*", skey.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), F.col(key).asc()).limit(k)
     )
+
+
+# ------------------------------------------- unigram LM tokenizer
+#
+# The SentencePiece-family complement of BPE (Kudo 2018,
+# arXiv:1804.10959 — public): a vocabulary of PIECES with unigram
+# log-probabilities; tokenization is the Viterbi segmentation
+# maximizing the summed piece logprob. Deployment shape mirrors BPE
+# exactly (train_bpe_merges): TRAINING is driver-side on a
+# deterministic hash sample — it needs global corpus statistics a
+# sample estimates fine — while APPLICATION is the distributed Arrow
+# kernel. Logprobs are integer micro-units end to end, so Viterbi
+# scores are exact integer sums: deterministic across engines and
+# replayable by a relational DP oracle.
+
+
+def train_unigram_vocab(df, text: str = "text", vocab_size: int = 120,
+                        sample_docs: int = 1000, max_piece_len: int = 6,
+                        seed_size: int = 1200, em_iters: int = 2,
+                        prune_keep: float = 0.75):
+    """EM-trained unigram piece vocabulary → ``[(piece, lp_micro)]``
+    (lp_micro = round(ln p × 10⁶), ints). Seed = frequent substrings up
+    to ``max_piece_len`` + every single char; rounds of lattice EM
+    (forward-backward expected counts, log-domain) alternate with
+    pruning the lowest-expected-count pieces (chars are never pruned)
+    until ``vocab_size``. All ties break lexicographically —
+    deterministic for a given sample."""
+    import math
+    from collections import Counter
+
+    from themis_spark.functions.hashing import hash60
+
+    rows = (df.select(F.col(text).alias("t"))
+            .where(F.col(text).isNotNull())
+            .orderBy(hash60(F.col(text)), F.col(text))
+            .limit(sample_docs).collect())
+    word_counts: Counter = Counter()
+    for r in rows:
+        word_counts.update(r["t"].lower().split())
+    if not word_counts:
+        raise ValueError("empty training sample")
+
+    sub_counts: Counter = Counter()
+    chars: set[str] = set()
+    for w, cnt in word_counts.items():
+        chars.update(w)
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                sub_counts[w[i:j]] += cnt
+    multi = [p for p in sub_counts if len(p) > 1 and sub_counts[p] >= 2]
+    multi.sort(key=lambda p: (-sub_counts[p], p))
+    pieces = sorted(chars) + multi[:max(seed_size - len(chars), 0)]
+    probs = {p: sub_counts[p] for p in pieces}
+    total = sum(probs.values())
+    probs = {p: c / total for p, c in probs.items()}
+
+    def em_round() -> dict[str, float]:
+        # lattice forward-backward per distinct word, log-domain
+        expected: dict[str, float] = {p: 0.0 for p in probs}
+        lp = {p: math.log(v) for p, v in probs.items()}
+        for w, cnt in sorted(word_counts.items()):
+            n = len(w)
+            alpha = [float("-inf")] * (n + 1)
+            alpha[0] = 0.0
+            for i in range(1, n + 1):
+                acc = []
+                for j in range(max(0, i - max_piece_len), i):
+                    piece = w[j:i]
+                    if piece in lp and alpha[j] > float("-inf"):
+                        acc.append(alpha[j] + lp[piece])
+                if acc:
+                    m = max(acc)
+                    alpha[i] = m + math.log(sum(math.exp(a - m) for a in acc))
+            if alpha[n] == float("-inf"):
+                continue
+            beta = [float("-inf")] * (n + 1)
+            beta[n] = 0.0
+            for i in range(n - 1, -1, -1):
+                acc = []
+                for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                    piece = w[i:j]
+                    if piece in lp and beta[j] > float("-inf"):
+                        acc.append(lp[piece] + beta[j])
+                if acc:
+                    m = max(acc)
+                    beta[i] = m + math.log(sum(math.exp(a - m) for a in acc))
+            for i in range(n):
+                for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                    piece = w[i:j]
+                    if piece in lp and alpha[i] > float("-inf") \
+                            and beta[j] > float("-inf"):
+                        post = math.exp(alpha[i] + lp[piece] + beta[j]
+                                        - alpha[n])
+                        expected[piece] += cnt * post
+        # Laplace smoothing over the current vocab: single chars must
+        # never collapse to ~zero (they are the fallback path for every
+        # out-of-sample word), and additive alpha bounds every piece
+        # away from underflow across EM x prune rounds
+        alpha = 0.1
+        tot = sum(expected.values()) + alpha * len(expected)
+        return {p: (e + alpha) / tot for p, e in expected.items()}
+
+    while True:
+        for _ in range(em_iters):
+            probs = em_round()
+        n_multi = sum(1 for p in probs if len(p) > 1)
+        target_multi = vocab_size - len([p for p in probs if len(p) == 1])
+        if n_multi <= max(target_multi, 0):
+            break
+        keep = max(int(n_multi * prune_keep), max(target_multi, 0))
+        ranked = sorted((p for p in probs if len(p) > 1),
+                        key=lambda p: (-probs[p], p))
+        kept = set(ranked[:keep]) | {p for p in probs if len(p) == 1}
+        probs = {p: v for p, v in probs.items() if p in kept}
+        s = sum(probs.values())
+        probs = {p: v / s for p, v in probs.items()}
+    return sorted(
+        ((p, int(round(math.log(v) * 1_000_000))) for p, v in probs.items()),
+        key=lambda t: t[0])
+
+
+#: Viterbi score for an unknown single char — below any trained piece
+UNIGRAM_UNK_LP = -20_000_000
+
+
+def unigram_viterbi(word: str, vocab: dict[str, int],
+                    max_piece_len: int = 6,
+                    unk_lp: int = UNIGRAM_UNK_LP):
+    """Optimal segmentation of one word → (pieces, score_micro).
+    Integer DP; cell ties break by (higher score, fewer pieces,
+    longest piece last) — the exact order the SQL oracle replays."""
+    n = len(word)
+    NEG = float("-inf")
+    best: list[tuple] = [(0, 0, -1)] + [(NEG, 0, -1)] * n  # (score, npieces, backptr)
+    for i in range(1, n + 1):
+        cand = []
+        for j in range(max(0, i - max_piece_len), i):
+            if best[j][0] == NEG:
+                continue
+            piece = word[j:i]
+            lp = vocab.get(piece)
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = unk_lp
+            cand.append((best[j][0] + lp, best[j][1] + 1, j))
+        if cand:
+            # score DESC, npieces ASC, j ASC (smallest j = longest piece
+            # ending here) — exactly the oracle's ORDER BY
+            best[i] = min(cand, key=lambda c: (-c[0], c[1], c[2]))
+    if best[n][0] == NEG:
+        return [], 0
+    pieces = []
+    i = n
+    while i > 0:
+        j = best[i][2]
+        pieces.append(word[j:i])
+        i = j
+    return pieces[::-1], int(best[n][0])
+
+
+def unigram_tokenize_arrow(df, vocab: list, key: str = "doc_id",
+                           text: str = "text", max_piece_len: int = 6,
+                           unk_lp: int = UNIGRAM_UNK_LP):
+    """Distributed Viterbi application: ``(key, tokens, n_pieces,
+    score_micro)`` per doc. Arrow batches via mapInPandas (the DP is
+    per-word Python — same production regime as bpe_tokenize_arrow);
+    the vocab ships in the closure (O(vocab) bytes, like a broadcast).
+    Null/empty docs yield empty tokens and score 0."""
+    from collections.abc import Iterator as _It
+
+    vd = dict(vocab)
+    out_schema = (f"{key} long, tokens array<string>, "
+                  "n_pieces int, score_micro long")
+
+    import pandas as pd  # executor-side closure import
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        memo: dict[str, tuple] = {}
+        for pdf in batches:
+            toks_col, np_col, sc_col = [], [], []
+            for t in pdf[text]:
+                toks: list[str] = []
+                score = 0
+                if t is not None:
+                    for w in str(t).lower().split():
+                        got = memo.get(w)
+                        if got is None:
+                            got = memo[w] = unigram_viterbi(
+                                w, vd, max_piece_len, unk_lp)
+                        toks.extend(got[0])
+                        score += got[1]
+                toks_col.append(toks)
+                np_col.append(len(toks))
+                sc_col.append(score)
+            yield pd.DataFrame({key: pdf[key], "tokens": toks_col,
+                                "n_pieces": np_col, "score_micro": sc_col})
+
+    return df.select(key, text).mapInPandas(kernel, out_schema)
