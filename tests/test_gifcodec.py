@@ -187,13 +187,15 @@ def test_refuses_decode_bomb_header():
         G.decode_gif(bytes(hostile))
 
 
-def test_refuses_restore_previous_disposal():
+def test_restore_previous_disposal_decodes():
+    # disposal 3 is supported since round 4 (restore-previous
+    # compositing) — a single frame with it simply decodes
     gct = np.array([[0, 0, 0], [1, 1, 1]], dtype=np.uint8)
     gce = b"\x21\xf9\x04\x0c\x00\x00\x00\x00"  # disposal=3
     idx = np.zeros((1, 1), dtype=np.uint8)
     payload = _hand_gif(1, 1, gct, [gce, _image_block(0, 0, idx)])
-    with pytest.raises(UnsupportedImageError, match="restore-previous"):
-        G.decode_gif(payload)
+    frames = G.decode_gif(payload)
+    assert len(frames) == 1 and (frames[0] == [0, 0, 0]).all()
 
 
 def test_refuses_out_of_palette_index():
@@ -243,3 +245,41 @@ def test_spark_meta_resize_and_frame_sample(spark):
     for r in samples:
         assert r["frame_sha"] == hashlib.sha256(
             anim[r["frame_idx"]].tobytes()).hexdigest()
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        c = data[i:i + 255]
+        out.append(len(c))
+        out += c
+    out.append(0)
+    return bytes(out)
+
+
+def _gce_frame(left, top, w, h, indices, disposal):
+    from themis_spark.functions.gifcodec import _lzw_encode
+
+    gce = b"\x21\xf9" + _sub_blocks(bytes([disposal << 2, 0, 0, 0]))
+    desc = (b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00")
+    return gce + desc + bytes([2]) + _sub_blocks(_lzw_encode(2, bytes(indices)))
+
+
+def test_disposal3_restores_previous_canvas():
+    import numpy as np
+
+    from themis_spark.functions.gifcodec import decode_gif
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    hdr = (b"GIF89a" + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+           + bytes([0x80 | 1, 0, 0]) + pal)
+    # frame 1 paints the whole canvas red with disposal=3: after it
+    # shows, the canvas must revert to background before frame 2
+    f1 = _gce_frame(0, 0, 4, 4, [1] * 16, 3)
+    f2 = _gce_frame(1, 1, 2, 2, [2] * 4, 0)
+    frames = decode_gif(hdr + f1 + f2 + b"\x3b")
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()
+    assert (frames[1][1:3, 1:3] == [0, 255, 0]).all()
+    assert (frames[1][0, 0] == [0, 0, 0]).all()  # red is GONE, not kept

@@ -209,3 +209,45 @@ def test_extract_media_meta_real_decode_png(spark):
         deterministic_fake=False).collect()
     r = rows[0]
     assert (r["format"], r["width"], r["height"], r["n_frames"]) == ("png", 9, 6, 1)
+
+
+def test_adam7_interlaced_round_trip():
+    import numpy as np
+
+    from themis_spark.functions import imagecodec as IC
+
+    rng = np.random.default_rng(5)
+    # edge sizes exercise empty passes (<8 px axes) and every filter
+    for (h, w) in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 17), (9, 1), (1, 9)]:
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        for filters in (None, [0, 1, 2, 3, 4]):
+            p = IC.encode_png(img, row_filters=filters, interlace=True)
+            assert np.array_equal(IC.decode_png(p), img), (h, w, filters)
+
+
+def test_adam7_truncated_pass_raises():
+    import numpy as np
+    import pytest
+    import zlib
+
+    from themis_spark.functions import imagecodec as IC
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    p = bytearray(IC.encode_png(img, interlace=True))
+    # shrink the IDAT payload: recompress a truncated raw stream
+    sig_end = 8
+    pos = sig_end
+    out = bytearray(p[:sig_end])
+    while pos < len(p):
+        ln = int.from_bytes(p[pos:pos + 4], "big")
+        typ = bytes(p[pos + 4:pos + 8])
+        data = bytes(p[pos + 8:pos + 8 + ln])
+        if typ == b"IDAT":
+            raw = zlib.decompress(data)[:-10]
+            data = zlib.compress(raw)
+            ln = len(data)
+        out += ln.to_bytes(4, "big") + typ + data \
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        pos += 12 + int.from_bytes(p[pos:pos + 4], "big")
+    with pytest.raises(IC.UnsupportedImageError):
+        IC.decode_png(bytes(out))

@@ -4,7 +4,7 @@ Like imagecodec.py / jpegcodec.py: no image libraries exist in this
 container, but GIF is a fully-specified byte layout (GIF89a
 specification, CompuServe 1990; the LZW variant is the one from the
 spec's Appendix F). Decoder supports global/local color tables,
-interlacing, multiple frames (animation) with disposal methods 0-2 and
+interlacing, multiple frames (animation) with disposal methods 0-3 and
 GCE transparency — everything a real crawl's GIFs commonly use;
 malformed streams raise ``UnsupportedImageError`` loudly (fail-closed).
 The encoder exists so tests can generate conformant streams in this
@@ -185,9 +185,10 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
 
     Frames composite per the GIF89a animation model: disposal 0/1 keep
     the previous canvas, disposal 2 restores the frame's region to the
-    background color; GCE transparency skips indexed pixels during
-    compositing. Disposal 3 (restore-previous) is rare and refused
-    loudly rather than approximated.
+    background color, disposal 3 restores the canvas to its state
+    before the frame rendered (one canvas snapshot held only while a
+    restore-previous frame is in flight); GCE transparency skips
+    indexed pixels during compositing.
     """
     if not sniff_gif(payload):
         raise UnsupportedImageError("not a GIF stream")
@@ -230,9 +231,6 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
                     flags = data[0]
                     disposal = (flags >> 2) & 0x07
                     transparent = data[3] if flags & 0x01 else None
-                if disposal == 3:
-                    raise UnsupportedImageError(
-                        "gif: restore-previous disposal not supported")
             else:  # comment / plain text / application: skip
                 _, pos = _sub_blocks(payload, pos)
             continue
@@ -275,6 +273,7 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         if idx.max() >= len(lct):
             raise UnsupportedImageError("gif: pixel index outside palette")
 
+        saved = canvas.copy() if disposal == 3 else None
         region = canvas[top:top + fh, left:left + fw]
         rgb = lct[idx]
         if transparent is not None:
@@ -283,6 +282,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         else:
             region[:, :] = rgb
         frames.append(canvas.copy())
+        if disposal == 3:  # restore-previous: undo this frame's render
+            canvas[:, :] = saved
         if disposal == 2:  # restore region to background
             bg = gct[bg_index] if gct is not None and bg_index < len(gct) \
                 else np.zeros(3, dtype=np.uint8)

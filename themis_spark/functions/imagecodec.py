@@ -206,7 +206,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB array, pure stdlib zlib + numpy.
     Grayscale expands to RGB, palette entries resolve through PLTE,
     RGBA drops alpha (no compositing — the training-data contract is
-    raw pixel content). 16-bit depth and Adam7 interlace raise."""
+    raw pixel content). Adam7 interlace deinterlaces (each pass is an
+    independently filtered sub-image per the PNG spec); 16-bit depth
+    raises."""
     if payload[:8] != _PNG_SIG:
         raise UnsupportedImageError("not a png stream")
     ihdr, plte, idat = None, None, bytearray()
@@ -228,14 +230,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError(f"png color type {ctype} not supported")
     if comp != 0 or filt != 0:
         raise UnsupportedImageError("nonstandard png compression/filter method")
-    if interlace != 0:
-        raise UnsupportedImageError("Adam7 interlaced png not supported")
+    if interlace not in (0, 1):
+        raise UnsupportedImageError(f"png interlace method {interlace}")
     nch = _PNG_CHANNELS[ctype]
     stride = w * nch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise UnsupportedImageError("png pixel data length mismatch")
-    img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise UnsupportedImageError("png pixel data length mismatch")
+        img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    else:
+        img = _png_deinterlace_adam7(raw, w, h, nch)
     if ctype == 0:  # grayscale -> RGB
         return np.repeat(img, 3, axis=2)
     if ctype == 3:  # palette
@@ -249,49 +254,94 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_deinterlace_adam7(raw: bytes, w: int, h: int,
+                           nch: int) -> np.ndarray:
+    """Reassemble the 7 Adam7 passes: each non-empty pass is its own
+    filtered sub-image (filters reference neighbours WITHIN the pass),
+    unfiltered independently and scattered onto the output grid."""
+    img = np.zeros((h, w, nch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * nch
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise UnsupportedImageError("png: truncated Adam7 pass data")
+        sub = _png_unfilter(raw[pos:pos + need], ph, stride, nch)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        pos += need
+    if pos != len(raw):
+        raise UnsupportedImageError("png pixel data length mismatch")
+    return img
+
+
+def encode_png(img: np.ndarray, row_filters: list[int] | None = None,
+               interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB → color-type-2 PNG bytes. ``row_filters``
     cycles real filter types (0–4) across rows — the fixture writer for
     tests that must exercise every unfilter path with spec-true filter
-    arithmetic (encode applies the true forward filters)."""
+    arithmetic (encode applies the true forward filters).
+    ``interlace=True`` writes Adam7: each pass filtered independently,
+    exactly the layout the decoder's deinterlacer consumes."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
-    raw = bytearray()
-    prev = np.zeros(w * 3, np.int32)
-    z3 = np.zeros(3, np.int32)
-    for y in range(h):
-        line = img[y].reshape(-1).astype(np.int32)
-        f = row_filters[y % len(row_filters)] if row_filters else 0
-        left = np.concatenate([z3, line[:-3]])
-        upleft = np.concatenate([z3, prev[:-3]])
-        if f == 0:
-            enc = line
-        elif f == 1:
-            enc = (line - left) & 255
-        elif f == 2:
-            enc = (line - prev) & 255
-        elif f == 3:
-            enc = (line - ((left + prev) >> 1)) & 255
-        elif f == 4:
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-            enc = (line - pred) & 255
-        else:
-            raise ValueError(f"png filter type {f}")
-        raw.append(f)
-        raw += enc.astype(np.uint8).tobytes()
-        prev = line
+
+    def filter_rows(sub: np.ndarray) -> bytes:
+        sh, sw = sub.shape[:2]
+        raw = bytearray()
+        prev = np.zeros(sw * 3, np.int32)
+        z3 = np.zeros(3, np.int32)
+        for y in range(sh):
+            line = sub[y].reshape(-1).astype(np.int32)
+            f = row_filters[y % len(row_filters)] if row_filters else 0
+            left = np.concatenate([z3, line[:-3]])
+            upleft = np.concatenate([z3, prev[:-3]])
+            if f == 0:
+                enc = line
+            elif f == 1:
+                enc = (line - left) & 255
+            elif f == 2:
+                enc = (line - prev) & 255
+            elif f == 3:
+                enc = (line - ((left + prev) >> 1)) & 255
+            elif f == 4:
+                p = left + prev - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                enc = (line - pred) & 255
+            else:
+                raise ValueError(f"png filter type {f}")
+            raw.append(f)
+            raw += enc.astype(np.uint8).tobytes()
+            prev = line
+        return bytes(raw)
+
+    if interlace:
+        raw = b"".join(
+            filter_rows(np.ascontiguousarray(img[y0::dy, x0::dx]))
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0)
+    else:
+        raw = filter_rows(img)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (len(data).to_bytes(4, "big") + typ + data
                 + zlib.crc32(typ + data).to_bytes(4, "big"))
 
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, 2, 0, 0, 0]))
+            + bytes([8, 2, 0, 0, 1 if interlace else 0]))
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
 
 
