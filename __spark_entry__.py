@@ -2082,6 +2082,38 @@ UNIGRAM_VOCAB = (
 )
 
 
+def q_stat_heavy_hitters(spark, sf):
+    # bounded-memory Misra-Gries heavy hitters. The candidate SET is
+    # partition-order dependent, so the oracle checks only the PROVABLE
+    # part of the contract: tokens engineered to exceed the error bound
+    # (three 'heavy' tokens at ~N/10 each vs terr <= floor(N/17)) must
+    # be present, with lower <= exact <= upper, and the summed error
+    # must respect the Misra-Gries bound.
+    ev = _t(spark, sf, "events")
+    tok = F.when(F.col("user_id") % 10 < 3,
+                 F.concat(F.lit("heavy_"),
+                          (F.col("user_id") % 3).cast("string"))) \
+        .otherwise(F.concat(F.lit("tail_"), F.col("user_id").cast("string")))
+    src = ev.select(tok.alias("token"))
+    hh = ST2.heavy_hitters_mg(src, "token", n_counters=16)
+    exact = src.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    n_total = src.agg(F.count(F.lit(1)).alias("__n"))
+    terr = hh.agg(F.max(F.col("upper") - F.col("lower")).alias("__terr"))
+    return (
+        exact.where(F.col("token").startswith("heavy_"))
+        .join(hh, "token", "left")
+        .crossJoin(F.broadcast(n_total)).crossJoin(F.broadcast(terr))
+        .select(
+            "token", "exact",
+            F.col("lower").isNotNull().alias("in_candidates"),
+            ((F.col("lower") <= F.col("exact"))
+             & (F.col("exact") <= F.col("upper"))).alias("bounds_ok"),
+            (F.col("__terr") <= F.floor(F.col("__n") / 17))
+            .alias("err_within_bound"),
+        )
+    )
+
+
 def q_text_unigram_viterbi(spark, sf):
     # unigram-LM (SentencePiece-family) Viterbi tokenization under the
     # literal vocab: exact integer optimum score + piece count per doc.
@@ -2605,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "stat_heavy_hitters": q_stat_heavy_hitters,
         "text_unigram_viterbi": q_text_unigram_viterbi,
         "stat_hll_overlap": q_stat_hll_overlap,
         "repair_mojibake": q_repair_mojibake,
@@ -5203,6 +5236,16 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "stat_heavy_hitters": """
+            WITH src AS (
+              SELECT CASE WHEN user_id % 10 < 3
+                          THEN 'heavy_' || (user_id % 3)
+                          ELSE 'tail_' || user_id END AS token
+              FROM events),
+            ex AS (SELECT token, count(*) AS exact FROM src GROUP BY token)
+            SELECT token, exact, true AS in_candidates, true AS bounds_ok,
+                   true AS err_within_bound
+            FROM ex WHERE token LIKE 'heavy_%'""",
         "text_unigram_viterbi": _unigram_viterbi_sql(16, 6),
         "stat_hll_overlap": """
             WITH x AS (

@@ -127,6 +127,9 @@ HEADLINE = [
     "repair_mojibake", "stat_hll_overlap",
     # round 4: unigram-LM (SentencePiece-family) Viterbi tokenization
     "text_unigram_viterbi",
+    # round 4: bounded-memory Misra-Gries heavy hitters, EXIF-aware
+    # decode, MJPG-AVI frame sampling
+    "stat_heavy_hitters",
 ]
 
 

@@ -82,3 +82,34 @@ def test_hll_overlap_plan_has_no_corpus_join(spark):
     # the only join is the broadcast of two 1-row sketch frames
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_misra_gries_guarantees_under_pressure(spark):
+    # high-cardinality stream with 3 planted heavy tokens: the summary
+    # must keep every token with freq > total_err, bound every surviving
+    # count as lower <= exact <= upper, and respect err <= N/(k+1)
+    import pyspark.sql.functions as F2
+
+    n = 20_000
+    df = spark.range(n).select(
+        F2.when(F2.col("id") % 4 == 0,
+                F2.concat(F2.lit("heavy_"), (F2.col("id") % 3).cast("string")))
+        .otherwise(F2.concat(F2.lit("tail_"),
+                             (F2.col("id") % 4999).cast("string")))
+        .alias("token"))
+    k = 16
+    hh = {r["token"]: r for r in
+          ST.heavy_hitters_mg(df, "token", n_counters=k).collect()}
+    exact = {r["token"]: r["cnt"] for r in
+             df.groupBy("token").agg(F2.count(F2.lit(1)).alias("cnt"))
+             .collect()}
+    terr = next(iter(hh.values()))
+    terr = terr["upper"] - terr["lower"]
+    assert 0 < terr <= n // (k + 1)  # pressure actually happened
+    for tok, cnt in exact.items():
+        if cnt > terr:
+            assert tok in hh, tok
+        if tok in hh:
+            assert hh[tok]["lower"] <= cnt <= hh[tok]["upper"], tok
+    for t in ("heavy_0", "heavy_1", "heavy_2"):
+        assert t in hh

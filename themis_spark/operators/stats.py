@@ -1000,3 +1000,68 @@ def hll_set_overlap(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
                     / F.col("est_union"), 6).alias("jaccard_est"),
         )
     )
+
+
+# ------------------------------------------- heavy hitters (Misra-Gries)
+#
+# Bounded-memory frequent-items summary (Misra & Gries 1982; the
+# mergeable-summaries framing is Agarwal et al. 2012, PODS — public).
+# The scale story: exact top-k token counting at 10^10+ distinct keys
+# shuffles the full (token, count) space; a per-partition Misra-Gries
+# summary of k' counters reduces each partition to k' rows with a
+# PROVABLE guarantee — every token with true frequency > N/(k'+1)
+# survives the union of summaries, and each summary's undercount is at
+# most its partition's err_p = floor(n_p/(k'+1)). The exchange carries
+# O(partitions * k') candidate rows, never the distinct-key space.
+
+
+def heavy_hitters_mg(df: DataFrame, col: str, n_counters: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries, merged: ``(token, lower,
+    upper)`` where ``lower`` = summed surviving counters (a guaranteed
+    UNDER-count of the true frequency) and ``upper = lower +
+    sum_p(err_p)`` with ``err_p`` the partition's decrement
+    passes (a pass costs any one token at most one count). Guarantee: every token with true frequency > sum_p(err_p)
+    appears in the output; sum_p(err_p) <= N/(n_counters+1). Each
+    partition also emits ONE null-token marker row carrying its err_p,
+    so the global error budget sums exactly (two partitions with equal
+    err must not collapse). Deterministic for a fixed file layout:
+    parquet row order is stable and eviction touches all-or-only-ones.
+    """
+    import pandas as _pd
+
+    part_schema = "token string, cnt long, err long"
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                t = str(v)
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < n_counters:
+                    counters[t] = 1
+                else:
+                    # classic MG step: decrement every counter, drop the
+                    # incoming count — destroys exactly n_counters+1
+                    # occurrences per pass, hence err_p <= n_p/(k+1)
+                    err += 1
+                    for x in list(counters):
+                        counters[x] -= 1
+                        if counters[x] == 0:
+                            del counters[x]
+        toks = list(counters) + [None]
+        yield _pd.DataFrame({"token": toks,
+                             "cnt": list(counters.values()) + [0],
+                             "err": [0] * len(counters) + [err]})
+
+    parts = df.select(F.col(col).cast("string").alias(col)) \
+        .mapInPandas(summarize, part_schema)
+    lowers = parts.where(F.col("token").isNotNull()) \
+        .groupBy("token").agg(F.sum("cnt").alias("lower"))
+    total_err = parts.where(F.col("token").isNull()) \
+        .agg(F.sum("err").alias("__terr"))
+    return lowers.crossJoin(F.broadcast(total_err)).select(
+        "token", "lower", (F.col("lower") + F.col("__terr")).alias("upper"))
