@@ -2082,6 +2082,41 @@ UNIGRAM_VOCAB = (
 )
 
 
+def q_web_url_templates(spark, sf):
+    # URL template mining over id-ful synthetic paths: numeric item
+    # ids collapse to {n}, hex user ids to {h}, static paths survive
+    # verbatim — three generators per host
+    d = _t(spark, sf, "documents")
+    hexid = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/item/"),
+                        ((F.col("doc_id") * 7919) % 100000).cast("string"),
+                        F.lit("/view")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit("/u/"), hexid, F.lit("/profile")))
+         .otherwise(F.lit("/static/about")))
+    return WB.url_templates(d.select(url.alias("url")))
+
+
+def q_text_sentences(spark, sf):
+    # sentence segmentation: plant terminators into the single-line
+    # corpus text so real boundaries exist (every 4th doc keeps its
+    # terminator-free text to exercise the one-sentence path)
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    planted = F.when(
+        F.col("doc_id") % 4 != 0,
+        F.regexp_replace(F.col("text"), r"(\w+ \w+ \w+ \w+ \w+) ", "$1. "),
+    ).otherwise(F.col("text"))
+    return X.sentence_spans(d.select("doc_id", planted.alias("text")))
+
+
+def q_text_collocations(spark, sf):
+    return X.collocations(_t(spark, sf, "documents"), min_count=5, k=50)
+
+
 def q_stat_heavy_hitters(spark, sf):
     # bounded-memory Misra-Gries heavy hitters. The candidate SET is
     # partition-order dependent, so the oracle checks only the PROVABLE
@@ -2637,6 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "web_url_templates": q_web_url_templates,
+        "text_sentences": q_text_sentences,
+        "text_collocations": q_text_collocations,
         "stat_heavy_hitters": q_stat_heavy_hitters,
         "text_unigram_viterbi": q_text_unigram_viterbi,
         "stat_hll_overlap": q_stat_hll_overlap,
@@ -5236,6 +5274,75 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "web_url_templates": r"""
+            WITH u AS (SELECT doc_id,
+                 'https://h' || (doc_id % 7) || '.example.com' ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN '/item/' || (doc_id * 7919 % 100000) || '/view'
+                      WHEN doc_id % 3 = 1
+                      THEN '/u/' || substr(md5(doc_id::VARCHAR), 1, 12)
+                           || '/profile'
+                      ELSE '/static/about' END AS url
+               FROM documents),
+            g AS (SELECT url,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                   AS host,
+                 coalesce(nullif(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/')
+                   AS path
+               FROM u),
+            t AS (SELECT host,
+                 regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', '{h}',
+                                               'g'),
+                                '[0-9]+', '{n}', 'g') AS template, url
+               FROM g)
+            SELECT host, template, count(*) AS n_urls,
+                   count(DISTINCT url) AS n_distinct, min(url) AS example
+            FROM t GROUP BY 1, 2""",
+        "text_sentences": r"""
+            WITH d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 4 != 0
+                      THEN regexp_replace(text,
+                           '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')
+                      ELSE text END AS t
+               FROM documents WHERE text IS NOT NULL),
+            m AS (SELECT doc_id,
+                 string_split(regexp_replace(t, '([.!?])\s+',
+                                             '\1' || chr(31), 'g'),
+                              chr(31)) AS arr
+               FROM d),
+            e AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr
+                  FROM m),
+            s AS (SELECT doc_id, (i - 1)::INT AS sent_idx,
+                         arr[i] AS sentence FROM e)
+            SELECT doc_id, sent_idx, sentence,
+                   len(string_split_regex(trim(sentence), '\s+'))::INT
+                     AS n_words
+            FROM s WHERE length(trim(sentence)) > 0""",
+        "text_collocations": r"""
+            WITH toks AS (SELECT
+                 string_split_regex(trim(lower(text)), '\s+') AS tk
+               FROM documents WHERE text IS NOT NULL),
+            uni AS (SELECT w, count(*) AS c FROM (
+                      SELECT unnest(tk) AS w FROM toks) z
+                    WHERE length(w) > 0 GROUP BY w),
+            bi AS (SELECT a, b, count(*) AS c_ab FROM (
+                     SELECT tk[i] AS a, tk[i + 1] AS b FROM (
+                       SELECT tk, unnest(range(1, len(tk))) AS i
+                       FROM toks WHERE len(tk) >= 2) z) zz
+                   WHERE length(a) > 0 AND length(b) > 0
+                   GROUP BY a, b HAVING count(*) >= 5),
+            nt AS (SELECT sum(c) AS n FROM uni),
+            nb AS (SELECT sum(c_ab) AS n FROM bi),
+            j AS (SELECT bi.a, bi.b, bi.c_ab,
+                    round(ln((bi.c_ab::DOUBLE * nt.n::DOUBLE * nt.n::DOUBLE)
+                           / (nb.n::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE)),
+                          6) AS pmi
+                  FROM bi JOIN uni ua ON ua.w = bi.a
+                  JOIN uni ub ON ub.w = bi.b
+                  CROSS JOIN nt CROSS JOIN nb)
+            SELECT a, b, c_ab, pmi FROM j
+            ORDER BY pmi DESC, a ASC, b ASC LIMIT 50""",
         "stat_heavy_hitters": """
             WITH src AS (
               SELECT CASE WHEN user_id % 10 < 3

@@ -130,6 +130,8 @@ HEADLINE = [
     # round 4: bounded-memory Misra-Gries heavy hitters, EXIF-aware
     # decode, MJPG-AVI frame sampling
     "stat_heavy_hitters",
+    # round 4: sentence spans, PMI collocations, URL template mining
+    "text_sentences", "text_collocations", "web_url_templates",
 ]
 
 

@@ -1692,3 +1692,87 @@ def unigram_tokenize_arrow(df, vocab: list, key: str = "doc_id",
                                 "n_pieces": np_col, "score_micro": sc_col})
 
     return df.select(key, text).mapInPandas(kernel, out_schema)
+
+
+# ------------------------------------------------- sentence segmentation
+#
+# Sentence-level spans feed finer-granularity dedup and packing than
+# whole docs (and RAG passage indexes). The boundary rule is the
+# portable subset of sentence splitting: terminator [.!?]+ followed by
+# whitespace ends a sentence. Implemented WITHOUT lookbehind (RE2 — the
+# oracle engine — has none): one regexp_replace plants a sentinel after
+# the terminator, one split. Scan-stage native, zero shuffle.
+
+
+def sentence_spans(df, key: str = "doc_id", text: str = "text"):
+    """(key, sent_idx, sentence, n_words) — one row per sentence,
+    sent_idx 0-based in document order. Empty/whitespace fragments are
+    dropped; sentences keep their terminator. posexplode is map-side;
+    the plan has no exchange (asserted in tests)."""
+    c = F.col(text)
+    marked = F.regexp_replace(c, r"([.!?])\s+", "$1\u001f")
+    sents = F.split(marked, "\u001f")
+    return (
+        df.where(c.isNotNull())
+        .select(F.col(key), F.posexplode(sents).alias("sent_idx", "sentence"))
+        .where(F.length(F.trim(F.col("sentence"))) > 0)
+        .select(
+            key, "sent_idx", "sentence",
+            F.size(F.split(F.trim(F.col("sentence")), r"\s+"))
+            .cast("int").alias("n_words"),
+        )
+    )
+
+
+# --------------------------------------------------- PMI collocations
+#
+# Pointwise mutual information over adjacent word pairs (Church &
+# Hanks 1990 — public): the corpus-statistics collocation extractor
+# ("new york", "machine learning" rank far above chance). Counts come
+# from two explode->agg streams (bigram and unigram); the PMI itself is
+# one fixed-order double expression over exact integer counts, rounded
+# to 6 dp — cross-engine deterministic like the unigram/bigram LMs.
+
+
+def collocations(df, text: str = "text", min_count: int = 5,
+                 k: int = 50, round_to: int = 6):
+    """Top-k adjacent-pair collocations by PMI: ``(a, b, c_ab, pmi)``,
+    ties broken on (a, b) ascending. PMI = ln(p(ab) / (p(a)p(b))) with
+    p(ab) over the bigram total and p(a) over the token total —
+    evaluated as one cross-multiplied expression with every factor cast
+    to double first (identical IEEE op order on both engines).
+
+    Plan: the tokenizer runs once per stream (bigram + unigram — two
+    scan-stage explodes); the aggregations partial-combine map-side, so
+    exchanges carry distinct grams, and the two total counts ride in as
+    broadcast one-row aggregates. Top-k is TakeOrderedAndProject."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    base = df.where(F.col(text).isNotNull())
+    uni = (base.select(F.explode(toks).alias("w"))
+           .where(F.length("w") > 0)
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    bi = (base.where(F.size(toks) >= 2)  # grams_zip guard: slice len > 0
+          .select(F.explode(grams_zip(toks, 2)).alias("g"))
+          .select(F.split("g", " ").alias("p"))
+          .where((F.length(F.element_at("p", 1)) > 0)
+                 & (F.length(F.element_at("p", 2)) > 0))
+          .select(F.element_at("p", 1).alias("a"),
+                  F.element_at("p", 2).alias("b"))
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+          .where(F.col("c_ab") >= min_count))
+    nt = uni.agg(F.sum("c").alias("__nt"))
+    nb = bi.agg(F.sum("c_ab").alias("__nb"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(F.log(
+        (F.col("c_ab").cast("double") * F.col("__nt").cast("double")
+         * F.col("__nt").cast("double"))
+        / (F.col("__nb").cast("double") * F.col("c_a").cast("double")
+           * F.col("c_b").cast("double"))), round_to)
+    return (
+        bi.join(ua, "a").join(ub, "b")
+        .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nb))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )

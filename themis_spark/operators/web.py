@@ -979,3 +979,37 @@ def crawl_frontier(pages: DataFrame, budgets: DataFrame,
         .where(F.col("rank") <= F.col("budget"))
         .select(host_out, url, priority, "rank")
     )
+
+
+# --------------------------------------------------- URL template mining
+#
+# Crawl-structure discovery: collapse volatile id segments out of URL
+# paths ("/item/8823491/review" -> "/item/{n}/review") and profile the
+# surviving templates per host — which page GENERATORS a site has, how
+# many instances each has, and where crawl budget actually went.
+# Variable-segment rules (applied in this order, each one native
+# regexp_replace, RE2-portable for the oracle): long hex runs (ids,
+# hashes) -> {h}, digit runs -> {n}, uuid-ish dash-hex handled by the
+# hex rule per segment.
+
+
+def url_templates(df, url: str = "url", min_count: int = 1):
+    """(host, template, n_urls, n_distinct, example) per (host,
+    collapsed-path template). ``example`` = min(url) — deterministic.
+    One scan-stage projection then a partial-combined aggregation; the
+    exchange carries one row per (host, template)."""
+    u = F.col(url)
+    host = F.parse_url(u, F.lit("HOST"))
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("/"))
+    t = F.regexp_replace(path, "[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(t, "[0-9]+", "{n}")
+    return (
+        df.where(u.isNotNull())
+        .select(host.alias("host"), t.alias("template"), u.alias("__u"))
+        .where(F.col("host").isNotNull())
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.countDistinct("__u").alias("n_distinct"),
+             F.min("__u").alias("example"))
+        .where(F.col("n_urls") >= min_count)
+    )
