@@ -245,6 +245,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         fh = int.from_bytes(payload[pos + 6:pos + 8], "little")
         fpacked = payload[pos + 8]
         pos += 9
+        if fw == 0 or fh == 0:
+            raise UnsupportedImageError("gif: empty frame rectangle")
         if left + fw > w or top + fh > h:
             raise UnsupportedImageError("gif: frame exceeds canvas")
         lct = gct
@@ -389,6 +391,8 @@ def gif_frame_meta(payload: bytes) -> tuple[int, int, int]:
             continue
         if marker != 0x2C:
             raise UnsupportedImageError(f"gif: unexpected block 0x{marker:02x}")
+        if pos + 9 > n:
+            raise UnsupportedImageError("gif: truncated image descriptor")
         fpacked = payload[pos + 8]
         pos += 9
         if fpacked & 0x80:

@@ -74,8 +74,8 @@ def _parse_ppm_header(payload: bytes, start: int = 0) -> tuple[int, int, int, in
         while pos < n and not payload[pos:pos + 1].isspace():
             tok += payload[pos:pos + 1]
             pos += 1
-        if not tok:
-            raise UnsupportedImageError("truncated ppm header")
+        if not tok or not tok.isdigit():
+            raise UnsupportedImageError("malformed ppm header")
         fields.append(int(tok))
     pos += 1  # single whitespace byte after maxval, then raw data
     w, h, maxval = fields
@@ -113,7 +113,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError(f"only 24-bit BI_RGB bmp supported (bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
+    # hostile-header guards (decode-bomb cap shared with gif/jpeg
+    # policy; truncated pixel data must raise typed, not ValueError)
+    if w <= 0 or h == 0 or w * h > 64_000_000:
+        raise UnsupportedImageError(f"bmp: refusing {w}x{h}")
     stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if off < 0 or off + stride * h > len(payload):
+        raise UnsupportedImageError("bmp: truncated pixel data")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
     img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
@@ -234,7 +240,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError(f"png interlace method {interlace}")
     nch = _PNG_CHANNELS[ctype]
     stride = w * nch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise UnsupportedImageError(f"png: corrupt zlib stream ({e})")
     if interlace == 0:
         if len(raw) != h * (stride + 1):
             raise UnsupportedImageError("png pixel data length mismatch")

@@ -434,6 +434,8 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                 else:
                     vals = np.frombuffer(seg[i:i + 128], dtype=">u2")
                     i += 128
+                if len(vals) != 64:
+                    raise UnsupportedImageError("jpeg: truncated DQT")
                 qt = np.zeros(64)
                 qt[ZIGZAG] = vals.astype(np.float64)
                 qtables[tid] = qt.reshape(8, 8)
@@ -444,16 +446,27 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                 bits = list(seg[i + 1:i + 17])
                 n = sum(bits)
                 vals = list(seg[i + 17:i + 17 + n])
+                # hostile/corrupt DHT: short counts array or fewer
+                # symbol bytes than the counts promise
+                if len(bits) < 16 or len(vals) < n:
+                    raise UnsupportedImageError("jpeg: truncated DHT")
                 htables[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedImageError("jpeg: only 8-bit precision")
+            if len(seg) < 6 + 3 * nc:
+                raise UnsupportedImageError("jpeg: truncated SOF")
             for ci in range(nc):
                 cid, hv, qid = seg[6 + 3 * ci:9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "q": qid})
+                h, v = hv >> 4, hv & 0xF
+                # T.81 allows 1..4; zero factors (corrupt/hostile SOF)
+                # would divide by zero in the upsampler
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise UnsupportedImageError(
+                        f"jpeg: bad sampling factors {h}x{v}")
+                comps.append({"id": cid, "h": h, "v": v, "q": qid})
         elif marker in (0xC2, 0xC3, 0xC9, 0xCA):
             raise UnsupportedImageError(
                 "jpeg: progressive/arithmetic streams unsupported "
@@ -462,9 +475,14 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise UnsupportedImageError("jpeg: truncated SOS header")
             for si in range(ns):
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise UnsupportedImageError(
+                        f"jpeg: scan references unknown component {cid}")
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
             data_pos = nxt
     if data_pos < 0 or not scan:
@@ -503,9 +521,13 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                 rst += 1
                 preds = [0] * len(scan)
             for si, c in enumerate(scan):
-                qt = qtables[c["q"]]
-                dct = htables[(0, c["dc"])]
-                act = htables[(1, c["ac"])]
+                try:
+                    qt = qtables[c["q"]]
+                    dct = htables[(0, c["dc"])]
+                    act = htables[(1, c["ac"])]
+                except KeyError as e:
+                    raise UnsupportedImageError(
+                        f"jpeg: scan references missing table {e}")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64)

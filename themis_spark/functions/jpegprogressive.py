@@ -533,6 +533,8 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                 else:
                     vals = np.frombuffer(seg[i:i + 128], dtype=">u2")
                     i += 128
+                if len(vals) != 64:
+                    raise UnsupportedImageError("jpeg: truncated DQT")
                 qt = np.zeros(64)
                 qt[ZIGZAG] = vals.astype(np.float64)
                 qtables[tid] = qt.reshape(8, 8)
