@@ -144,3 +144,58 @@ def test_wet_conversion_records(spark, tmpdir_path):
     # a mis-encoded byte substitutes U+FFFD instead of failing the task
     assert "�" in out["http://b.example/y"]["text"]
     assert out["http://a.example/x"]["warc_ts"] is not None
+
+
+def test_warc_parser_never_raises_on_garbage():
+    """iter_warc_records' documented contract: hostile/truncated/
+    corrupt bytes stop the iterator cleanly at the last good record —
+    NEVER an exception (a crawl job must not die on one bad segment)."""
+    import gzip as _gzip
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from themis_spark.sources.warc import build_warc_bytes, iter_warc_records
+
+    valid = build_warc_bytes(RECS)
+    valid_gz = build_warc_bytes(RECS, compress=True)
+
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(mode=st.integers(0, 3), pos=st.integers(0, 10_000),
+           val=st.integers(0, 255), body=st.binary(max_size=300))
+    def prop(mode, pos, val, body):
+        if mode == 0:
+            payload = body
+        elif mode == 1:
+            payload = b"WARC/1.0\r\n" + body
+        elif mode == 2:
+            m = bytearray(valid)
+            m[pos % len(m)] = val
+            payload = bytes(m)
+        else:
+            m = bytearray(valid_gz)
+            m[pos % len(m)] = val
+            payload = bytes(m)
+        for rec in iter_warc_records(payload):
+            assert isinstance(rec, dict)
+
+    prop()
+
+
+def test_warc_gzip_member_bomb_is_streamed_not_materialized():
+    """a gzip member expanding hugely must not blow memory before the
+    record length check: the incremental inflate yields chunks and the
+    header walk bails on a bogus Content-Length instead of expanding
+    everything."""
+    from themis_spark.sources.warc import iter_warc_records
+
+    # a record CLAIMING a 10 GB body, backed by a highly compressible
+    # gzip member: parsing must stop (truncated body) without trying to
+    # allocate the claimed size
+    head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: 10000000000\r\n\r\n")
+    import gzip as _gzip
+
+    payload = _gzip.compress(head + b"x" * 1_000_000)
+    assert list(iter_warc_records(payload)) == []
