@@ -2082,6 +2082,35 @@ UNIGRAM_VOCAB = (
 )
 
 
+def q_ann_project(spark, sf):
+    # Johnson–Lindenstrauss random projection 64 -> 16: flat (pos, val)
+    # rows so the compare is scalar-typed; planes are the same seeded
+    # literals the oracle embeds
+    emb = _t(spark, sf, "embeddings")
+    return S.project_embeddings(emb, out_dim=16, dim=64, seed=7)
+
+
+def _ann_project_sql(out_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
+    import math
+
+    from themis_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in p)
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], "
+            f"[{lits}]::DOUBLE[]) * {scale}, 6)")
+    arr = "[" + ", ".join(cols) + "]"
+    return f"""
+    WITH p AS (SELECT vec_id, {arr} AS proj FROM embeddings),
+    e AS (SELECT vec_id, unnest(range(1, {out_dim} + 1)) AS i, proj FROM p)
+    SELECT vec_id, (i - 1)::INT AS pos, proj[i] AS val FROM e
+    """
+
+
 def q_web_url_templates(spark, sf):
     # URL template mining over id-ful synthetic paths: numeric item
     # ids collapse to {n}, hex user ids to {h}, static paths survive
@@ -2672,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_join": q_text_langid_join,
         "dedup_substring_stats": q_dedup_substring_stats,
         "text_bigram": q_text_bigram,
+        "ann_project": q_ann_project,
         "web_url_templates": q_web_url_templates,
         "text_sentences": q_text_sentences,
         "text_collocations": q_text_collocations,
@@ -5274,6 +5304,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_join": _langid_join_sql(),
         "dedup_substring_stats": _SUBSTR_STATS_SQL,
         "text_bigram": _BIGRAM_SQL,
+        "ann_project": _ann_project_sql(16, 64, 7),
         "web_url_templates": r"""
             WITH u AS (SELECT doc_id,
                  'https://h' || (doc_id % 7) || '.example.com' ||

@@ -132,6 +132,8 @@ HEADLINE = [
     "stat_heavy_hitters",
     # round 4: sentence spans, PMI collocations, URL template mining
     "text_sentences", "text_collocations", "web_url_templates",
+    # round 4: Johnson-Lindenstrauss random projection
+    "ann_project",
 ]
 
 

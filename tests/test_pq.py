@@ -126,3 +126,36 @@ def test_ivfpq_rank_stage_never_carries_vectors(spark, vecs):
     # exactly one broadcast (queries+LUT) and the window's exchange
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert phys.count("BroadcastExchange") == 1, phys
+
+
+def test_jl_projection_preserves_distances_statistically(spark, vecs):
+    # JL with out_dim=8 over 16-dim inputs: squared distances are
+    # preserved in EXPECTATION; check the mean relative distortion over
+    # many pairs is small and no systematic bias (loose envelope — this
+    # is a statistical property, not exactness)
+    import numpy as np
+
+    proj = S.project_embeddings(vecs, out_dim=8, dim=DIM, seed=7)
+    P = {}
+    for r in proj.collect():
+        P.setdefault(r["vec_id"], {})[r["pos"]] = r["val"]
+    X = {r["vec_id"]: np.array(r["embedding"])
+         for r in vecs.collect()}
+    Pm = {k: np.array([v[i] for i in range(8)]) for k, v in P.items()}
+    ratios = []
+    ids = sorted(X)[:40]
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d0 = ((X[i] - X[j]) ** 2).sum()
+                d1 = ((Pm[i] - Pm[j]) ** 2).sum()
+                ratios.append(d1 / d0)
+    m = float(np.mean(ratios))
+    assert 0.7 < m < 1.3, m          # unbiased in aggregate
+    assert float(np.median(ratios)) > 0.4  # no collapse
+
+
+def test_jl_projection_is_map_side_only(spark, vecs):
+    plan = S.project_embeddings(vecs, out_dim=8, dim=DIM)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

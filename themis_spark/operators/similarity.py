@@ -804,3 +804,36 @@ def ivfpq_topk(
     w = Window.partitionBy("query_key").orderBy(
         F.col("score").desc(), F.col("neighbor_key").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ------------------------------------------- random projection (JL)
+
+def project_embeddings(df: DataFrame, vec: str = "embedding",
+                       key: str = "vec_id", out_dim: int = 16,
+                       dim: int | None = None, seed: int = 7,
+                       round_to: int = 6) -> DataFrame:
+    """Seeded Gaussian random projection (Johnson-Lindenstrauss):
+    ``(key, pos, val)`` — the input vector projected onto ``out_dim``
+    fixed random directions, scaled by 1/sqrt(out_dim) so expected
+    squared distances are preserved. The cheap-front compression for
+    every downstream embedding op: a 64->16 projection cuts the
+    exact-cosine scan's bytes 4x while distances survive within the JL
+    distortion envelope (test-asserted statistically).
+
+    Same machinery and determinism contract as the LSH family: the
+    projection matrix is seeded, generated driver-side, and shipped as
+    ONE nested-array literal — map-side codegen, zero shuffle
+    (plan-asserted), values rounded for cross-engine replay. Output is
+    the flat (pos, val) form so the oracle compares scalars, not
+    engine-specific array renderings."""
+    import math
+
+    dim = _embedding_dim(df, vec, dim)
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    proj = F.transform(
+        _matrix_lit(planes),
+        lambda p: F.round(dot_col(F.col(vec), p) * scale, round_to))
+    return (
+        df.select(F.col(key), F.posexplode(proj).alias("pos", "val"))
+    )
