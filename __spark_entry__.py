@@ -5323,7 +5323,7 @@ def oracle_sql() -> dict[str, str]:
                    AS path
                FROM u),
             t AS (SELECT host,
-                 regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', '{h}',
+                 regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', '{h}',
                                                'g'),
                                 '[0-9]+', '{n}', 'g') AS template, url
                FROM g)

@@ -110,3 +110,15 @@ def test_ratio_frame_broadcasts_onto_gram_stream(spark, corpus):
                           n_buckets=B)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_empty_target_raises_loudly(spark, corpus):
+    # review finding: a target with zero grams NULLed the totals and
+    # silently zeroed every weight -- must raise instead
+    with pytest.raises(ValueError, match="target"):
+        X.dsir_weights(corpus, corpus.where(F.col("lang") == "xx"),
+                       n_buckets=B)
+    with pytest.raises(ValueError, match="target"):
+        X.dsir_weights(corpus,
+                       corpus.where(F.col("doc_id") == 5),  # null text
+                       n_buckets=B)

@@ -91,3 +91,13 @@ def test_compaction_groups_are_contiguous_and_sized(spark):
     got = {r["path"]: r["compact_group"]
            for r in L.compaction_plan(big, target_bytes=200).collect()}
     assert got["a"] != got["b"]
+
+
+def test_zbucket_overflow_config_raises(spark):
+    # review finding: 2 cols x 31 bits passes the zval guard but
+    # zval * n_buckets wraps a signed long -- must refuse at plan build
+    df = spark.createDataFrame([(0, 1, 2)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="overflows"):
+        L.zorder_frame(df, ["x", "y"], bits=31, n_buckets=64)
+    # a representable config still works
+    assert L.zorder_frame(df, ["x", "y"], bits=8, n_buckets=64) is not None

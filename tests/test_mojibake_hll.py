@@ -113,3 +113,24 @@ def test_misra_gries_guarantees_under_pressure(spark):
             assert hh[tok]["lower"] <= cnt <= hh[tok]["upper"], tok
     for t in ("heavy_0", "heavy_1", "heavy_2"):
         assert t in hh
+
+
+def test_trailing_line_terminator_bytes_pass_through(spark):
+    # review finding: Java's $ matches BEFORE a final line terminator,
+    # so a trailing U+0085 (the latin-1-decoded cp1252 ellipsis byte --
+    # invalid UTF-8 alone) or U+2028 (> U+00FF) slipped past the
+    # validity gate and CRASHED the strict decode. With the \\z anchor
+    # these rows must pass through unchanged instead.
+    rows = [(0, "it\u00e2\u0080\u0099s fine\u0085"),
+            (1, "it\u00e2\u0080\u0099s fine\u2028"),
+            (2, "it\u00e2\u0080\u0099s fine\u2029")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["repaired"] for r in R.repair_mojibake(df).collect()}
+    for i, t in rows:
+        assert out[i] == t, i
+    # and a VALID mojibake string ending in a terminator still repairs:
+    # the terminator is part of the mangled byte stream
+    orig = "caf\u00e9 ok\n"
+    mangled = orig.encode("utf-8").decode("latin-1")
+    df2 = spark.createDataFrame([(0, mangled)], "doc_id long, text string")
+    assert R.repair_mojibake(df2).first()["repaired"] == orig

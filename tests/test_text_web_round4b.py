@@ -58,3 +58,13 @@ def test_url_templates_collapse_ids(spark):
     assert got["/u/{h}/profile"]["n_urls"] == 3  # 12-char hex run -> {h}
     assert got["/static/about"]["n_urls"] == 1
     assert len(got) == 3
+
+
+def test_url_templates_collapse_uppercase_hex(spark):
+    # review finding: uppercase hex ids (real-world hashes/UUIDs) were
+    # not collapsed by the lowercase-only class
+    rows = [(f"https://a.com/dl/9F86D081884C7D65{i}/f",) for i in range(4)] \
+        + [("https://a.com/dl/AbCdEf0123456789/f",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["template"]: r["n_urls"] for r in WB.url_templates(df).collect()}
+    assert got == {"/dl/{h}/f": 5}

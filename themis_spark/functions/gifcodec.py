@@ -26,7 +26,7 @@ from themis_spark.functions.imagecodec import UnsupportedImageError
 
 # decode-bomb guard, same policy as jpegcodec.MAX_PIXELS: a hostile
 # header must not allocate planes before any pixel data is validated
-MAX_PIXELS = 64_000_000
+from themis_spark.functions.imagecodec import MAX_PIXELS  # noqa: E402
 
 
 # ------------------------------------------------------------------ LZW

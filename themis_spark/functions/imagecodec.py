@@ -11,7 +11,7 @@ with the stdlib + numpy alone. Supported here:
   libraries: zlib (stdlib) inflate of the IDAT stream + the five
   scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec.
   8-bit depth, color types 0 (grayscale), 2 (RGB), 3 (palette), 6
-  (RGBA — alpha dropped), non-interlaced; 16-bit and Adam7 raise.
+  (RGBA — alpha dropped), plain or Adam7-interlaced; 16-bit raises.
 * **PPMV** — a concatenated-P6 "video": frames are back-to-back P6
   streams (our frame-sampling container; real codecs slot in behind
   the same function signature).
@@ -32,6 +32,12 @@ import numpy as np
 
 class UnsupportedImageError(ValueError):
     """Payload is not a format the builtin codecs can decode."""
+
+
+#: shared decode-bomb ceiling (pixels) for ALL builtin codecs — same
+#: posture as Pillow's MAX_IMAGE_PIXELS. jpegcodec/gifcodec import this
+#: value, so the policy lives in exactly one place.
+MAX_PIXELS = 64_000_000
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -115,7 +121,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     # hostile-header guards (decode-bomb cap shared with gif/jpeg
     # policy; truncated pixel data must raise typed, not ValueError)
-    if w <= 0 or h == 0 or w * h > 64_000_000:
+    if w <= 0 or h == 0 or w * h > MAX_PIXELS:
         raise UnsupportedImageError(f"bmp: refusing {w}x{h}")
     stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
     if off < 0 or off + stride * h > len(payload):

@@ -44,7 +44,7 @@ from themis_spark.functions.imagecodec import UnsupportedImageError
 #: MAX_IMAGE_PIXELS: 64 MPix of float64 planes is ~1.5 GB peak, the
 #: most an executor task should ever spend on one crawl image. Checked
 #: BEFORE plane allocation so a hostile 65535x65535 header cannot OOM.
-MAX_PIXELS = 64_000_000
+from themis_spark.functions.imagecodec import MAX_PIXELS  # noqa: E402
 
 # ------------------------------------------------------------ constants
 

@@ -75,6 +75,15 @@ def zorder_frame(df: DataFrame, cols: list[str], bits: int = 16,
     moves. ``floor`` semantics throughout; Spark's integral ``/`` is
     cast-after-divide, so the casts below pin the exact bit pattern the
     oracle replays."""
+    # zbucket multiplies zval by n_buckets in long arithmetic: the
+    # product must also fit 62 bits or it wraps silently (non-ANSI) —
+    # fail loudly at plan build instead of emitting negative buckets
+    import math
+
+    if bits * len(cols) + math.ceil(math.log2(max(n_buckets, 2))) > 62:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits x {n_buckets} buckets "
+            "overflows the long z-bucket product; lower bits or buckets")
     aggs = []
     for c in cols:
         aggs += [F.min(c).cast("long").alias(f"__mn_{c}"),

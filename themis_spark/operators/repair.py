@@ -149,7 +149,12 @@ _VALID_UTF8_RE = (
     "|[\u00ee-\u00ef][\u0080-\u00bf][\u0080-\u00bf]"
     "|\u00f0[\u0090-\u00bf][\u0080-\u00bf][\u0080-\u00bf]"
     "|[\u00f1-\u00f3][\u0080-\u00bf][\u0080-\u00bf][\u0080-\u00bf]"
-    "|\u00f4[\u0080-\u008f][\u0080-\u00bf][\u0080-\u00bf])*$")
+    "|\u00f4[\u0080-\u008f][\u0080-\u00bf][\u0080-\u00bf])*\\z")
+#: NOTE the \z anchor: Java's $ matches BEFORE a final line terminator
+#: (\n, \r, U+0085, U+2028, U+2029), so a trailing U+0085 — exactly the
+#: latin-1-decoded cp1252 ellipsis byte this operator meets — would slip
+#: past a $-anchored gate and crash the strict decode. \z is absolute
+#: end-of-input.
 
 
 def mojibake_repair_col(text: Column | str) -> Column:

@@ -1415,6 +1415,13 @@ def dsir_bucket_ratios(raw, target, key: str = "doc_id",
     first, so both engines run the identical IEEE op sequence."""
     from themis_spark.functions.hashing import hash60
 
+    # a target with ZERO grams (empty frame, or all-null text) would
+    # NULL the totals and silently zero every weight — fail loudly
+    # instead (the limit(1) probe is a tiny driver-side job at plan
+    # build; the _embedding_dim precedent documents the trade)
+    if not _dsir_gram_stream(target, key, text).limit(1).count():
+        raise ValueError("DSIR target corpus has no grams "
+                         "(empty frame or all-null text)")
     bucket = (hash60(F.col("gram")) % n_buckets).alias("bucket")
     rb = (_dsir_gram_stream(raw, key, text).select(bucket)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")))

@@ -1001,7 +1001,7 @@ def url_templates(df, url: str = "url", min_count: int = 1):
     u = F.col(url)
     host = F.parse_url(u, F.lit("HOST"))
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("/"))
-    t = F.regexp_replace(path, "[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(path, "[0-9a-fA-F]{8,}", "{h}")
     t = F.regexp_replace(t, "[0-9]+", "{n}")
     return (
         df.where(u.isNotNull())
