@@ -3155,7 +3155,8 @@ _LAYOUT_COMPACTION_SQL = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
           FROM f),
     g AS (SELECT path, n_bytes,
-                 floor((csum - 1) / 50000)::BIGINT AS compact_group FROM c)
+                 greatest(floor((csum - 1) / 50000), 0)::BIGINT
+                   AS compact_group FROM c)
     SELECT g.path, g.n_bytes, g.compact_group, t.group_bytes
     FROM g JOIN (SELECT compact_group, sum(n_bytes)::BIGINT AS group_bytes
                  FROM g GROUP BY 1) t USING (compact_group)"""
@@ -5357,14 +5358,15 @@ def oracle_sql() -> dict[str, str]:
             uni AS (SELECT w, count(*) AS c FROM (
                       SELECT unnest(tk) AS w FROM toks) z
                     WHERE length(w) > 0 GROUP BY w),
-            bi AS (SELECT a, b, count(*) AS c_ab FROM (
+            bi_all AS (SELECT a, b, count(*) AS c_ab FROM (
                      SELECT tk[i] AS a, tk[i + 1] AS b FROM (
                        SELECT tk, unnest(range(1, len(tk))) AS i
                        FROM toks WHERE len(tk) >= 2) z) zz
                    WHERE length(a) > 0 AND length(b) > 0
-                   GROUP BY a, b HAVING count(*) >= 5),
+                   GROUP BY a, b),
+            bi AS (SELECT * FROM bi_all WHERE c_ab >= 5),
             nt AS (SELECT sum(c) AS n FROM uni),
-            nb AS (SELECT sum(c_ab) AS n FROM bi),
+            nb AS (SELECT sum(c_ab) AS n FROM bi_all),
             j AS (SELECT bi.a, bi.b, bi.c_ab,
                     round(ln((bi.c_ab::DOUBLE * nt.n::DOUBLE * nt.n::DOUBLE)
                            / (nb.n::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE)),

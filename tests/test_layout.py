@@ -93,6 +93,35 @@ def test_compaction_groups_are_contiguous_and_sized(spark):
     assert got["a"] != got["b"]
 
 
+def test_compaction_leading_zero_byte_files_group_zero(spark):
+    # review finding (r5): a LEADING zero-byte file has cumsum = 0 and
+    # the raw rule gave floor(-1/target) = -1 — must clamp into group 0
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 50), ("d", 300)],
+        "path string, n_bytes long")
+    got = {r["path"]: r["compact_group"]
+           for r in L.compaction_plan(df, target_bytes=200).collect()}
+    assert got["a"] == 0 and got["b"] == 0 and got["c"] == 0
+    assert min(got.values()) >= 0
+
+
+def test_normalized_span_guard_raises_on_wide_domain(spark):
+    # review finding (r5): hash-valued key domains exceed the
+    # 2^(53-bits) exact-division bound — must raise at runtime, not
+    # silently emit wrong z-values (span 2^40+1 > 2^37 for bits=16;
+    # full-long spans additionally trip ANSI subtraction overflow)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1 << 40)], "id long, v long")
+    with pytest.raises(Exception, match="key span exceeds"):
+        L.zorder_frame(df, ["v"], bits=16, n_buckets=4).collect()
+    # an in-bound span still works and stays exact
+    ok = spark.createDataFrame([(0, 5), (1, 1 << 30)], "id long, v long")
+    vals = [r["zval"] for r in
+            L.zorder_frame(ok, ["v"], bits=16, n_buckets=4)
+            .orderBy("id").collect()]
+    assert vals[0] == 0 and 0 < vals[1] < (1 << 16)
+
+
 def test_zbucket_overflow_config_raises(spark):
     # review finding: 2 cols x 31 bits passes the zval guard but
     # zval * n_buckets wraps a signed long -- must refuse at plan build

@@ -74,6 +74,22 @@ def test_hll_overlap_estimates_track_exact(spark):
     assert 0.1 < r["jaccard_est"] < 0.3  # true 0.2
 
 
+def test_hll_overlap_empty_inputs_defined(spark):
+    # review finding (r5): two empty inputs gave est_union = 0 and a
+    # NULL jaccard under non-ANSI division — now defined as 0.0, and
+    # est_intersection is clamped at 0 (inclusion-exclusion of noisy
+    # estimates can go negative)
+    e = spark.range(0).select(F.col("id").alias("k"))
+    r = ST.hll_set_overlap(e, e, "k").first()
+    assert r["est_union"] == 0 and r["jaccard_est"] == 0.0
+    assert r["est_intersection"] == 0
+    # disjoint sets: intersection estimate must never be negative
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 6000).select(F.col("id").alias("k"))
+    r2 = ST.hll_set_overlap(a, b, "k").first()
+    assert r2["est_intersection"] >= 0
+
+
 def test_hll_overlap_plan_has_no_corpus_join(spark):
     a = spark.range(0, 1000).select(F.col("id").alias("k"))
     b = spark.range(500, 1500).select(F.col("id").alias("k"))

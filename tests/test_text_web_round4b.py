@@ -46,6 +46,25 @@ def test_collocations_rank_real_pairs_above_chance(spark):
     assert abs(top["pmi"] - expect) < 1e-6
 
 
+def test_collocations_pmi_normalizer_is_prefilter_total(spark):
+    # review finding (r5): the p(ab) normalizer must be the TRUE bigram
+    # total, not the post-min_count-filtered total — here rare bigrams
+    # ('rare rvalN', each unique) are dropped by the filter but still
+    # count toward nb; the old code inflated every PMI by
+    # ln(total/filtered_total)
+    docs = [(i, f"san francisco rare rval{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = X.collocations(df, min_count=5, k=3).collect()
+    got = {(r["a"], r["b"]): r["pmi"] for r in out}
+    nt = 40 * 4           # token total
+    nb = 40 * 3           # TRUE bigram total (3 per doc, incl. dropped)
+    c = 40
+    expect_sf = round(math.log((c * nt * nt) / (nb * c * c)), 6)
+    assert abs(got[("san", "francisco")] - expect_sf) < 1e-6
+    # ('francisco','rare') also survives: same counts, same PMI
+    assert abs(got[("francisco", "rare")] - expect_sf) < 1e-6
+
+
 def test_url_templates_collapse_ids(spark):
     rows = [(f"https://a.com/item/{i}/view",) for i in range(20)] \
         + [(f"https://a.com/u/deadbeef{i:04d}/profile",) for i in range(3)] \

@@ -90,6 +90,34 @@ def test_training_is_deterministic_and_sized(spark):
     assert X.unigram_viterbi("batch", d)[0] == ["batch"]
 
 
+def test_arrow_kernel_splits_ascii_whitespace_only(spark):
+    # review finding (r5): str.split() splits on Unicode whitespace
+    # (NBSP etc., common in crawl text) while the Spark-side \s+ filter
+    # and the SQL oracle are ASCII-only — the kernel must treat
+    # "ab cd" as ONE word (NBSP = unk char inside it), exactly as
+    # the oracle DP does, or the cross-engine replay breaks
+    vocab = sorted(VOCAB.items())
+    rows = [(0, "ab cd"), (1, "ab cd ef"), (2, "ab\tcd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           X.unigram_tokenize_arrow(df, vocab).collect()}
+    import re
+    for doc_id, text in rows:
+        toks, score = [], 0
+        for w in re.split(r"[ \t\n\r\f\x0b]+", text.lower()):
+            if not w:
+                continue
+            p, s = X.unigram_viterbi(w, VOCAB)
+            toks += p
+            score += s
+        r = got[doc_id]
+        assert list(r["tokens"]) == toks and r["score_micro"] == score, doc_id
+    # the NBSP doc is one word: its tokens contain the NBSP char piece
+    assert " " in got[0]["tokens"], got[0]["tokens"]
+    # the tab doc IS split: no piece contains a tab
+    assert all("\t" not in t for t in got[2]["tokens"])
+
+
 def test_arrow_kernel_matches_local_viterbi(spark):
     vocab = sorted(VOCAB.items())
     rows = [(0, "abc cde xqz"), (1, None), (2, "   "), (3, "ab ab ab")]

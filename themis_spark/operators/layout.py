@@ -58,10 +58,31 @@ def normalized_rank_col(c: Column, mn: Column, mx: Column,
     ``floor((x - min) * 2^bits / (max - min + 1))``. Monotone and
     bit-replayable: the quotient's numerator stays below 2^53 for key
     spans up to 2^(53-bits), so the double division is exact and
-    ``floor`` equals integer division on both engines."""
+    ``floor`` equals integer division on both engines.
+
+    The exactness bound is ENFORCED at runtime, mirroring
+    ``zorder_frame``'s fail-loudly posture: a key span above
+    2^(53-bits) (e.g. a hash-valued column under the default 16 bits)
+    would silently lose division exactness — and above 2^(62-bits)
+    silently wrap the non-ANSI long multiply — producing wrong z-values
+    with no error. ``assert_true`` raises instead; a negative span can
+    only come from ``mx - mn`` itself wrapping (|keys| > 2^63), which
+    the same guard catches. Wide domains should be pre-bucketed (e.g.
+    ``hash % 2^bits``) before z-ordering."""
     span = (mx - mn + 1).cast("long")
-    return F.floor((c.cast("long") - mn)
+    limit = F.lit(1 << (53 - bits)).cast("long")
+    guard = F.assert_true(
+        (span >= F.lit(1).cast("long")) & (span <= limit),
+        F.concat(F.lit(f"normalized_rank_col: key span exceeds 2^{53 - bits}"
+                       " (exact-division bound for bits="
+                       f"{bits}) or wrapped; span="),
+                 span.cast("string")))
+    rank = F.floor((c.cast("long") - mn)
                    * F.lit(1 << bits).cast("long") / span).cast("long")
+    # assert_true evaluates to NULL on pass (or throws) — thread it
+    # through a one-branch when() so the guard survives optimization
+    # (an equal-branch otherwise() could be simplified away)
+    return F.when(guard.isNull(), rank)
 
 
 def zorder_frame(df: DataFrame, cols: list[str], bits: int = 16,
@@ -140,12 +161,18 @@ def compaction_plan(files: DataFrame, size_col: str = "n_bytes",
     the greedy reset-on-overflow variant whose boundary is a
     data-dependent recurrence. The input is a file-STATS frame (one
     row per file — metadata scale, hence the single-partition window);
-    output adds ``compact_group`` and per-file ``group_bytes``."""
+    output adds ``compact_group`` and per-file ``group_bytes``.
+
+    Edge case: LEADING zero-byte files have ``cumsum = 0`` and the raw
+    bin rule would assign them ``floor(-1/target) = -1`` — a
+    sentinel-looking group id. They are clamped into group 0 (a
+    zero-byte file belongs in whatever group it precedes)."""
     w = Window.orderBy(path_col).rowsBetween(Window.unboundedPreceding, 0)
     csum = F.sum(F.col(size_col)).over(w)
     grouped = files.select(
-        "*", F.floor((csum - 1) / F.lit(target_bytes)).cast("long")
-        .alias("compact_group"))
+        "*", F.greatest(
+            F.floor((csum - 1) / F.lit(target_bytes)), F.lit(0))
+        .cast("long").alias("compact_group"))
     totals = grouped.groupBy("compact_group").agg(
         F.sum(size_col).alias("group_bytes"))
     return grouped.join(totals, "compact_group").select(

@@ -978,26 +978,32 @@ def hll_set_overlap(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     plan's exchanges total two sketch payloads (~KBs) — the exact
     alternative is a full distinct-union shuffle of both corpora.
 
-    Caveat (documented, inherent): inclusion-exclusion differences of
+    Caveats (documented, inherent): inclusion-exclusion differences of
     ~1.6%-relative-error estimates lose precision when the true
-    intersection is small relative to the sets; gate downstream logic
-    on ``jaccard_est`` magnitude, not tiny absolute intersections.
+    intersection is small relative to the sets — the raw difference can
+    even go NEGATIVE, so ``est_intersection`` is clamped at 0; gate
+    downstream logic on ``jaccard_est`` magnitude, not tiny absolute
+    intersections. Two EMPTY inputs give ``est_union = 0``; Jaccard of
+    two empty sets is defined here as 0.0 (guarded division — Spark's
+    non-ANSI ``/`` would otherwise emit a null row).
     """
     sa = a.agg(F.hll_sketch_agg(F.col(col)).alias("sk_a"))
     sb = b.agg(F.hll_sketch_agg(F.col(col)).alias("sk_b"))
     est_a = F.hll_sketch_estimate(F.col("sk_a"))
     est_b = F.hll_sketch_estimate(F.col("sk_b"))
     est_u = F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b")))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0))
     return (
         sa.crossJoin(F.broadcast(sb))
         .select(est_a.alias("est_a"), est_b.alias("est_b"),
                 est_u.alias("est_union"))
         .select(
             "est_a", "est_b", "est_union",
-            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
-            .alias("est_intersection"),
-            F.round((F.col("est_a") + F.col("est_b") - F.col("est_union"))
-                    / F.col("est_union"), 6).alias("jaccard_est"),
+            inter.alias("est_intersection"),
+            F.when(F.col("est_union") > 0,
+                   F.round(inter / F.col("est_union"), 6))
+            .otherwise(F.lit(0.0)).alias("jaccard_est"),
         )
     )
 

@@ -1668,10 +1668,18 @@ def unigram_tokenize_arrow(df, vocab: list, key: str = "doc_id",
     score_micro)`` per doc. Arrow batches via mapInPandas (the DP is
     per-word Python — same production regime as bpe_tokenize_arrow);
     the vocab ships in the closure (O(vocab) bytes, like a broadcast).
-    Null/empty docs yield empty tokens and score 0."""
+    Null/empty docs yield empty tokens and score 0.
+
+    Word boundary = ASCII whitespace only (``[ \\t\\n\\r\\f\\x0b]+``),
+    matching the Java-regex ``\\s+`` the Spark-side eligibility filter
+    and the SQL oracle both use — NOT Python ``str.split()``, which
+    also splits on Unicode spaces (U+00A0 etc., common in crawl text)
+    and would tokenize such docs differently from the oracle DP."""
+    import re
     from collections.abc import Iterator as _It
 
     vd = dict(vocab)
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
     out_schema = (f"{key} long, tokens array<string>, "
                   "n_pieces int, score_micro long")
 
@@ -1685,7 +1693,9 @@ def unigram_tokenize_arrow(df, vocab: list, key: str = "doc_id",
                 toks: list[str] = []
                 score = 0
                 if t is not None:
-                    for w in str(t).lower().split():
+                    for w in ws.split(str(t).lower()):
+                        if not w:
+                            continue
                         got = memo.get(w)
                         if got is None:
                             got = memo[w] = unigram_viterbi(
@@ -1758,17 +1768,20 @@ def collocations(df, text: str = "text", min_count: int = 5,
     uni = (base.select(F.explode(toks).alias("w"))
            .where(F.length("w") > 0)
            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
-    bi = (base.where(F.size(toks) >= 2)  # grams_zip guard: slice len > 0
-          .select(F.explode(grams_zip(toks, 2)).alias("g"))
-          .select(F.split("g", " ").alias("p"))
-          .where((F.length(F.element_at("p", 1)) > 0)
-                 & (F.length(F.element_at("p", 2)) > 0))
-          .select(F.element_at("p", 1).alias("a"),
-                  F.element_at("p", 2).alias("b"))
-          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-          .where(F.col("c_ab") >= min_count))
+    bi_all = (base.where(F.size(toks) >= 2)  # grams_zip guard: len > 0
+              .select(F.explode(grams_zip(toks, 2)).alias("g"))
+              .select(F.split("g", " ").alias("p"))
+              .where((F.length(F.element_at("p", 1)) > 0)
+                     & (F.length(F.element_at("p", 2)) > 0))
+              .select(F.element_at("p", 1).alias("a"),
+                      F.element_at("p", 2).alias("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")))
+    bi = bi_all.where(F.col("c_ab") >= min_count)
     nt = uni.agg(F.sum("c").alias("__nt"))
-    nb = bi.agg(F.sum("c_ab").alias("__nb"))
+    # p(ab) normalizer = the TRUE bigram total (pre-min_count filter);
+    # normalizing by the filtered total would uniformly inflate every
+    # PMI by ln(total/filtered_total) — ranking-safe but wrong as PMI
+    nb = bi_all.agg(F.sum("c_ab").alias("__nb"))
     ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
     pmi = F.round(F.log(
