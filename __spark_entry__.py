@@ -1256,12 +1256,70 @@ def q_ann_ivfpq(spark, sf):
     # IVF+PQ (FAISS-IVFADC plan shape): coarse cells prune candidates,
     # integer ADC over PQ codes ranks them — raw vectors never reach the
     # rank stage. Same deterministic init-only index as ann_ivf /
-    # ann_pq_codes, so the whole pipeline replays in SQL.
+    # ann_pq_codes, so the whole pipeline replays in SQL. This is the
+    # END-TO-END oracle row; the bench times the three phases separately
+    # (ann_ivfpq_train/encode/query — round-4 verdict item 3: a
+    # regression in any one phase was invisible inside the 12 s total).
     emb = _t(spark, sf, "embeddings")
     cbs = S.train_pq_codebooks(emb, n_sub=8, k=16, dim=64)
     return S.ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
                         centroids=emb.where(F.col("vec_id") < 16),
                         codebooks=cbs, n_probe=4)
+
+
+# Train-once cache for the PQ phase-split entries: codebooks + collected
+# coarse centroids per sf dir. Training is deterministic (init-only), so
+# cached reuse cannot change any result — it only keeps the train phase
+# out of the encode/query timed windows.
+_PQ_CACHE: dict = {}
+
+
+def _pq_trained(spark, sf):
+    got = _PQ_CACHE.get(sf)
+    if got is None:
+        emb = _t(spark, sf, "embeddings")
+        cbs = S.train_pq_codebooks(emb, n_sub=8, k=16, dim=64)
+        cents = S.collect_centroids(emb.where(F.col("vec_id") < 16))
+        got = _PQ_CACHE[sf] = (cbs, cents)
+    return got
+
+
+def q_ann_ivfpq_train(spark, sf):
+    # the TRAIN phase timed in isolation: codebook construction is
+    # driver-side collect jobs over the first-k rows. Output = the
+    # codebook tensor flattened to (m, code, pos, val) rows so the
+    # oracle replays the deterministic init rule exactly.
+    emb = _t(spark, sf, "embeddings")
+    cbs = S.train_pq_codebooks(emb, n_sub=8, k=16, dim=64)
+    rows = [(m, c, p, round(float(v), 6))
+            for m, cb in enumerate(cbs)
+            for c, vec in enumerate(cb)
+            for p, v in enumerate(vec)]
+    return spark.createDataFrame(
+        rows, "m int, code int, pos int, val double")
+
+
+def q_ann_ivfpq_encode(spark, sf):
+    # the ENCODE phase with the trained index cached: map-side code
+    # assignment + norm only — same deterministic codebooks as
+    # ann_pq_codes, so the same SQL replays the output
+    cbs, _ = _pq_trained(spark, sf)
+    emb = _t(spark, sf, "embeddings")
+    return S.pq_encode(emb, codebooks=cbs).select(
+        "vec_id",
+        F.concat_ws("-", F.transform(F.col("codes"),
+                                     lambda c: c.cast("string"))).alias("codes"),
+        "norm",
+    )
+
+
+def q_ann_ivfpq_query(spark, sf):
+    # the QUERY phase with the trained index cached: IVF probe join +
+    # integer-ADC rank — same output as the end-to-end ann_ivfpq row
+    cbs, cents = _pq_trained(spark, sf)
+    emb = _t(spark, sf, "embeddings")
+    return S.ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
+                        centroids=cents, codebooks=cbs, n_probe=4)
 
 
 def q_stat_hll(spark, sf):
@@ -2629,6 +2687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_train": q_ann_ivfpq_train,
+        "ann_ivfpq_encode": q_ann_ivfpq_encode,
+        "ann_ivfpq_query": q_ann_ivfpq_query,
         "ann_embedding_neardup": q_ann_embedding_neardup,
         "drift_ks": q_drift_ks,
         "drift_psi": q_drift_psi,
@@ -5109,6 +5170,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(16, 4, 10, 5),
         "ann_pq_codes": _ann_pq_codes_sql(8, 16, 64),
         "ann_ivfpq": _ann_ivfpq_sql(16, 4, 10, 5, 8, 16, 64),
+        # phase-split rows: train replays the deterministic init rule
+        # (codebooks[m][code] = sub-slice m of the code-th row by
+        # vec_id); encode/query reuse the end-to-end SQL — the cached
+        # index is the same deterministic one, so outputs are identical
+        "ann_ivfpq_train": """
+            WITH r AS (SELECT embedding,
+                              row_number() OVER (ORDER BY vec_id) - 1
+                                AS code
+                       FROM embeddings ORDER BY vec_id LIMIT 16),
+            i AS (SELECT unnest(range(0, 64)) AS idx)
+            SELECT (idx // 8)::INT AS m, code::INT AS code,
+                   (idx % 8)::INT AS pos,
+                   round(embedding[idx + 1]::DOUBLE, 6) AS val
+            FROM r CROSS JOIN i""",
+        "ann_ivfpq_encode": _ann_pq_codes_sql(8, 16, 64),
+        "ann_ivfpq_query": _ann_ivfpq_sql(16, 4, 10, 5, 8, 16, 64),
         "ann_embedding_neardup": _ann_neardup_sql(4, 0.15, 500),
         "drift_ks": _drift_ks_sql(),
         "drift_psi": _drift_psi_sql(),

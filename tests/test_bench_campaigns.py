@@ -97,6 +97,56 @@ def test_host_cpu_probe_column_rendered(campaigns_file, tmp_path):
     assert "| 0.87 |" in md
 
 
+def test_plateau_rule_is_two_consecutive_within_tol():
+    # round-4 verdict item 1: ONE tested convergence rule every
+    # artifact derives from. Converged pair -> plateaued, stable window
+    # from the first such pair onward, value = its median.
+    i = bench.plateau_info([100, 200, 210, 190])
+    assert i["plateaued"] and i["plateau_at"] == 1
+    assert i["stable"] == [200, 210, 190] and i["median"] == 200
+    # monotone ramp that never converges -> ramp dropped entirely
+    i2 = bench.plateau_info([100, 150, 225, 340])
+    assert not i2["plateaued"] and i2["stable"] == [340]
+    # ramp then a divergent (non-monotone) tail -> median of the tail
+    i3 = bench.plateau_info([100, 150, 120])
+    assert not i3["plateaued"] and i3["stable"] == [150, 120]
+    assert i3["median"] == 135
+    # degenerate inputs
+    assert bench.plateau_info([])["median"] is None
+    assert bench.plateau_info([42.0])["stable"] == [42.0]
+    # tol is relative to the LARGER of the pair
+    assert bench.plateau_info([100, 110])["plateaued"]
+    assert not bench.plateau_info([100, 112])["plateaued"]
+
+
+def _bench_pair_mod():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "BENCH", "bench_pair.py")
+    spec = importlib.util.spec_from_file_location("bench_pair", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_bench_pair_chosen_run_rule_is_mechanical():
+    bp = _bench_pair_mod()
+    # exactly one run plateaued -> that run, regardless of magnitude
+    r = bp.choose_run([100, 300, 200], [100, 200, 205])
+    assert r["chosen_run"] == 2 and r["run2"]["plateaued"]
+    assert not r["run1"]["plateaued"]
+    assert r["headline_docs_per_sec"] == 202.5
+    assert "converged" in r["rationale"]
+    # both plateaued -> the LOWER median (conservative, never best-of)
+    r2 = bp.choose_run([200, 205], [300, 310])
+    assert r2["chosen_run"] == 1 and r2["headline_docs_per_sec"] == 202.5
+    # neither plateaued -> lower ramp-trimmed median
+    # (run1 trims to [300] -> 300; run2 trims to [240] -> 240)
+    r3 = bp.choose_run([100, 300], [100, 240])
+    assert r3["chosen_run"] == 2
+
+
 def test_bench_headline_keys_all_resolve():
     # a HEADLINE typo would crash the driver's bench run with a KeyError
     import bench
