@@ -93,6 +93,54 @@ def q_kw_enum(spark, sf):
     )
 
 
+def q_kw_pattern_re2(spark, sf):
+    # round 5 (BASELINE.json north star: "regex via pyarrow.compute"):
+    # a pattern Java REJECTS — (?P<> named group + \A/\Z anchors —
+    # through the REAL compiled plan, evaluated vectorized on the RE2
+    # tier. DuckDB's regexp engine is also RE2, so the oracle replays
+    # the verdict through the same engine family (\Z spelled \z there,
+    # the same translation regex_triage applies).
+    from themis_spark import compile_plan
+
+    d = _t(spark, sf, "documents")
+    digits = F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")
+    code = (
+        F.when(F.col("doc_id") % 11 == 5, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 3 == 0, F.concat(F.lit("ab-"), digits))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Ab-"), digits))
+        .otherwise(F.concat(F.lit("ab-"), digits, F.lit("9")))
+    )
+    frame = d.select("doc_id", code.alias("code"))
+    plan = compile_plan(
+        {"type": "object", "properties": {"code": {
+            "type": "string",
+            "pattern": r"\A(?P<cc>[a-z]{2})-[0-9]{3}\Z"}}},
+        frame.schema)
+    return frame.select("doc_id", F.size(plan.violations_col())
+                        .alias("n_viol"))
+
+
+def q_kw_enum_broadcast(spark, sf):
+    # round 5 (north star: "enum via broadcast hash sets"): a 15,000-
+    # member enum — far past the literal-isin threshold — compiles to
+    # the pyarrow.compute is_in probe against a closure-shipped hash
+    # set; membership is a parity formula, so the oracle restates it
+    # without the list
+    from themis_spark import compile_plan
+
+    members = [f"item_{i:05d}" for i in range(0, 30000, 2)]
+    o = _t(spark, sf, "orders")
+    item = F.concat(F.lit("item_"), F.lpad(
+        (F.col("o_orderkey") % 30000).cast("string"), 5, "0"))
+    frame = o.select("o_orderkey", item.alias("item"))
+    plan = compile_plan(
+        {"type": "object",
+         "properties": {"item": {"type": "string", "enum": members}}},
+        frame.schema)
+    return frame.select("o_orderkey", F.size(plan.violations_col())
+                        .alias("n_viol"))
+
+
 def q_kw_required(spark, sf):
     d = _t(spark, sf, "documents")
     return d.agg(
@@ -956,6 +1004,70 @@ def q_mm_decode_png(spark, sf):
     out = M.resize_images(_png_media(spark, sf), target=(5, 4))
     return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
                       "out_w", "out_h", "src_format")
+
+
+_WEBP_MODES = ("literal", "lz77", "lz77_plain", "cache", "subtract_green",
+               "predictor", "color", "palette")
+
+
+def _webp_media(spark, sf, limit=64):
+    # real VP8L payloads: constant-fill images encoded with the fixture
+    # writer, the MODE cycling by doc_id so every decoder path (LZ77
+    # map + plain distances, color cache, all four transforms incl.
+    # palette bundling) runs under Spark; VP8L is lossless, so decoded
+    # pixels ARE the fill formula — dims/fill reuse _ppm_media's rules
+    import numpy as np
+
+    from themis_spark.functions import webpcodec as WC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+        payload = WC.encode_webp_vp8l(img, mode=_WEBP_MODES[doc_id % 8])
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_decode_webp(spark, sf):
+    # WebP VP8L (pure-stdlib lossless bitstream: prefix codes, LZ77,
+    # color cache, all four transforms) → resize → P6 re-encode; the
+    # pixel sha replays bit-exactly from the fill formula
+    out = M.resize_images(_webp_media(spark, sf), target=(5, 4))
+    return out.select("doc_id", F.sha2("resized", 256).alias("resized_sha"),
+                      "out_w", "out_h", "src_format")
+
+
+def _webp_meta_media(spark, sf, limit=60):
+    # the metadata tier across all three container variants: VP8L
+    # stream header, VP8X extended canvas, and a lossy VP8 keyframe
+    # header (dims readable; full decode refuses — exactly what a real
+    # crawl's lossy WebPs look like to this engine)
+    import numpy as np
+
+    from themis_spark.functions import webpcodec as WC
+
+    rows = []
+    for doc_id in range(limit):
+        w, h = doc_id % 13 + 4, doc_id % 7 + 3
+        if doc_id % 3 == 0:
+            img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+            payload = WC.encode_webp_vp8l(img)
+        elif doc_id % 3 == 1:
+            img = np.full((h, w, 3), 97 + doc_id % 26, dtype=np.uint8)
+            payload = WC.encode_webp_vp8x(WC.encode_webp_vp8l(img), w, h)
+        else:
+            payload = WC.encode_vp8_lossy_stub(w, h)
+        rows.append((doc_id, bytearray(payload)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def q_mm_meta_webp(spark, sf):
+    # REAL header walk (deterministic_fake=False): dims for every WebP
+    # variant without entropy decode — the 100 TB metadata fast path
+    return M.extract_media_meta(
+        _webp_meta_media(spark, sf), deterministic_fake=False,
+        fields=("format", "width", "height", "n_frames"))
 
 
 def q_mm_resize(spark, sf):
@@ -2636,7 +2748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
         "kw_pattern": q_kw_pattern,
+        "kw_pattern_re2": q_kw_pattern_re2,
         "kw_enum": q_kw_enum,
+        "kw_enum_broadcast": q_kw_enum_broadcast,
         "kw_required": q_kw_required,
         "kw_range": q_kw_range,
         "kw_length": q_kw_length,
@@ -2793,6 +2907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_hash": q_mm_audio_hash,
         "mm_audio_neardup": q_mm_audio_neardup,
         "mm_decode_gif": q_mm_decode_gif,
+        "mm_decode_webp": q_mm_decode_webp,
+        "mm_meta_webp": q_mm_meta_webp,
         "search_bm25": q_search_bm25,
         "search_postings": q_search_postings,
         "dedup_bloom": q_dedup_bloom,
@@ -4745,6 +4861,24 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY lang""",
         "kw_pattern": "SELECT doc_id, CASE WHEN regexp_matches(text, 'join') THEN 1 ELSE 0 END AS ok FROM documents",
         "kw_enum": "SELECT event_id, CASE WHEN event_type IN ('error','signup','purchase') THEN 1 ELSE 0 END AS ok FROM events",
+        "kw_pattern_re2": r"""
+            WITH f AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 5 THEN NULL
+                      WHEN doc_id % 3 = 0 THEN 'ab-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      WHEN doc_id % 3 = 1 THEN 'Ab-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      ELSE 'ab-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '9'
+                 END AS code
+               FROM documents)
+            SELECT doc_id,
+                   CASE WHEN code IS NULL THEN 0
+                        WHEN regexp_matches(code, '\A(?P<cc>[a-z]{2})-[0-9]{3}\z')
+                        THEN 0 ELSE 1 END AS n_viol
+            FROM f""",
+        "kw_enum_broadcast": """
+            SELECT o_orderkey,
+                   CASE WHEN (o_orderkey % 30000) % 2 = 0 THEN 0 ELSE 1 END
+                     AS n_viol
+            FROM orders""",
         "kw_required": """SELECT count(*) - count(text) AS text_nulls,
                           count(*) - count(lang) AS lang_nulls,
                           count(*) - count(source) AS source_nulls FROM documents""",
@@ -5599,6 +5733,19 @@ def oracle_sql() -> dict[str, str]:
                    sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
                           || repeat(c, 60)) AS resized_sha,
                    5 AS out_w, 4 AS out_h, 'gif' AS src_format FROM t""",
+        "mm_decode_webp": """
+            WITH t AS (SELECT doc_id, chr((97 + doc_id % 26)::INT) AS c
+                       FROM documents WHERE doc_id < 64)
+            SELECT doc_id,
+                   sha256('P6' || chr(10) || '5 4' || chr(10) || '255' || chr(10)
+                          || repeat(c, 60)) AS resized_sha,
+                   5 AS out_w, 4 AS out_h, 'webp' AS src_format FROM t""",
+        "mm_meta_webp": """
+            SELECT doc_id, 'webp' AS format,
+                   CAST(doc_id % 13 + 4 AS INT) AS width,
+                   CAST(doc_id % 7 + 3 AS INT) AS height,
+                   CAST(1 AS INT) AS n_frames
+            FROM range(60) t(doc_id)""",
         "search_bm25": _bm25_sql(),
         "dedup_bloom": _bloom_sql(),
         "web_hits": _hits_sql(),

@@ -98,6 +98,12 @@ HEADLINE = [
     "mm_audio_hash", "mm_audio_neardup",
     # round 4: GIF decode kernel (stdlib LZW)
     "mm_decode_gif",
+    # round 5: WebP — VP8L lossless decode (all transforms + LZ77 +
+    # cache paths) and the header-walk metadata tier for every variant
+    "mm_decode_webp", "mm_meta_webp",
+    # round 5: the north-star batch-validator tiers — RE2 regex via
+    # pyarrow.compute and the broadcast-hash-set enum regime
+    "kw_pattern_re2", "kw_enum_broadcast",
     # round 4: BM25 ranked retrieval over corpus statistics
     "search_bm25",
     # round 4: Bloom-filter decontamination (broadcast bit-array membership)
@@ -1040,37 +1046,39 @@ def _bench_pair_block() -> str:
     worst_line = (
         f"- **{len(flagged)} entries exceed 1.5x, worst "
         f"{worst[1]['ratio']:.1f}x ({worst[0]})**" if worst else
-        "- **0 entries exceed 1.5x**")
+        "- **0 entries exceed 1.5x** — the verdict's per-entry bar is met.")
+    batched = p.get("batch_k", {}).get("run1") or {}
+    n_batched = sum(1 for k in batched.values() if k and k > 1)
+    batch_line = (
+        f"- Per-entry batch multiplier (round-4 verdict item 2): "
+        f"{n_batched} entries ran K>1 back-to-back executions per timed "
+        f"rep so every rep costs >= {p.get('batch_k', {}).get('min_entry_sec', 2.0)} s "
+        "steady-state (reported per-execution) — the sub-second host-"
+        "phase noise that flagged 13 entries in round 4 amortizes 1/K."
+        if n_batched else
+        "- (no per-entry batch record in this pair — pre-round-5 runs)")
+    chosen = p.get("engine", {}).get("chosen") or {}
+    chosen_line = (
+        f"- Engine headline chosen MECHANICALLY (round-4 verdict item 1): "
+        f"run {chosen.get('chosen_run')} at "
+        f"{chosen.get('headline_docs_per_sec')} docs/s — "
+        f"{chosen.get('rationale', '')}" if chosen else "")
     return f"""
-## 6. Bench-pair consistency (round-3 verdict item 6 close-out)
+## 6. Bench-pair consistency (round-3 verdict item 6; hardened round 5)
 
 The verdict asked: "two consecutive full bench runs agree within 1.5x
 on every entry." Measured (BENCH/{os.path.basename(path)}, two
-back-to-back full runs under the hardened estimator — reps escalate
-one at a time, cap 6, until some pair of reps agrees within 25%;
-reported value = median of all reps):
+back-to-back full runs; reps escalate one at a time, cap 6, until some
+pair of reps agrees within 25%; reported value = median of all reps):
 
 - **{p['n_queries']} common entries, median run-to-run ratio
-  {p['median_ratio']:.2f}** — the bulk of the suite is reproducible.
-{worst_line} — and the per-entry rep arrays
-  show WHY this is host, not estimator: within each run the reps agree
-  (both runs internally stable yet apart ACROSS sessions), and the
-  Spark-free host probes differed between the two runs. Probe
-  normalization does NOT absorb the flagged set: the single-scalar CPU
-  probe can't see what actually varies for these entries —
-  python-worker spawn/scheduling latency, which dominates sub-second
-  media/Arrow queries (one contended worker round-trip doubles a 0.3 s
-  query).
-- Every entry with a stable-state cost >= 2 s agrees well across runs;
-  the flagged set is exclusively short queries whose absolute variance
-  is tenths of a second.
+  {p['median_ratio']:.2f}**.
+{worst_line}
+{batch_line}
+{chosen_line}
 
-Verdict-item status: the per-entry 1.5x bar is NOT achievable on this
-single shared box for sub-second python-worker queries, and the
-evidence above attributes the residual to host phase rather than
-estimator or code. The estimator change (escalate-until-agreement)
-cut the flagged count and is kept; rep arrays stay in
-bench_latest.json so any future run can re-audit.
+Rep arrays and per-entry K stay in bench_latest.json so any future run
+can re-audit.
 """
 
 

@@ -19,6 +19,7 @@ from themis_spark.functions import avicodec as AV
 from themis_spark.functions import gifcodec as GC
 from themis_spark.functions import imagecodec as IC
 from themis_spark.functions import jpegcodec as JC
+from themis_spark.functions import webpcodec as WC
 
 TYPED = (IC.UnsupportedImageError, AV.AviError)
 
@@ -34,7 +35,7 @@ def test_decoders_fail_typed_on_garbage(prefix, body):
     payload = prefix + body
     for fn in (IC.decode_image, JC.jpeg_dims, JC.jpeg_exif_orientation,
                AV.avi_meta, AV.avi_frame_chunks, GC.gif_frame_meta,
-               IC.video_frame_offsets):
+               IC.video_frame_offsets, WC.webp_meta, WC.decode_webp):
         try:
             fn(payload)
         except TYPED:
@@ -55,6 +56,8 @@ def test_single_byte_corruption_is_typed_or_decodes(pos, val):
         GC.encode_gif([img // 32 * 32]),
         JC.encode_jpeg_baseline(img),
         AV.encode_avi_mjpeg([img, img]),
+        WC.encode_webp_vp8l(img, mode="lz77"),
+        WC.encode_webp_vp8l(img // 64 * 64, mode="palette"),
     ]
     for payload in fixtures:
         mutated = bytearray(payload)

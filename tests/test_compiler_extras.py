@@ -47,3 +47,44 @@ def test_semi_join_filter_broadcast(spark):
     assert out.count() == 40
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_enum_broadcast_hash_set_regime(spark):
+    """Round-5 (BASELINE.json north star: 'enum via broadcast hash
+    sets'): enum sets above ENUM_LITERAL_MAX compile to a vectorized
+    pyarrow.compute is_in probe against a closure-shipped hash set —
+    same verdicts as the literal isin, NULL = pass, plan carries
+    ArrowEvalPython (vectorized) and no wrapper spec."""
+    from themis_spark.plans.vector_checks import ENUM_LITERAL_MAX
+
+    members = [f"m{i:06d}" for i in range(0, 2 * ENUM_LITERAL_MAX + 10, 2)]
+    schema = {"type": "object",
+              "properties": {"v": {"type": "string", "enum": members}}}
+    df = spark.createDataFrame(
+        [("m000002",), ("m000003",), ("m002048",), ("nope",), (None,)],
+        "v string")
+    plan = compile_plan(schema, df.schema)
+    assert not plan.arrow_specs
+    rows = {r["v"]: r["n"] for r in df.select(
+        "v", F.size(plan.violations_col()).alias("n")).collect()}
+    assert rows == {"m000002": 0, "m000003": 1, "m002048": 0,
+                    "nope": 1, None: 0}
+    pstr = df.select(plan.violations_col().alias("v")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in pstr and "BatchEvalPython" not in pstr
+
+
+def test_enum_small_sets_stay_literal(spark):
+    """At or below the threshold the plan must remain fully native (no
+    Python stage at all) — the fast path is untouched."""
+    schema = {"type": "object",
+              "properties": {"v": {"type": "string",
+                                   "enum": ["a", "b", "c"]}}}
+    df = spark.createDataFrame([("a",), ("x",)], "v string")
+    plan = compile_plan(schema, df.schema)
+    pstr = df.select(plan.violations_col().alias("v")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in pstr
+    got = {r["v"]: r["n"] for r in df.select(
+        "v", F.size(plan.violations_col()).alias("n")).collect()}
+    assert got == {"a": 0, "x": 1}

@@ -108,16 +108,29 @@ def test_unknown_root_keyword_raises(spark):
 
 
 @pytest.mark.spark
-def test_pattern_dialect_falls_back_to_arrow_wrapper(spark):
+def test_pattern_dialect_routes_off_the_jvm_tier(spark):
     """Python-only regex syntax would raise PatternSyntaxException on
-    EXECUTORS under rlike (round-1 ADVICE) — it must route through the
-    Arrow wrapper instead and still validate correctly."""
+    EXECUTORS under rlike (round-1 ADVICE) — it must route off the JVM
+    tier and still validate correctly. Since round 5 there are TWO
+    fallback tiers: backref-free ``(?P<g>…)`` groups stay a vectorized
+    Column check on the RE2/pyarrow tier (no wrapper spec), while true
+    backrefs — beyond RE2 — take the per-value Arrow wrapper."""
     df = spark.createDataFrame([("abab",), ("zz",), (None,)], "s string")
     ok, plan = _verdicts(spark, df, {
         "type": "object", "properties": {"s": {"pattern": "(?P<g>ab)+"}},
     })
-    assert plan.arrow_specs and not plan.checks
+    # RE2-safe: vectorized check, no per-value wrapper
+    assert plan.checks and not plan.arrow_specs
     assert ok == [True, False, True]
+
+    df2 = spark.createDataFrame([("abab",), ("abba",), (None,)], "s string")
+    ok2, plan2 = _verdicts(spark, df2, {
+        "type": "object",
+        "properties": {"s": {"pattern": "^(?P<g>ab)(?P=g)$"}},
+    })
+    # backref: only the Python tier can take it
+    assert plan2.arrow_specs and not plan2.checks
+    assert ok2 == [True, False, True]
 
 
 @pytest.mark.spark

@@ -364,8 +364,9 @@ def encode_png(img: np.ndarray, row_filters: list[int] | None = None,
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """Decode any builtin-supported still image → (format, (h,w,3) array).
-    Raises ``UnsupportedImageError`` for formats needing external libs
-    (WebP; arithmetic/lossless JPEG)."""
+    WebP decodes for the lossless (VP8L) variant, including inside a
+    VP8X extended container (functions/webpcodec.py); lossy VP8 and
+    arithmetic/lossless JPEG raise ``UnsupportedImageError``."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return "ppm", decode_ppm(payload)
@@ -387,6 +388,10 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
 
         off, size = avi_frame_chunks(payload)[0]  # first frame for stills
         return "avi", decode_avi_frame(payload, off, size)
+    if fmt == "webp":
+        from themis_spark.functions.webpcodec import decode_webp
+
+        return "webp", decode_webp(payload)
     raise UnsupportedImageError(f"builtin codecs cannot decode format={fmt!r}")
 
 

@@ -79,6 +79,14 @@ def _decode_real(payload: bytes) -> tuple:
 
         m = avi_meta(payload)
         return ("avi", m["width"], m["height"], m["n_frames"])
+    if fmt == "webp":
+        # chunk-header walk only (VP8X canvas / VP8L stream header /
+        # lossy VP8 frame tag) — dims for EVERY variant, no entropy
+        # decode; pixel decode (VP8L) lives in decode_image paths
+        from themis_spark.functions.webpcodec import webp_meta
+
+        m = webp_meta(payload)
+        return ("webp", m["width"], m["height"], m["n_frames"])
     if not _HAS_PIL:
         raise NotImplementedError(
             f"decode of format={fmt!r} requires Pillow (builtin codecs cover "

@@ -52,7 +52,12 @@ from themis_spark.plans.pyvalidator import (
     PyValidator,
     compile_python_validator,
 )
-from themis_spark.plans.regex_triage import java_safe_pattern, python_pattern
+from themis_spark.plans import vector_checks
+from themis_spark.plans.regex_triage import (
+    java_safe_pattern,
+    python_pattern,
+    re2_safe_pattern,
+)
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
@@ -589,16 +594,37 @@ def _compile_sub(
         if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
             raise _NotNative("enum over complex type needs deep equality")
         scalars = _enum_members_for(node["enum"], dt)
-        add("enum", null_pass | (col.isin(scalars) if scalars else F.lit(False)))
+        if (len(scalars) > vector_checks.ENUM_LITERAL_MAX
+                and isinstance(dt, T.StringType)
+                and all(isinstance(m, str) for m in scalars)):
+            # broadcast-hash-set regime (BASELINE.json north star): the
+            # member list ships once per executor and probes through an
+            # Arrow C++ hash index — a >10^3-literal isin list would
+            # bloat the plan and the generated code instead
+            member = vector_checks.broadcast_isin_predicate(scalars)
+            add("enum", null_pass | member(col))
+        else:
+            add("enum",
+                null_pass | (col.isin(scalars) if scalars else F.lit(False)))
 
     # ---- string keywords (vacuous on non-string types) ---------------------
     if "pattern" in node:
         handled.add("pattern")
         if is_str:
             jp = java_safe_pattern(node["pattern"])
-            if jp is None:
-                raise _NotNative(f"pattern dialect: {node['pattern']!r}")
-            add("pattern", null_pass | _str_ops_col(col, dt).rlike(jp))
+            if jp is not None:
+                add("pattern", null_pass | _str_ops_col(col, dt).rlike(jp))
+            else:
+                # middle tier (BASELINE.json north star: "regex via
+                # pyarrow.compute"): Java-incompatible but RE2-safe
+                # patterns evaluate vectorized in Arrow C++ — only the
+                # residue (backrefs, lookaround, unicode shorthands)
+                # falls through to the per-value Python path
+                r2 = re2_safe_pattern(node["pattern"])
+                if r2 is None:
+                    raise _NotNative(f"pattern dialect: {node['pattern']!r}")
+                matcher = vector_checks.re2_pattern_predicate(r2)
+                add("pattern", null_pass | matcher(_str_ops_col(col, dt)))
     if "minLength" in node:
         handled.add("minLength")
         if is_str:

@@ -66,6 +66,73 @@ def _jvm_pattern_compiles(pattern: str) -> bool | None:
         return False
 
 
+# RE2 (the engine behind pyarrow.compute's regex kernels) is the middle
+# tier BASELINE.json's north star names ("regex via pyarrow.compute"):
+# vectorized C++ evaluation for patterns Java rejects but RE2 accepts
+# with Python-equivalent semantics. RE2 has NO backrefs or lookaround,
+# and its \d/\w/\s/\b classes are ASCII where Python's are Unicode — all
+# of those must stay off this tier (conservative: a miss just means the
+# per-value Python path runs, never a wrong answer).
+_RE2_UNSUPPORTED = ("(?P=", "(?#", "(?=", "(?!", "(?<=", "(?<!",
+                    r"\b", r"\B", r"\k<")
+_NUMERIC_BACKREF = re.compile(r"\\[1-9]")
+
+
+def _translate_z_anchor(pattern: str) -> str:
+    """Python's ``\\Z`` (absolute end) is RE2's ``\\z`` — translate the
+    ESCAPE SEQUENCE only, walking escape state so a literal ``\\\\Z``
+    (backslash + Z) is left alone."""
+    out = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            out.append("\\z" if nxt == "Z" else c + nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def re2_safe_pattern(pattern: str) -> str | None:
+    """RE2 form of an ECMA/Python schema pattern, or None when the
+    pattern must take the per-value Python path. Only called for
+    patterns :func:`java_safe_pattern` already rejected — the tier
+    order is Java-native → RE2/Arrow → Python.
+
+    Accepted here: Python-spelling named groups ``(?P<g>…)`` (RE2
+    supports the spelling natively, same semantics without backrefs)
+    and the ``\\A``/``\\Z`` anchors (``\\Z`` translates to RE2's
+    ``\\z`` — both mean absolute end in these two dialects). Rejected:
+    backrefs, comments, lookaround, word boundaries, and the
+    ASCII-vs-Unicode class shorthands. A final probe compiles the
+    candidate through pyarrow.compute itself (authoritative — catches
+    anything RE2 rejects that the token checks missed)."""
+    if _CLASS_SHORTHAND.search(pattern):
+        return None
+    if any(tok in pattern for tok in _RE2_UNSUPPORTED):
+        return None
+    if _NUMERIC_BACKREF.search(pattern):
+        return None
+    try:
+        # the Python ground truth must accept it in ITS dialect
+        re.compile(python_pattern(pattern))
+    except re.error:
+        return None
+    out = _translate_z_anchor(pattern)
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pc.match_substring_regex(pa.array([], type=pa.string()), pattern=out)
+    except Exception:
+        return None
+    return out
+
+
 def java_safe_pattern(pattern: str) -> str | None:
     """Java-regex form of an ECMA/Python schema pattern, or None when the
     pattern must take the Python (Arrow) path.
