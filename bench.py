@@ -590,14 +590,24 @@ def paired_run(master: str) -> dict:
             probe = time.time() - t0
             k = min(MAX_BATCH_K,
                     max(1, math.ceil(MIN_ENTRY_SEC / max(probe, 1e-3))))
-            # one UNTIMED full batch before the sides: whole-stage
-            # codegen compiles per executor JVM and shuffle-file caches
-            # fill over the first ~K executions — without this, side A
-            # systematically reads slower than side B on multi-exchange
-            # entries (dedup_exact measured 2.9->0.4 s/exec over its
-            # first 20 executions in a probe session)
-            for _ in range(k):
+            # UNTIMED warm-until-steady before the sides: whole-stage
+            # codegen (C2 tiering), shuffle-file caches and scheduler
+            # locality warm over the first executions PER EXECUTOR JVM
+            # — a horizon that varies per entry (dedup_exact measured a
+            # monotone 2.9 -> 0.27 s/exec warm-down spanning ~60
+            # executions; most entries steady after 2-3). Warm at
+            # least K executions, then until two consecutive
+            # executions agree within 10%, cap 40 — otherwise side A
+            # systematically reads slower than side B.
+            prev = None
+            for w in range(40):
+                t0 = time.time()
                 noop_write(fn(spark, SF_DIR))
+                t = time.time() - t0
+                if (prev is not None and w + 1 >= k
+                        and abs(t - prev) <= 0.10 * max(t, prev)):
+                    break
+                prev = t
 
             def one_pair():
                 sides = []
